@@ -1,0 +1,102 @@
+"""Public diff API — algorithm dispatch + result statistics.
+
+Mirrors /root/reference/data_diff/__init__.py:43-180 (diff_tables dispatch)
+and diff_tables.py:86-186 (DiffResultWrapper stats).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_diff_spark.operators import hashdiff, joindiff
+from data_diff_spark.table import TableSegment
+
+
+class Algorithm(enum.Enum):
+    AUTO = "auto"
+    JOINDIFF = "joindiff"
+    HASHDIFF = "hashdiff"
+
+
+@dataclass
+class DiffResult:
+    """Lazy diff + derived statistics (reference DiffResultWrapper,
+    diff_tables.py:86-186). The DataFrame is the product; stats are one
+    aggregation over it."""
+
+    df: DataFrame
+    table1: TableSegment
+    table2: TableSegment
+
+    def diff_by_sign(self) -> Dict[str, int]:
+        rows = self.df.groupBy(joindiff.SIGN_COL).count().collect()
+        out = {"+": 0, "-": 0}
+        out.update({r[joindiff.SIGN_COL]: r["count"] for r in rows})
+        return out
+
+    def get_stats_dict(self) -> Dict[str, int]:
+        """The reference's stats dict (diff_tables.py:99-136): updates are
+        PK-matched -/+ pairs; exclusives are the remainder."""
+        by_sign = self.diff_by_sign()
+        keys = list(self.table1.key_columns)
+        pair_counts = (
+            self.df.groupBy(*keys)
+            .agg(
+                F.sum(F.when(F.col(joindiff.SIGN_COL) == "-", 1).otherwise(0)).alias("m"),
+                F.sum(F.when(F.col(joindiff.SIGN_COL) == "+", 1).otherwise(0)).alias("p"),
+            )
+            .agg(F.sum(F.least("m", "p")).alias("updated"))
+            .collect()[0]
+        )
+        updated = int(pair_counts["updated"] or 0)
+        rows_a = self.table1.count()
+        rows_b = self.table2.count()
+        exclusive_a = by_sign["-"] - updated
+        exclusive_b = by_sign["+"] - updated
+        unchanged = rows_a - by_sign["-"]
+        return {
+            "rows_A": rows_a,
+            "rows_B": rows_b,
+            "exclusive_A": exclusive_a,
+            "exclusive_B": exclusive_b,
+            "updated": updated,
+            "unchanged": unchanged,
+            "total": by_sign["-"] + by_sign["+"],
+        }
+
+
+def diff_tables(
+    table1: TableSegment,
+    table2: TableSegment,
+    *,
+    algorithm: Algorithm | str = Algorithm.AUTO,
+    n_buckets: int = hashdiff.DEFAULT_N_BUCKETS,
+    validate_unique_key: bool = False,
+    skip_null_keys: bool = False,
+) -> DiffResult:
+    """Diff two table segments; returns DiffResult wrapping the diff DataFrame.
+
+    AUTO resolves to joindiff: inside one Spark engine the join is always
+    available and AQE-optimized (the reference picks joindiff only when both
+    sides share a database, __init__.py:152-155 — here they always do).
+    hashdiff remains the right choice when checksums must also be verifiable
+    against an external reference-dialect database.
+    """
+    algorithm = Algorithm(algorithm) if isinstance(algorithm, str) else algorithm
+    if validate_unique_key:
+        joindiff.check_duplicate_keys(table1)
+        joindiff.check_duplicate_keys(table2)
+    if skip_null_keys:
+        table1 = table1.with_(df=joindiff.check_null_keys(table1, skip=True))
+        table2 = table2.with_(df=joindiff.check_null_keys(table2, skip=True))
+
+    if algorithm in (Algorithm.AUTO, Algorithm.JOINDIFF):
+        df = joindiff.join_diff(table1, table2)
+    else:
+        df = hashdiff.hash_diff(table1, table2, n_buckets=n_buckets)
+    return DiffResult(df=df, table1=table1, table2=table2)

@@ -1,0 +1,111 @@
+"""URI → TableSegment connect layer.
+
+The reference registers 13 database adapters by URI scheme
+(/root/reference/data_diff/databases/_connect.py:79-93). For a Spark engine
+the adapters collapse to Spark data sources; we keep the same API shape —
+one registry, scheme-dispatched — so `connect_to_table(uri, keys)` feels the
+same as the reference's `connect_to_table`.
+
+Supported schemes:
+    parquet://<path>         files readable by spark.read.parquet
+    csv://<path>             header=true, inferSchema
+    json://<path>
+    orc://<path>
+    delta://<path>           gated: needs delta-lake jars on the cluster
+    table://<catalog.tbl>    any table registered in the Spark catalog
+    jdbc:<subprotocol>://…   pushed-down JDBC read (Postgres/MySQL/… —
+                             the reference's remote-DB adapters)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_diff_spark.table import TableSegment, table_segment
+
+Reader = Callable[[SparkSession, str, dict], DataFrame]
+
+_REGISTRY: Dict[str, Reader] = {}
+
+
+def register_scheme(scheme: str) -> Callable[[Reader], Reader]:
+    def deco(fn: Reader) -> Reader:
+        _REGISTRY[scheme] = fn
+        return fn
+    return deco
+
+
+@register_scheme("parquet")
+def _read_parquet(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    return spark.read.options(**opts).parquet(rest)
+
+
+@register_scheme("csv")
+def _read_csv(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    o = {"header": "true", "inferSchema": "true", **opts}
+    return spark.read.options(**o).csv(rest)
+
+
+@register_scheme("json")
+def _read_json(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    return spark.read.options(**opts).json(rest)
+
+
+@register_scheme("orc")
+def _read_orc(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    return spark.read.options(**opts).orc(rest)
+
+
+@register_scheme("delta")
+def _read_delta(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    try:
+        return spark.read.options(**opts).format("delta").load(rest)
+    except Exception as e:  # delta jars not on this cluster
+        raise NotImplementedError(
+            "delta scheme requires delta-lake jars on the cluster"
+        ) from e
+
+
+@register_scheme("table")
+def _read_table(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    return spark.table(rest)
+
+
+def _read_jdbc(spark: SparkSession, uri: str, opts: dict) -> DataFrame:
+    # jdbc:postgresql://host/db?dbtable=schema.tbl — Spark pushes filters
+    # and projections down to the remote database, which is how the
+    # reference's remote adapters behave.
+    if "dbtable" not in opts and "query" not in opts:
+        raise ValueError("jdbc source needs a 'dbtable' or 'query' option")
+    return spark.read.format("jdbc").option("url", uri).options(**opts).load()
+
+
+def read_uri(spark: SparkSession, uri: str, **options) -> DataFrame:
+    """Resolve a source URI to a DataFrame."""
+    if uri.startswith("jdbc:"):
+        return _read_jdbc(spark, uri, options)
+    if "://" in uri:
+        scheme, rest = uri.split("://", 1)
+    else:
+        scheme, rest = "table", uri  # bare name = catalog table
+    reader = _REGISTRY.get(scheme)
+    if reader is None:
+        raise ValueError(f"unknown scheme {scheme!r}; known: {sorted(_REGISTRY)} + jdbc:")
+    return reader(spark, rest, options)
+
+
+def connect_to_table(
+    spark: SparkSession,
+    uri: str,
+    key_columns: Sequence[str],
+    update_column: Optional[str] = None,
+    extra_columns: Optional[Sequence[str]] = None,
+    where: Optional[str] = None,
+    **options,
+) -> TableSegment:
+    """URI → TableSegment (reference connect_to_table, __init__.py:14-40)."""
+    df = read_uri(spark, uri, **options)
+    seg = table_segment(df, key_columns, update_column, extra_columns)
+    return seg.with_(where=where) if where else seg
