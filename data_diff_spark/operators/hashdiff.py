@@ -90,12 +90,18 @@ def hash_diff(
     t1: TableSegment,
     t2: TableSegment,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    emit_equal_duplicates: bool = False,
 ) -> DataFrame:
     """Diff DataFrame (sign, *columns-of-table-1's-names), duplicate-PK-aware.
 
-    diff_sets contract (hashdiff_tables.py:62-69): for each PK, if either
-    side has ≠1 rows, or the single rows differ, emit ALL rows of that PK
-    from both sides ('-' for A, '+' for B); otherwise emit nothing.
+    Default: emit ALL rows of every PK whose row *multiset* differs between
+    sides — deterministic regardless of bucketing.
+
+    emit_equal_duplicates=True reproduces the reference's diff_sets artifact
+    (hashdiff_tables.py:62-69): a PK with 2+ rows on either side is emitted
+    "regardless of values" — but only when its segment was downloaded, i.e.
+    here, when its bucket digest mismatched. Like the reference, that output
+    then depends on how the key space was segmented.
     """
     cols1, cols2 = _check_consistent(t1, t2)
     out_names = cols1
@@ -104,52 +110,53 @@ def hash_diff(
     a = _annotated(t1, cols1, out_names, n_buckets)
     b = _annotated(t2, cols2, out_names, n_buckets)
 
-    bad = F.broadcast(mismatched_buckets(_bucket_digest(a), _bucket_digest(b)))
+    # Materialize the mismatched bucket ids ONCE (≤ n_buckets ints on the
+    # driver). Leaving this as a lazy semi-join makes Spark rebuild the whole
+    # digest subtree — two checksum scans — once per downstream branch; an
+    # eager digest compare is also exactly how the reference behaves (one
+    # checksum round-trip, then prune, hashdiff_tables.py:210-215).
+    bad_ids = [
+        r[_BUCKET]
+        for r in mismatched_buckets(_bucket_digest(a), _bucket_digest(b)).collect()
+    ]
+    if len(bad_ids) < n_buckets:
+        # isin over a literal set compiles to a hash-set probe (InSet) —
+        # no join, no recompute; empty set folds to an empty scan.
+        a_bad = a.filter(F.col(_BUCKET).isin(bad_ids))
+        b_bad = b.filter(F.col(_BUCKET).isin(bad_ids))
+    else:
+        # every bucket differs (the reference's documented degradation mode:
+        # many differences) — skip the useless filter and diff everything.
+        a_bad, b_bad = a, b
 
-    # Only rows of mismatched buckets survive — at scale this is the
-    # reference's "few differences ⇒ cheap" property.
-    a_bad = a.join(bad, on=_BUCKET, how="left_semi")
-    b_bad = b.join(bad, on=_BUCKET, how="left_semi")
+    # Phase 2 — the diff_sets pass, as ONE shuffle and zero joins: union both
+    # sides tagged with a sign, hash-partition by PK, and compare each PK's
+    # per-side (count, checksum-sum) multiset digest with window aggregates.
+    # (A groupBy + join-back formulation re-scans the sources and risks
+    # nested-loop null-safe joins; the window form shuffles the surviving
+    # rows exactly once.)
+    from pyspark.sql import Window
 
-    # Per-PK digests on the surviving rows: count + checksum-sum identify a
-    # PK's row multiset (the reference compares downloaded rows in memory;
-    # we compare their checksums distributed).
-    def pk_digest(df: DataFrame, side: str) -> DataFrame:
-        g = df.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias(f"c{side}"), F.sum(_CKS).alias(f"s{side}")
-        )
-        return g.select(
-            *[F.col(k).alias(f"__k{side}_{k}") for k in keys], f"c{side}", f"s{side}"
-        )
-
-    pa = pk_digest(a_bad, "a")
-    pb = pk_digest(b_bad, "b")
-    on = None
-    for k in keys:
-        cond = F.col(f"__ka_{k}").eqNullSafe(F.col(f"__kb_{k}"))
-        on = cond if on is None else on & cond
-    pkj = pa.join(pb, on=on, how="full_outer")
-    pk_differs = (
-        (F.coalesce(F.col("ca"), F.lit(0)) != 1)
-        | (F.coalesce(F.col("cb"), F.lit(0)) != 1)
-        | ~F.col("sa").eqNullSafe(F.col("sb"))
+    u = a_bad.withColumn(SIGN_COL, F.lit("-")).unionAll(
+        b_bad.withColumn(SIGN_COL, F.lit("+"))
     )
-    diff_pks = pkj.filter(pk_differs).select(
-        *[F.coalesce(F.col(f"__ka_{k}"), F.col(f"__kb_{k}")).alias(f"__k_{k}") for k in keys]
+    w = Window.partitionBy(*keys)
+    is_a = (F.col(SIGN_COL) == "-").cast("long")
+    is_b = (F.col(SIGN_COL) == "+").cast("long")
+    ca = F.sum(is_a).over(w)
+    cb = F.sum(is_b).over(w)
+    sa = F.sum(F.when(F.col(SIGN_COL) == "-", F.col(_CKS))).over(w)
+    sb = F.sum(F.when(F.col(SIGN_COL) == "+", F.col(_CKS))).over(w)
+
+    multiset_differs = (ca != cb) | ~sa.eqNullSafe(sb)
+    if emit_equal_duplicates:
+        pk_differs = (ca != 1) | (cb != 1) | multiset_differs
+    else:
+        pk_differs = multiset_differs
+
+    return u.withColumn("__emit__", pk_differs).filter(F.col("__emit__")).select(
+        SIGN_COL, *out_names
     )
-
-    # NULL-safe semi-join back to the full rows; AQE turns this into a
-    # broadcast join at runtime when the diff-PK set is small (the common
-    # case), without us guessing its size at plan time.
-    def emit(df: DataFrame, sign: str) -> DataFrame:
-        cond = None
-        for k in keys:
-            c = df[k].eqNullSafe(diff_pks[f"__k_{k}"])
-            cond = c if cond is None else cond & c
-        j = df.join(diff_pks, on=cond, how="left_semi")
-        return j.select(F.lit(sign).alias(SIGN_COL), *out_names)
-
-    return emit(a_bad, "-").unionAll(emit(b_bad, "+"))
 
 
 def count_and_checksum(t: TableSegment) -> Tuple[int, Optional[int]]:

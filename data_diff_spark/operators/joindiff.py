@@ -74,6 +74,9 @@ def joined_frame(t1: TableSegment, t2: TableSegment) -> Tuple[DataFrame, List[st
     is_excl_a = F.col(_PRESENT_B).isNull()
     is_excl_b = F.col(_PRESENT_A).isNull()
 
+    # IS DISTINCT FROM per column across the outer join — exclusive rows
+    # count as different in every column, exactly like the reference's
+    # is_diff_* flags (joindiff_tables.py:326).
     nkeys = len(t1.key_columns)
     flags = []
     for c1, c2 in zip(cols1[nkeys:], cols2[nkeys:]):

@@ -1,0 +1,463 @@
+"""Driver-facing workload: named queries + DuckDB oracle SQL.
+
+Each entry implements one operator from SURVEY.md §2 as a (spark, sf_dir) →
+DataFrame callable, paired with ANSI SQL that DuckDB runs on the same parquet
+views. Column names/aliases match exactly between the two (the driver's
+compare sorts columns by name before hashing).
+
+Determinism rules used throughout so Spark and DuckDB hash-match bit-for-bit:
+  - float aggregations go through decimal (exact, order-independent sums),
+    cast to double only at the end;
+  - every query has a total deterministic output (no ORDER BY rand(), ties
+    broken by keys).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_diff_spark import diff_tables, table_segment
+from data_diff_spark.operators import joindiff as jd
+from data_diff_spark.operators import hashdiff as hd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+_LOADED_VIEWS: set = set()
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver's parquet tables as temp views (mirrors the
+    oracle side, where DuckDB pre-registers the same names). Memoized per
+    (session, sf_dir).
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; we read nanos as long (legacy conf) and truncate to microseconds
+    — exactly what DuckDB does when it reads the same file, so the two
+    engines see identical values.
+    """
+    key = (id(spark), sf_dir)
+    if key in _LOADED_VIEWS:
+        return
+    _LOADED_VIEWS.add(key)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events":
+            # integer division — ns values exceed 2^53, float division would
+            # lose microseconds
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(t)
+
+
+# --- deterministic "modified" tables for diff queries ----------------------
+# One SQL string, valid in BOTH Spark SQL and DuckDB, so the two engines
+# construct byte-identical second sides: ~1% deleted, ~1% updated (+100.0 is
+# exact in binary), ~1% inserted under shifted keys.
+
+MODIFIED_ORDERS_SQL = """
+select o_orderkey, o_custkey, o_orderstatus,
+       case when o_orderkey % 100 = 2 then o_totalprice + 100.0 else o_totalprice end as o_totalprice,
+       o_orderdate, o_orderpriority
+from orders where o_orderkey % 100 <> 1
+union all
+select o_orderkey + 10000000 as o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+from orders where o_orderkey % 100 = 3
+"""
+
+MODIFIED_LINEITEM_SQL = """
+select l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       case when l_orderkey % 100 = 2 then l_quantity + 1.0 else l_quantity end as l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+from lineitem where l_orderkey % 100 <> 1
+union all
+select l_orderkey + 10000000 as l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+from lineitem where l_orderkey % 100 = 3
+"""
+
+ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+LINEITEM_DIFF_COLS = [
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+]
+
+
+def _orders_segments(spark: SparkSession, sf_dir: str):
+    load_views(spark, sf_dir)
+    t1 = table_segment(spark.table("orders"), ["o_orderkey"],
+                       extra_columns=ORDERS_COLS[1:])
+    t2 = table_segment(spark.sql(MODIFIED_ORDERS_SQL), ["o_orderkey"],
+                       extra_columns=ORDERS_COLS[1:])
+    return t1, t2
+
+
+def _lineitem_segments(spark: SparkSession, sf_dir: str):
+    load_views(spark, sf_dir)
+    keys = ["l_orderkey", "l_linenumber"]
+    extras = [c for c in LINEITEM_DIFF_COLS if c not in keys]
+    t1 = table_segment(
+        spark.table("lineitem").select(*LINEITEM_DIFF_COLS), keys, extra_columns=extras
+    )
+    t2 = table_segment(spark.sql(MODIFIED_LINEITEM_SQL), keys, extra_columns=extras)
+    return t1, t2
+
+
+def _orders_diff_oracle(sign_only: bool = False) -> str:
+    nonkey = ORDERS_COLS[1:]
+    differs = " or ".join(f"a.{c} is distinct from b.{c}" for c in nonkey)
+    acols = ", ".join(f"a.{c} as {c}" for c in ORDERS_COLS)
+    bcols = ", ".join(f"b.{c} as {c}" for c in ORDERS_COLS)
+    return f"""
+with t2 as ({MODIFIED_ORDERS_SQL})
+select '-' as sign, {acols}
+from orders a left join t2 b on a.o_orderkey = b.o_orderkey
+where b.o_orderkey is null or {differs}
+union all
+select '+' as sign, {bcols}
+from t2 b left join orders a on a.o_orderkey = b.o_orderkey
+where a.o_orderkey is null or {differs}
+"""
+
+
+def _lineitem_diff_oracle() -> str:
+    keys = ["l_orderkey", "l_linenumber"]
+    nonkey = [c for c in LINEITEM_DIFF_COLS if c not in keys]
+    on = " and ".join(f"a.{k} = b.{k}" for k in keys)
+    differs = " or ".join(f"a.{c} is distinct from b.{c}" for c in nonkey)
+    acols = ", ".join(f"a.{c} as {c}" for c in LINEITEM_DIFF_COLS)
+    bcols = ", ".join(f"b.{c} as {c}" for c in LINEITEM_DIFF_COLS)
+    return f"""
+with t2 as ({MODIFIED_LINEITEM_SQL})
+select '-' as sign, {acols}
+from lineitem a left join t2 b on {on}
+where b.l_orderkey is null or {differs}
+union all
+select '+' as sign, {bcols}
+from t2 b left join lineitem a on {on}
+where a.l_orderkey is null or {differs}
+"""
+
+
+# --- DuckDB-side normalization (mirrors data_diff_spark.normalize) ---------
+
+CHECKSUM_OFFSET = 140737488355327  # (2**48 - 1) // 2, constants.py
+
+
+def duckdb_norm(col: str, kind: str, precision: int = 6) -> str:
+    """DuckDB SQL producing the same canonical string as normalize.py."""
+    if kind == "int":
+        return f"cast({col} as varchar)"
+    if kind == "float":
+        return f"cast(cast({col} as decimal(38,{precision})) as varchar)"
+    if kind == "str":
+        return col
+    if kind == "ts":
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
+    raise ValueError(kind)
+
+
+def duckdb_fingerprint(cols_kinds) -> str:
+    parts = ", ".join(
+        f"coalesce({duckdb_norm(c, k)}, '<null>')" for c, k in cols_kinds
+    )
+    return f"concat_ws('|', {parts})"
+
+
+def duckdb_md5_as_int(expr: str) -> str:
+    return f"(('0x' || substring(md5({expr}), 21, 12))::BIGINT - {CHECKSUM_OFFSET})"
+
+
+LINEITEM_KINDS = [
+    ("l_orderkey", "int"), ("l_linenumber", "int"), ("l_partkey", "int"),
+    ("l_suppkey", "int"), ("l_quantity", "float"), ("l_extendedprice", "float"),
+    ("l_discount", "float"), ("l_tax", "float"), ("l_returnflag", "str"),
+    ("l_linestatus", "str"), ("l_shipdate", "ts"),
+]
+
+
+# --- diff queries -----------------------------------------------------------
+
+
+def q_joindiff_orders(spark, sf_dir):
+    t1, t2 = _orders_segments(spark, sf_dir)
+    return jd.join_diff(t1, t2)
+
+
+def q_hashdiff_orders(spark, sf_dir):
+    t1, t2 = _orders_segments(spark, sf_dir)
+    return hd.hash_diff(t1, t2, n_buckets=1024)
+
+
+def q_joindiff_lineitem(spark, sf_dir):
+    t1, t2 = _lineitem_segments(spark, sf_dir)
+    return jd.join_diff(t1, t2)
+
+
+def q_hashdiff_lineitem(spark, sf_dir):
+    """hashdiff over a compound key WITH duplicate key values (the driver's
+    lineitem has ~23% duplicate (l_orderkey, l_linenumber) pairs) — exercises
+    the diff_sets multiset semantics end-to-end."""
+    t1, t2 = _lineitem_segments(spark, sf_dir)
+    return hd.hash_diff(t1, t2, n_buckets=1024)
+
+
+def _hashdiff_lineitem_oracle() -> str:
+    """Digest-based oracle: a PK is emitted iff its row multiset differs,
+    where the multiset is identified by (count, sum of md5 row checksums) —
+    the same checksum formula as the engine, already proven bit-identical."""
+    cks = duckdb_md5_as_int(duckdb_fingerprint(LINEITEM_KINDS))
+    cols = ", ".join(c for c, _ in LINEITEM_KINDS)
+    sel = lambda side: ", ".join(f"{side}.{c} as {c}" for c, _ in LINEITEM_KINDS)
+    return f"""
+with t2 as ({MODIFIED_LINEITEM_SQL}),
+a as (select {cols}, {cks} as cks from lineitem),
+b as (select {cols}, {cks} as cks from t2),
+pa as (select l_orderkey, l_linenumber, count(*) as ca, sum(cks) as sa from a group by 1, 2),
+pb as (select l_orderkey, l_linenumber, count(*) as cb, sum(cks) as sb from b group by 1, 2),
+bad as (
+  select coalesce(pa.l_orderkey, pb.l_orderkey) as k1,
+         coalesce(pa.l_linenumber, pb.l_linenumber) as k2
+  from pa full outer join pb
+    on pa.l_orderkey = pb.l_orderkey and pa.l_linenumber = pb.l_linenumber
+  where coalesce(ca, 0) <> coalesce(cb, 0) or sa is distinct from sb
+)
+select '-' as sign, {sel('a')} from a join bad on a.l_orderkey = bad.k1 and a.l_linenumber = bad.k2
+union all
+select '+' as sign, {sel('b')} from b join bad on b.l_orderkey = bad.k1 and b.l_linenumber = bad.k2
+"""
+
+
+def q_diff_stats_orders(spark, sf_dir):
+    t1, t2 = _orders_segments(spark, sf_dir)
+    return (
+        jd.join_diff(t1, t2)
+        .groupBy("sign")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_DIFF_STATS_ORDERS = f"""
+select sign, count(*) as n from ({_orders_diff_oracle()}) group by sign
+"""
+
+
+def q_percol_diff_orders(spark, sf_dir):
+    t1, t2 = _orders_segments(spark, sf_dir)
+    return jd.count_diff_per_column(t1, t2)
+
+
+def _percol_oracle() -> str:
+    nonkey = ORDERS_COLS[1:]
+    # exclusive rows count as different in every column (value IS DISTINCT
+    # FROM NULL), matching the reference's is_diff_* flags
+    # (joindiff_tables.py:326)
+    diffs = ", ".join(
+        f"cast(sum(case when a.{c} is distinct from b.{c} then 1 else 0 end) as bigint) as diff_{c}"
+        for c in nonkey
+    )
+    return f"""
+with t2 as ({MODIFIED_ORDERS_SQL})
+select count(*) as rows_joined,
+       cast(sum(case when b.o_orderkey is null then 1 else 0 end) as bigint) as exclusive_a,
+       cast(sum(case when a.o_orderkey is null then 1 else 0 end) as bigint) as exclusive_b,
+       {diffs}
+from orders a full outer join t2 b on a.o_orderkey = b.o_orderkey
+"""
+
+
+# --- segment-query operators (SURVEY §2.2) ---------------------------------
+
+
+def q_checksum_orders(spark, sf_dir):
+    """count(*) + md5-checksum of every row, the hashdiff segment query —
+    pins full normalization parity against DuckDB."""
+    load_views(spark, sf_dir)
+    t = table_segment(spark.table("orders"), ["o_orderkey"], extra_columns=ORDERS_COLS[1:])
+    agg = t.make_select().agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(t.checksum_column()).cast("string").alias("cks"),
+    )
+    return agg
+
+
+ORACLE_CHECKSUM_ORDERS = """
+select count(*) as cnt,
+       cast(sum(('0x' || substring(md5(
+           concat_ws('|',
+             coalesce(cast(o_orderkey as varchar), '<null>'),
+             coalesce(cast(o_custkey as varchar), '<null>'),
+             coalesce(o_orderstatus, '<null>'),
+             coalesce(cast(cast(o_totalprice as decimal(38,6)) as varchar), '<null>'),
+             coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'), '<null>'),
+             coalesce(o_orderpriority, '<null>')
+           )), 21, 12))::BIGINT - 140737488355327) as varchar) as cks
+from orders
+"""
+
+
+def q_key_range_orders(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.table("orders").agg(
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# --- relational/query-builder surface (SURVEY §2.3) -------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — groupBy/agg surface. Sums in decimal for
+    cross-engine determinism, cast to double at the end."""
+    load_views(spark, sf_dir)
+    return spark.sql(TPCH_Q1_SQL)
+
+
+TPCH_Q1_SQL = """
+select l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(38,2))) as double) as sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(38,2))) as double) as sum_base_price,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(38,4))) as double) as sum_disc_price,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(38,6))) as double) as sum_charge,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(TPCH_Q3_SQL)
+
+
+TPCH_Q3_SQL = """
+select o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(38,4))) as double) as revenue
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+where c.c_mktsegment = 'BUILDING'
+group by o.o_orderkey, o.o_orderdate, o.o_orderpriority
+order by revenue desc, o_orderkey
+limit 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(TPCH_Q5_SQL)
+
+
+TPCH_Q5_SQL = """
+select n.n_name,
+       cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(38,4))) as double) as revenue
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+join supplier s on s.s_suppkey = l.l_suppkey and s.s_nationkey = c.c_nationkey
+join nation n on n.n_nationkey = s.s_nationkey
+join region r on r.r_regionkey = n.n_regionkey
+group by n.n_name
+order by revenue desc, n_name
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """EXCEPT ALL / INTERSECT surface (reference TableOp, ast_classes.py:548-563)."""
+    load_views(spark, sf_dir)
+    a = spark.table("orders").select("o_orderkey", "o_totalprice")
+    b = spark.sql(MODIFIED_ORDERS_SQL).select("o_orderkey", "o_totalprice")
+    return a.exceptAll(b)
+
+
+ORACLE_SET_OPS = f"""
+select o_orderkey, o_totalprice from orders
+except all
+select o_orderkey, o_totalprice from ({MODIFIED_ORDERS_SQL})
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Time-bucketed aggregation over the events table (window-less rollup)."""
+    load_views(spark, sf_dir)
+    return spark.sql(EVENTS_HOURLY_SQL)
+
+
+EVENTS_HOURLY_SQL = """
+select date_trunc('hour', ts) as hour, event_type,
+       count(*) as n,
+       cast(sum(cast(value as decimal(38,4))) as double) as total_value
+from events
+group by date_trunc('hour', ts), event_type
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization via window functions (beyond-reference operator: the
+    reference has no window/analytic surface, SURVEY §2.3 'Window functions:
+    none'). Gap threshold compared in integer microseconds so Spark and the
+    DuckDB oracle agree exactly."""
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = spark.table("events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    gap = F.col("us") - F.lag("us").over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1000 * 1000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SESSIONIZE_ORACLE = """
+with gaps as (
+  select user_id,
+         case when lag(epoch_us(ts)) over (partition by user_id order by ts, event_id) is null
+                   or epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id order by ts, event_id) > 1800000000
+              then 1 else 0 end as new_session
+  from events
+)
+select user_id, cast(sum(new_session) as bigint) as n_sessions, count(*) as n_events
+from gaps group by user_id
+"""
+
+
+# --- registry ---------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "joindiff_orders": (q_joindiff_orders, _orders_diff_oracle()),
+    "hashdiff_orders": (q_hashdiff_orders, _orders_diff_oracle()),
+    "joindiff_lineitem_compound": (q_joindiff_lineitem, _lineitem_diff_oracle()),
+    "hashdiff_lineitem_dupkeys": (q_hashdiff_lineitem, _hashdiff_lineitem_oracle()),
+    "diff_stats_orders": (q_diff_stats_orders, ORACLE_DIFF_STATS_ORDERS),
+    "percol_diff_counts_orders": (q_percol_diff_orders, _percol_oracle()),
+    "checksum_orders": (q_checksum_orders, ORACLE_CHECKSUM_ORDERS),
+    "key_range_orders": (
+        q_key_range_orders,
+        "select min(o_orderkey) as min_key, max(o_orderkey) as max_key, count(*) as cnt from orders",
+    ),
+    "tpch_q1": (q_tpch_q1, TPCH_Q1_SQL),
+    "tpch_q3": (q_tpch_q3, TPCH_Q3_SQL),
+    "tpch_q5": (q_tpch_q5, TPCH_Q5_SQL),
+    "set_ops_except": (q_set_ops, ORACLE_SET_OPS),
+    "events_hourly": (q_events_hourly, EVENTS_HOURLY_SQL),
+    "events_sessionize": (q_events_sessionize, SESSIONIZE_ORACLE),
+}
