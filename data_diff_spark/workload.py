@@ -46,12 +46,22 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         return
     _LOADED_VIEWS.add(key)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cores = spark.sparkContext.defaultParallelism
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t == "events":
             # integer division — ns values exceed 2^53, float division would
             # lose microseconds
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The driver's testdata is single-row-group parquet: the scan is ONE
+        # task no matter how many cores exist, so every per-row pipeline
+        # (md5 checksums, normalization) would run single-threaded. Rebalance
+        # the big tables across the cluster once at ingest; on real
+        # multi-file/multi-row-group data this branch doesn't trigger.
+        if df.rdd.getNumPartitions() < cores // 2 and t in (
+            "lineitem", "orders", "events", "customer", "part", "documents", "embeddings"
+        ):
+            df = df.repartition(cores * 2)
         df.createOrReplaceTempView(t)
 
 
