@@ -1,0 +1,247 @@
+"""Text-analysis column library for training-data pipelines.
+
+Everything here is a pure JVM-side Column expression (no UDFs, no shuffle):
+tokenization, n-gram shingles, language-ID, quality scoring, token counting
+and document fingerprinting all run inside whole-stage codegen, so they
+stream through a 100 TB scan at full executor parallelism with zero Python
+round-trips.
+
+The reference engine (datafold/data-diff) has no text surface at all — this
+module is the beyond-reference training-data layer. Every function has a
+`duckdb_*` twin emitting the DuckDB SQL that computes the *bit-identical*
+value, which the driver's oracle gate runs side-by-side
+(cross-engine determinism: md5-based 60-bit hashes, integer arithmetic,
+IEEE-754 double ops in a fixed order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: all rolling/minhash arithmetic stays < 2^36, far
+# inside int64, so Spark and DuckDB wrap identically (i.e. never).
+P31 = 2_147_483_647
+
+TOKEN_SPLIT = r"\s+"
+
+# Small per-language stopword sets for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny: the heuristic is a cheap first-pass filter,
+# not a classifier.
+STOPWORDS: Dict[str, List[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"],
+    "en": ["the", "a", "of", "and", "is", "in", "to", "it", "that", "for"],
+    "es": ["el", "la", "los", "las", "es", "y", "en", "que", "un", "una"],
+    "fr": ["le", "la", "les", "est", "et", "en", "que", "un", "une", "pas"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic tie-break order
+
+
+# --- tokenization -----------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped (split/trim semantics verified
+    identical between Spark's Java regex and DuckDB's RE2)."""
+    return F.filter(F.split(F.trim(col), TOKEN_SPLIT), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings; empty array when the
+    document has fewer than n tokens."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def duckdb_tokens(col: str) -> str:
+    return f"list_filter(string_split_regex(trim({col}), '\\s+'), x -> x <> '')"
+
+
+def duckdb_word_ngrams(col: str, n: int = 3) -> str:
+    t = duckdb_tokens(col)
+    return (
+        f"list_transform(generate_series(1, len({t}) - {n - 1}), "
+        f"i -> array_to_string(({t})[i:i+{n - 1}], ' '))"
+    )
+
+
+# --- hashing ----------------------------------------------------------------
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string: low-overhead, cross-
+    engine reproducible (md5 first 15 hex digits). Used as the base hash for
+    minhash permutations, simhash bits and rolling fingerprints."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def duckdb_hash60(col: str) -> str:
+    return f"('0x' || substring(md5({col}), 1, 15))::BIGINT"
+
+
+# --- language ID ------------------------------------------------------------
+
+
+def _stopword_hits(toks: Column, words: Sequence[str]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(wl, x)))
+
+
+def lang_scores(col: Column) -> Dict[str, Column]:
+    """Stopword-hit count per language (token multiplicity counts)."""
+    t = tokens(col)
+    return {lang: _stopword_hits(t, STOPWORDS[lang]) for lang in LANGS}
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language: argmax of stopword hits, alphabetical tie-break,
+    'und' (undetermined) when no stopword matches at all."""
+    scores = lang_scores(col)
+    g = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANGS):
+        expr = F.when(scores[lang] == g, F.lit(lang)).otherwise(expr)
+    return F.when(g == 0, F.lit("und")).otherwise(expr)
+
+
+def duckdb_lang_id(col: str) -> str:
+    t = duckdb_tokens(col)
+    score = {
+        lang: (
+            f"len(list_filter({t}, x -> list_contains("
+            f"[{', '.join(repr(w) for w in STOPWORDS[lang])}], x)))"
+        )
+        for lang in LANGS
+    }
+    g = f"greatest({', '.join(score.values())})"
+    whens = " ".join(f"when {score[lang]} = {g} then '{lang}'" for lang in LANGS)
+    return f"(case when {g} = 0 then 'und' {whens} else 'und' end)"
+
+
+# --- quality scoring --------------------------------------------------------
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII letters (0 for empty text)."""
+    n = F.length(col)
+    a = F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))
+    return F.when(n > 0, a.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(
+        F.transform(t, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return F.when(F.size(t) > 0, total.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    t = tokens(col)
+    hits = _stopword_hits(t, STOPWORDS[lang])
+    return F.when(F.size(t) > 0, hits.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: length saturation + letter ratio
+    + stopword plausibility, fixed weights, fixed double-op order so both
+    engines produce the identical IEEE-754 result."""
+    tc = token_count(col)
+    length_component = F.least(F.lit(1.0), tc.cast("double") / F.lit(256.0))
+    return (
+        length_component * F.lit(0.4)
+        + alpha_ratio(col) * F.lit(0.3)
+        + stopword_ratio(col, "en") * F.lit(0.3)
+    )
+
+
+def duckdb_quality_parts(col: str) -> Dict[str, str]:
+    t = duckdb_tokens(col)
+    en = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return {
+        "token_count": f"len({t})",
+        "alpha_ratio": (
+            f"(case when length({col}) > 0 then "
+            f"length(regexp_replace({col}, '[^a-zA-Z]', '', 'g'))::double / length({col}) "
+            f"else 0.0 end)"
+        ),
+        "mean_token_len": (
+            f"(case when len({t}) > 0 then "
+            f"list_sum(list_transform({t}, x -> length(x)))::double / len({t}) "
+            f"else 0.0 end)"
+        ),
+        "stopword_ratio_en": (
+            f"(case when len({t}) > 0 then "
+            f"len(list_filter({t}, x -> list_contains([{en}], x)))::double / len({t}) "
+            f"else 0.0 end)"
+        ),
+    }
+
+
+def duckdb_quality_score(col: str) -> str:
+    p = duckdb_quality_parts(col)
+    return (
+        f"(least(1.0, {p['token_count']}::double / 256.0) * 0.4 "
+        f"+ {p['alpha_ratio']} * 0.3 + {p['stopword_ratio_en']} * 0.3)"
+    )
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+
+def set_fingerprint(col: Column) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token set.
+    Two documents with the same vocabulary collide — that is the point (bag-
+    of-words near-dup prefilter)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over token hashes
+    (acc*31 + h) mod P31 — detects reordered-but-same-vocabulary docs that
+    set_fingerprint conflates. Pure array fold: no shuffle, no explode."""
+    hs = F.transform(tokens(col), lambda x: hash60(x) % P31)
+    return F.aggregate(
+        hs, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % P31
+    )
+
+
+def duckdb_set_fingerprint(col: str) -> str:
+    t = duckdb_tokens(col)
+    return f"md5(array_to_string(list_sort(list_distinct({t})), ' '))"
+
+
+def duckdb_rolling_fingerprint(col: str) -> str:
+    t = duckdb_tokens(col)
+    hs = f"list_transform({t}, x -> {duckdb_hash60('x')} % {P31})"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, {hs}), "
+        f"(acc, x) -> (acc * 31 + x) % {P31})"
+    )
+
+
+# --- minhash coefficients (shared with operators/dedup.py) ------------------
+
+
+def perm_coefficients(k: int) -> List[tuple]:
+    """Deterministic (a, b) pairs for the k minhash permutations
+    h_i(x) = (a_i * x + b_i) mod P31, derived from md5 so every run, every
+    engine and every test agrees without any runtime randomness."""
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:15], 16) % P31
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:15], 16) % P31
+        out.append((a or 1, b))
+    return out

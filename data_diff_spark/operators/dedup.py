@@ -1,0 +1,309 @@
+"""Deduplication operators for training-data pipelines.
+
+Four dedup families, each chosen for a different scale/accuracy point. The
+reference engine (datafold/data-diff) has no dedup surface; these are the
+beyond-reference operators the brief asks for, designed Spark-first:
+
+  exact_dedup          one hash-groupBy (single shuffle, map-side combine)
+  jaccard_pairs        exact n-gram Jaccard via an inverted-index shingle
+                       join — never materializes the O(n^2) cross product;
+                       only docs sharing >=1 shingle ever meet
+  minhash_lsh_dedup    MinHash signatures (one explode + one map-side-
+                       combinable min-agg) -> LSH band join for candidates
+                       -> exact Jaccard verification of candidates only
+  simhash / simhash_pairs
+                       60-bit SimHash computed as a pure per-row array fold
+                       (NO shuffle at all for the signature), then a
+                       pigeonhole chunk join for hamming-distance pairs
+
+Scale notes (100 TB):
+  - Shingle explode is the dominant shuffle; `max_shingle_freq` drops
+    ultra-common shingles (stop-shingles) which otherwise create quadratic
+    skew in the inverted-index join. With the cap the result is Jaccard over
+    the *pruned* shingle space — an approximation, off by default.
+  - Minhash min-aggregation combines map-side: the shuffle carries one
+    k-vector per (doc, reducer), not one row per shingle.
+  - LSH band join shuffles (band_idx, band_hash) — uniform by construction
+    (hash values), so no salting needed.
+  - All hashes are md5-derived (functions/text.py:hash60) so results are
+    reproducible across engines; swap hash60 for xxhash64 for ~2x scan
+    speed when cross-engine parity is not required.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_diff_spark.functions.text import (
+    P31,
+    hash60,
+    perm_coefficients,
+    word_ngrams,
+)
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse byte-identical documents: one row per distinct text with the
+    canonical (minimum) id and the copy count. Single shuffle on the md5 of
+    the text — the 100 TB-safe way to dedup (never groups on the full text
+    bytes; the 32-char digest is the shuffle key)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- exact n-gram Jaccard similarity join -----------------------------------
+
+
+def shingle_sets(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles: array<string>) with distinct word n-grams per doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """All unordered doc pairs with n-gram Jaccard >= threshold, computed
+    exactly via the inverted-index pattern: explode distinct shingles, self-
+    join on the shingle, count common shingles per pair, then
+    J = inter / (|A| + |B| - inter). Only pairs sharing at least one shingle
+    are ever formed; with threshold > 0 that is also every qualifying pair.
+
+    `max_shingle_freq` (off by default) drops shingles occurring in more
+    than that many docs *before* both the sizes and the intersection are
+    counted — consistent pruning, so the returned value is true Jaccard
+    over the pruned shingle space."""
+    s = shingle_sets(df, n, text_col, id_col)
+    ex = s.select("id", F.explode("shingles").alias("sh"))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        ex = (
+            ex.join(F.broadcast(freq.filter(F.col("df_") > max_shingle_freq)
+                                .select("sh", F.lit(True).alias("drop_"))),
+                    "sh", "left")
+            .filter(F.col("drop_").isNull())
+            .select("id", "sh")
+        )
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 128,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: explode distinct shingles to
+    (id, h) once, then min over (a_i*h+b_i) mod P31 for all k permutations in
+    ONE aggregation — the shuffle carries k longs per doc after map-side
+    combine, independent of document length."""
+    s = shingle_sets(df, n, text_col, id_col)
+    ex = s.select("id", F.explode("shingles").alias("sh")).select(
+        "id", (hash60(F.col("sh")) % P31).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"mh{i}")
+        for i, (a, b) in enumerate(perm_coefficients(k))
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32, rows: int = 4) -> DataFrame:
+    """Banding: hash each band of `rows` consecutive minhashes; docs sharing
+    any (band_idx, band_hash) become a candidate pair. P(candidate) =
+    1-(1-s^rows)^bands — at s=0.8, 32x4 gives miss probability ~5e-8."""
+    k = bands * rows
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{b*rows + r}") for r in range(rows)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    assert f"mh{k-1}" in signatures.columns, "signature too short for bands*rows"
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band_idx", "bb.band_hash")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs at scale: LSH candidates, then *exact* Jaccard
+    verification of candidates only (false positives are filtered; false
+    negatives bounded by the banding s-curve). Output identical in shape —
+    and, at sane thresholds, in content — to jaccard_pairs."""
+    sig = minhash_signatures(df, k, n, text_col, id_col)
+    cand = lsh_candidate_pairs(sig, bands, rows)
+    s = shingle_sets(df, n, text_col, id_col)
+    sa = s.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = s.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 60  # hash60 yields 60 deterministic bits
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """60-bit SimHash as a pure per-row expression: token hash -> per-bit
+    +/-1 votes -> sign -> packed int64. Computed entirely inside whole-stage
+    codegen with array folds — the signature stage of simhash dedup is
+    map-only (zero shuffle), which is what makes it the cheapest near-dup
+    filter at 100 TB."""
+    from data_diff_spark.functions.text import tokens
+
+    hs = F.transform(tokens(col), hash60)
+
+    def _vote(j: int) -> Column:
+        # NB: the merge lambda must have exactly 2 params (Spark binds one
+        # lambda variable per parameter), so j is captured by closure.
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    votes = [_vote(j) for j in range(bits)]
+    out = F.lit(0).cast("long")
+    for j, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def duckdb_simhash(col: str, bits: int = SIMHASH_BITS) -> str:
+    from data_diff_spark.functions.text import duckdb_hash60, duckdb_tokens
+
+    hs = f"list_transform({duckdb_tokens(col)}, x -> {duckdb_hash60('x')})"
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform({hs}, h -> "
+            f"case when (h >> {j}) & 1 = 1 then 1 else -1 end))"
+        )
+        terms.append(f"(case when coalesce({vote}, 0) > 0 then {1 << j} else 0 end)")
+    return "(" + "::BIGINT + ".join(terms) + "::BIGINT)"
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs within hamming distance `max_hamming` of each other's simhash.
+    Pigeonhole: with `chunks` disjoint bit-chunks and max_hamming < chunks,
+    any qualifying pair shares at least one exact chunk — so the join is on
+    (chunk_idx, chunk_value), never all-pairs. Verification is
+    bit_count(xor) on the 60-bit signatures."""
+    assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
+    width = SIMHASH_BITS // chunks
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunked = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.shiftright("sh", c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk_val"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("cc"),
+    ).select("id", "sh", "cc.chunk_idx", "cc.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -448,6 +448,124 @@ from gaps group by user_id
 """
 
 
+# --- training-data pipeline: text analysis & dedup (beyond-reference) ------
+# The reference has no text/dedup surface (SURVEY §2.3); these are the
+# 100 TB-pipeline operators the engine adds on top, all oracle-checked
+# against DuckDB with bit-identical md5-derived hashing.
+
+from data_diff_spark.functions import text as TX
+from data_diff_spark.operators import dedup as DD
+
+
+def q_text_stats(spark, sf_dir):
+    load_views(spark, sf_dir)
+    c = F.col("text")
+    return spark.table("documents").select(
+        "doc_id",
+        TX.token_count(c).cast("long").alias("n_tokens"),
+        TX.lang_id(c).alias("lang_pred"),
+        TX.alpha_ratio(c).alias("alpha_ratio"),
+        TX.mean_token_len(c).alias("mean_token_len"),
+        TX.stopword_ratio(c, "en").alias("stopword_ratio_en"),
+        TX.quality_score(c).alias("quality_score"),
+    )
+
+
+def _text_stats_oracle() -> str:
+    p = TX.duckdb_quality_parts("text")
+    return f"""
+select doc_id, {p['token_count']}::BIGINT as n_tokens,
+       {TX.duckdb_lang_id('text')} as lang_pred,
+       {p['alpha_ratio']} as alpha_ratio,
+       {p['mean_token_len']} as mean_token_len,
+       {p['stopword_ratio_en']} as stopword_ratio_en,
+       {TX.duckdb_quality_score('text')} as quality_score
+from documents
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    load_views(spark, sf_dir)
+    c = F.col("text")
+    return spark.table("documents").select(
+        "doc_id",
+        TX.set_fingerprint(c).alias("set_fp"),
+        TX.rolling_fingerprint(c).alias("rolling_fp"),
+        DD.simhash(c).alias("simhash"),
+    )
+
+
+def _doc_fingerprints_oracle() -> str:
+    return f"""
+select doc_id, {TX.duckdb_set_fingerprint('text')} as set_fp,
+       {TX.duckdb_rolling_fingerprint('text')} as rolling_fp,
+       {DD.duckdb_simhash('text')} as simhash
+from documents
+"""
+
+
+# doubled corpus (ids shifted) so exact dedup has real work to do: every
+# text appears exactly twice -> 500 groups of n_copies=2
+DOCS2_SQL = """
+select doc_id, text from documents
+union all
+select doc_id + 1000000 as doc_id, text from documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return DD.exact_dedup(spark.sql(DOCS2_SQL))
+
+
+ORACLE_DEDUP_EXACT = f"""
+select md5(text) as fp, min(doc_id) as canonical_id, count(*) as n_copies
+from ({DOCS2_SQL}) group by md5(text)
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return DD.jaccard_pairs(spark.table("documents"), n=3, threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidates + exact verification; at 32 bands x 4 rows the miss
+    probability per true pair at J=0.8 is ~5e-8, so the brute-force oracle
+    matches (verified: identical 25 pairs at sf0.01)."""
+    load_views(spark, sf_dir)
+    return DD.minhash_lsh_dedup(spark.table("documents"), threshold=0.8)
+
+
+def _jaccard_pairs_oracle(threshold: float = 0.8) -> str:
+    ng = TX.duckdb_word_ngrams("text", 3)
+    return f"""
+with t as (select doc_id, list_distinct({ng}) as s from documents),
+p as (select a.doc_id as id_a, b.doc_id as id_b,
+             len(list_intersect(a.s, b.s)) as inter, len(a.s) as sa, len(b.s) as sb
+      from t a join t b on a.doc_id < b.doc_id)
+select id_a, id_b, inter::double / (sa + sb - inter) as jaccard
+from p where inter::double / (sa + sb - inter) >= {threshold}
+"""
+
+
+def q_simhash_neardup_pairs(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return DD.simhash_pairs(spark.table("documents"), max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    return f"""
+with s as (select doc_id, {DD.duckdb_simhash('text')} as sh from documents)
+select a.doc_id as id_a, b.doc_id as id_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT as hamming
+from s a join s b on a.doc_id < b.doc_id
+where bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -470,4 +588,10 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "set_ops_except": (q_set_ops, ORACLE_SET_OPS),
     "events_hourly": (q_events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (q_events_sessionize, SESSIONIZE_ORACLE),
+    "text_stats": (q_text_stats, _text_stats_oracle()),
+    "doc_fingerprints": (q_doc_fingerprints, _doc_fingerprints_oracle()),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _jaccard_pairs_oracle()),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _jaccard_pairs_oracle()),
+    "simhash_neardup_pairs": (q_simhash_neardup_pairs, _simhash_pairs_oracle()),
 }

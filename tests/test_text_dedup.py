@@ -1,0 +1,127 @@
+"""Text-analysis + dedup operator tests (sf0.001 documents table plus
+synthetic edge-case frames). Cross-engine value parity is covered by the
+oracle gate (tools/check_oracles.py); these tests pin behavioral invariants
+and edge cases."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from data_diff_spark.functions import text as TX
+from data_diff_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def edge(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat"),
+            Row(doc_id=2, text="the cat sat on the mat"),   # exact dup of 1
+            Row(doc_id=3, text="mat the on sat cat the"),   # same vocab, reordered
+            Row(doc_id=4, text=""),                          # empty
+            Row(doc_id=5, text="   "),                       # whitespace only
+            Row(doc_id=6, text=None),                        # null
+            Row(doc_id=7, text="ab"),                        # fewer tokens than n-gram
+        ]
+    )
+
+
+def test_tokenize_edges(edge):
+    rows = {
+        r.doc_id: r
+        for r in edge.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("tc"),
+            F.size(TX.word_ngrams(F.col("text"), 3)).alias("ng"),
+        ).collect()
+    }
+    assert rows[1].tc == 6 and rows[1].ng == 4
+    assert rows[4].tc == 0 and rows[4].ng == 0
+    assert rows[5].tc == 0 and rows[5].ng == 0
+    assert rows[7].tc == 1 and rows[7].ng == 0  # shorter than the n-gram: empty, not desc-sequence garbage
+
+
+def test_fingerprints_distinguish_order(edge):
+    rows = {
+        r.doc_id: r
+        for r in edge.select(
+            "doc_id",
+            TX.set_fingerprint(F.col("text")).alias("sfp"),
+            TX.rolling_fingerprint(F.col("text")).alias("rfp"),
+        ).collect()
+    }
+    # exact dup: both fingerprints equal
+    assert rows[1].sfp == rows[2].sfp and rows[1].rfp == rows[2].rfp
+    # reordered same vocabulary: set fingerprint collides (by design),
+    # rolling fingerprint does not
+    assert rows[1].sfp == rows[3].sfp
+    assert rows[1].rfp != rows[3].rfp
+    # empty and whitespace-only normalize identically
+    assert rows[4].sfp == rows[5].sfp and rows[4].rfp == rows[5].rfp == 0
+
+
+def test_lang_id_picks_stopword_language(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat is in the house"),
+            Row(doc_id=2, text="der Hund ist nicht ein Vogel und"),
+            Row(doc_id=3, text="xyzzy qwerty plugh"),
+        ]
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_exact_dedup_collapses(edge):
+    out = {r.canonical_id: r.n_copies for r in DD.exact_dedup(edge.filter("text is not null")).collect()}
+    assert out[1] == 2          # docs 1 and 2 collapse
+    assert out.get(3) == 1      # reordered text is distinct
+
+
+def test_jaccard_pairs_threshold_and_symmetry(docs):
+    pairs = DD.jaccard_pairs(docs, threshold=0.5).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert all(0.5 <= r.jaccard <= 1.0 for r in pairs)
+
+
+def test_minhash_lsh_matches_exact(docs):
+    exact = sorted((r.id_a, r.id_b) for r in DD.jaccard_pairs(docs, threshold=0.8).collect())
+    lsh = sorted((r.id_a, r.id_b) for r in DD.minhash_lsh_dedup(docs, threshold=0.8).collect())
+    assert lsh == exact
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark shuffles data between stages for joins"),
+            Row(doc_id=2, text="spark shuffles data between stages for joins"),
+            Row(doc_id=3, text="completely different words entirely here now"),
+        ]
+    )
+    out = DD.simhash_pairs(df, max_hamming=3)
+    got = [(r.id_a, r.id_b, r.hamming) for r in out.collect()]
+    assert got == [(1, 2, 0)]  # identical docs at distance 0; unrelated doc beyond 3
+
+
+def test_simhash_pair_completeness_vs_bruteforce(docs):
+    """The chunk-join must find every pair the O(n^2) scan finds (pigeonhole
+    guarantees completeness for max_hamming < chunks)."""
+    sh = docs.select(F.col("doc_id").alias("id"), DD.simhash(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = sorted(
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    )
+    fast = sorted((r.id_a, r.id_b) for r in DD.simhash_pairs(docs, max_hamming=3).collect())
+    assert fast == brute
