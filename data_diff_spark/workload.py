@@ -566,6 +566,87 @@ where bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
 
+# --- similarity search over embeddings (beyond-reference) ------------------
+
+from data_diff_spark.operators import similarity as SIM
+
+EMB_DIM = 64
+
+
+def _emb_base(spark):
+    # uniform array<double> so the augmented corpus unions cleanly
+    return spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def _emb_queries(spark):
+    return _emb_base(spark).filter(F.col("vec_id") % 20 == 0)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Exact top-5 corpus neighbors for a 5% query sample — broadcast the
+    queries, single corpus scan, integer-exact dot products."""
+    load_views(spark, sf_dir)
+    return SIM.cosine_topk(_emb_base(spark), _emb_queries(spark), k=5)
+
+
+ORACLE_COSINE_TOPK = f"""
+with q as (select vec_id as id,
+           list_transform(embedding, x -> round(x::double * {SIM.QUANT_SCALE})::bigint) as qv
+           from embeddings),
+n as (select id, qv, {SIM.duckdb_norm('qv', EMB_DIM)} as nrm from q),
+p as (select qr.id as id_q, c.id as id_c,
+             {SIM.duckdb_dot('qr.qv', 'c.qv', EMB_DIM)}::double / (qr.nrm * c.nrm) as cosine
+      from n qr join n c on c.id <> qr.id
+      where qr.id % 20 = 0),
+r as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from p)
+select id_q, id_c, rank::BIGINT as rank, cosine from r where rank <= 5
+"""
+
+
+def _emb_augmented(spark):
+    """Corpus with deterministic near-duplicates planted: vec_id%10==0 rows
+    re-appear under id+1000000 scaled by 1.01 (cosine ~ 1 with the
+    original). Same construction as the DuckDB oracle."""
+    base = _emb_base(spark)
+    copies = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    return base.unionAll(copies)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return SIM.cosine_pairs_lsh(_emb_augmented(spark), threshold=0.99, dim=EMB_DIM)
+
+
+ORACLE_EMBEDDING_NEARDUP = f"""
+with corpus as (
+  select vec_id, list_transform(embedding, x -> x::double) as emb from embeddings
+  union all
+  select vec_id + 1000000, list_transform(embedding, x -> x::double * 1.01)
+  from embeddings where vec_id % 10 = 0
+),
+q as (select vec_id as id, list_transform(emb, x -> round(x * {SIM.QUANT_SCALE})::bigint) as qv from corpus),
+n as (select id, qv, {SIM.duckdb_norm('qv', EMB_DIM)} as nrm from q),
+p as (select a.id as id_a, b.id as id_b,
+             {SIM.duckdb_dot('a.qv', 'b.qv', EMB_DIM)}::double / (a.nrm * b.nrm) as cosine
+      from n a join n b on a.id < b.id)
+select id_a, id_b, cosine from p where cosine >= 0.99
+"""
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate top-k (LSH bucket-restricted). No SQL oracle — the result
+    is approximate by design; recall vs the exact path is pinned in
+    tests/test_similarity.py."""
+    load_views(spark, sf_dir)
+    return SIM.ann_topk_lsh(_emb_base(spark), _emb_queries(spark), k=5, dim=EMB_DIM)
+
+
 # --- registry ---------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -594,4 +675,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _jaccard_pairs_oracle()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _jaccard_pairs_oracle()),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, _simhash_pairs_oracle()),
+    "cosine_topk_exact": (q_cosine_topk, ORACLE_COSINE_TOPK),
+    "embedding_neardup_lsh": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
+    "ann_topk_lsh": (q_ann_topk_lsh, None),
 }

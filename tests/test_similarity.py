@@ -1,0 +1,76 @@
+"""Similarity-search operator tests. Cross-engine value parity is covered by
+the oracle gate; here we pin ranking semantics, the LSH completeness
+guarantee at high thresholds, and ANN recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_diff_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") % 10 == 0)
+
+
+def test_topk_shape_and_ranking(emb, queries):
+    out = SIM.cosine_topk(emb, queries, k=3).collect()
+    n_q = queries.count()
+    assert len(out) == 3 * n_q
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.id_q, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3]
+        # ranks follow cosine descending
+        assert rows[0].cosine >= rows[1].cosine >= rows[2].cosine
+        assert all(r.id_c != r.id_q for r in rows)
+
+
+def test_lsh_pairs_complete_at_high_threshold(emb):
+    """At threshold ~1 every qualifying pair agrees on all hyperplane signs
+    w.p. ~1, so LSH must find exactly what brute force finds."""
+    copies = emb.limit(5).select(
+        (F.col("vec_id") + 777000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    corpus = emb.unionAll(copies)
+    got = sorted(
+        (r.id_a, r.id_b) for r in SIM.cosine_pairs_lsh(corpus, threshold=0.999).collect()
+    )
+    want = sorted((r.vec_id, r.vec_id + 777000) for r in emb.limit(5).collect())
+    assert got == want
+
+
+def test_ann_recall_vs_exact(emb, queries):
+    exact = {
+        (r.id_q, r.id_c)
+        for r in SIM.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.id_q, r.id_c)
+        for r in SIM.ann_topk_lsh(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_quantized_dot_exactness(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in SIM.cosine_pairs_lsh(df, threshold=-2.0, bands=8, rows_per_band=4, dim=2).collect()
+    }
+    # identical vectors: exactly 1.0 (integer dot = norm product squared)
+    assert out.get((1, 2)) == 1.0
