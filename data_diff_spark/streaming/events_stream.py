@@ -1,0 +1,99 @@
+"""Structured Streaming over the events table.
+
+The reference engine has no streaming surface (SURVEY.md §2.3 "Streaming
+ops: none"); this module adds the Spark-native one: a file-source stream of
+events, event-time windowed rollups with a watermark for late data, and a
+run-to-completion harness (`Trigger.AvailableNow`) that makes the streaming
+path testable against the batch oracle — on bounded input the streaming
+rollup must equal the batch GROUP BY, which the driver's DuckDB gate checks.
+
+At scale this is the template for continuous ingestion: swap the parquet
+file source for Kafka, keep the watermark + window + sink. State size is
+bounded by (watermark horizon / window size) * |event_type| rows per
+window, evicted as the watermark passes — not by stream length.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SINK_IDS = itertools.count()
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _as_stream_dir(sf_dir: str, table: str) -> str:
+    """Spark's file stream source only accepts directories; expose the
+    single-file table through a symlink in a scratch dir (idempotent)."""
+    key = hashlib.md5(f"{sf_dir}/{table}".encode()).hexdigest()[:12]
+    d = os.path.join(_SCRATCH, f"stream_{table}_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same nanos->micros
+    normalization as the batch path (workload.load_views)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_stream_dir(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Event-time hourly rollup with late-data watermark: counts + exact
+    decimal sums per (hour, event_type). window('1 hour').start ==
+    date_trunc('hour', ts), so the batch oracle is a plain GROUP BY."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,4)")).alias("total_value_dec"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n",
+            F.col("total_value_dec").cast("double").alias("total_value"),
+        )
+    )
+
+
+def run_to_completion(result: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to the end of its bounded input
+    (AvailableNow trigger) into a memory sink; return the materialized
+    result as a batch DataFrame. 'complete' mode emits every window —
+    including ones the watermark hasn't closed — which is what makes the
+    bounded-input result comparable to the batch GROUP BY."""
+    spark = result.sparkSession
+    name = f"stream_sink_{next(_SINK_IDS)}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+def hourly_rollup_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming pipeline, run to completion on the bounded events
+    table — used by the workload registry and oracle-checked against the
+    batch SQL."""
+    return run_to_completion(hourly_rollup(events_stream(spark, sf_dir)))

@@ -647,6 +647,43 @@ def q_ann_topk_lsh(spark, sf_dir):
     return SIM.ann_topk_lsh(_emb_base(spark), _emb_queries(spark), k=5, dim=EMB_DIM)
 
 
+# --- multimodal plumbing (beyond-reference) ---------------------------------
+
+from data_diff_spark.functions import multimodal as MM
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media column + Arrow-batched mapInPandas feature extraction
+    (the real-decoder template with the deterministic fake decoder). The
+    whole Python round-trip is oracle-checked: byte counts, md5 digests and
+    byte means must match DuckDB's view of the same bytes."""
+    load_views(spark, sf_dir)
+    media = MM.attach_fake_media(spark.table("documents"))
+    return MM.extract_features(media)
+
+
+ORACLE_MULTIMODAL = """
+select doc_id, length(text)::BIGINT as n_bytes, md5(text) as content_md5,
+       case when length(text) > 0 then
+         list_sum(list_transform(generate_series(1, length(text)),
+                                 i -> ascii(substring(text, i, 1))))::double / length(text)
+       else 0.0 end as byte_mean
+from documents
+"""
+
+
+# --- structured streaming (beyond-reference) --------------------------------
+
+
+def q_events_hourly_stream(spark, sf_dir):
+    """Streaming hourly rollup run to completion (AvailableNow) — on bounded
+    input the result must equal the batch GROUP BY, so it shares the
+    events_hourly oracle."""
+    from data_diff_spark.streaming.events_stream import hourly_rollup_batch_equivalent
+
+    return hourly_rollup_batch_equivalent(spark, sf_dir)
+
+
 # --- registry ---------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -678,4 +715,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "cosine_topk_exact": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_neardup_lsh": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "ann_topk_lsh": (q_ann_topk_lsh, None),
+    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    "events_hourly_stream": (q_events_hourly_stream, EVENTS_HOURLY_SQL),
 }
