@@ -71,10 +71,35 @@ def exact_dedup(
 def shingle_sets(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, shingles: array<string>) with distinct word n-grams per doc."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    """(id, shingles: array<string>) with distinct word n-grams per doc.
+
+    Two plan-shape guards, both measured to matter ~5-10x at sf0.1:
+      - the token array is materialized in its own projection (expressions
+        referenced from a higher-order-function lambda are re-evaluated per
+        element — inlining tokenize into the transform re-tokenizes once
+        per gram);
+      - a nondeterministic no-op column rides along in the shingle
+        projection so Catalyst cannot push inferred filters
+        (InferFiltersFromGenerate, join-constraint isnotnull) below it —
+        pushed down, those filters inline the whole tokenize+ngram pipeline
+        into per-row Filter conditions, evaluating it up to 5x per row."""
+    from data_diff_spark.functions.text import tokens
+
+    t = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            "id",
+            F.array_distinct(
+                F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+            ).alias("shingles"),
+            F.monotonically_increasing_id().alias("_nd"),  # pushdown barrier
+        )
+        .drop("_nd")
     )
 
 
@@ -95,8 +120,14 @@ def jaccard_pairs(
     `max_shingle_freq` (off by default) drops shingles occurring in more
     than that many docs *before* both the sizes and the intersection are
     counted — consistent pruning, so the returned value is true Jaccard
-    over the pruned shingle space."""
-    s = shingle_sets(df, n, text_col, id_col)
+    over the pruned shingle space.
+
+    The shingle frame is persisted (MEMORY_AND_DISK): it feeds three plan
+    subtrees (both self-join sides + set sizes), and broadcast joins can't
+    reuse exchanges, so without the persist the tokenize+shingle pipeline
+    runs 3x. At 100 TB swap the persist for a bucketed intermediate
+    table."""
+    s = shingle_sets(df, n, text_col, id_col).persist()
     ex = s.select("id", F.explode("shingles").alias("sh"))
     if max_shingle_freq is not None:
         freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
@@ -107,7 +138,12 @@ def jaccard_pairs(
             .filter(F.col("drop_").isNull())
             .select("id", "sh")
         )
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        # unpruned: set sizes come straight off the shingle arrays — one
+        # scan, no explode/shuffle
+        sizes = s.select("id", F.size("shingles").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
@@ -137,12 +173,13 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: explode distinct shingles to
     (id, h) once, then min over (a_i*h+b_i) mod P31 for all k permutations in
     ONE aggregation — the shuffle carries k longs per doc after map-side
     combine, independent of document length."""
-    s = shingle_sets(df, n, text_col, id_col)
+    s = shingle_sets(df, n, text_col, id_col) if _shingles is None else _shingles
     ex = s.select("id", F.explode("shingles").alias("sh")).select(
         "id", (hash60(F.col("sh")) % P31).alias("h")
     )
@@ -200,9 +237,9 @@ def minhash_lsh_dedup(
     verification of candidates only (false positives are filtered; false
     negatives bounded by the banding s-curve). Output identical in shape —
     and, at sane thresholds, in content — to jaccard_pairs."""
-    sig = minhash_signatures(df, k, n, text_col, id_col)
+    s = shingle_sets(df, n, text_col, id_col).persist()
+    sig = minhash_signatures(df, k, n, text_col, id_col, _shingles=s)
     cand = lsh_candidate_pairs(sig, bands, rows)
-    s = shingle_sets(df, n, text_col, id_col)
     sa = s.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = s.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -220,15 +257,9 @@ def minhash_lsh_dedup(
 SIMHASH_BITS = 60  # hash60 yields 60 deterministic bits
 
 
-def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
-    """60-bit SimHash as a pure per-row expression: token hash -> per-bit
-    +/-1 votes -> sign -> packed int64. Computed entirely inside whole-stage
-    codegen with array folds — the signature stage of simhash dedup is
-    map-only (zero shuffle), which is what makes it the cheapest near-dup
-    filter at 100 TB."""
-    from data_diff_spark.functions.text import tokens
-
-    hs = F.transform(tokens(col), hash60)
+def _simhash_votes(hs: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Packed simhash from an array-of-token-hashes column: per-bit +/-1
+    vote folds -> sign -> packed int64."""
 
     def _vote(j: int) -> Column:
         # NB: the merge lambda must have exactly 2 params (Spark binds one
@@ -245,6 +276,37 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     for j, v in enumerate(votes):
         out = out + F.when(v > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return out
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """60-bit SimHash as a single per-row expression. NOTE: each of the
+    `bits` vote folds re-evaluates the md5 token hashes — prefer
+    with_simhash() on a DataFrame, which materializes the hash array once
+    per row (~60x fewer md5 calls)."""
+    from data_diff_spark.functions.text import tokens
+
+    return _simhash_votes(F.transform(tokens(col), hash60), bits)
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "sh",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """df plus a simhash column, computed map-only (zero shuffle) in two
+    projections: the token-hash array is aliased in its own Project, and
+    because it is non-cheap and referenced `bits` times, Catalyst's
+    CollapseProject keeps the boundary — so md5 runs once per token, not
+    once per (token, bit)."""
+    from data_diff_spark.functions.text import tokens
+
+    hs = "_simhash_hs"
+    return (
+        df.withColumn(hs, F.transform(tokens(F.col(text_col)), hash60))
+        .withColumn(out, _simhash_votes(F.col(hs), bits))
+        .drop(hs)
+    )
 
 
 def duckdb_simhash(col: str, bits: int = SIMHASH_BITS) -> str:
@@ -275,7 +337,7 @@ def simhash_pairs(
     bit_count(xor) on the 60-bit signatures."""
     assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
     width = SIMHASH_BITS // chunks
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    sh = with_simhash(df, text_col, out="sh").select(F.col(id_col).alias("id"), "sh")
     chunked = sh.select(
         "id",
         "sh",

@@ -128,19 +128,29 @@ def band_codes(
     coeffs = plane_coefficients(bands * rows_per_band, dim)
     pre = _prepared(df, id_col, vec_col)
 
-    def _bit(plane: int) -> Column:
-        cvec = F.array(*[F.lit(c).cast("long") for c in coeffs[plane]])
-        return F.when(_qdot(F.col("qv"), cvec) > 0, 1).otherwise(0)
+    # One looped expression over a nested literal array instead of
+    # bands*rows unrolled folds: generated code stays small, and the bit
+    # array lives in its own projection so the quantized vector is dotted
+    # once per plane, not once per reference. The matrix literal is built
+    # as ONE parsed SQL string — thousands of F.lit() py4j round-trips were
+    # the dominant cost of plan construction.
+    planes_lit = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{c}L" for c in row) + ")" for row in coeffs
+        ) + ")"
+    )
+    bits = F.transform(
+        planes_lit, lambda p: F.when(_qdot(F.col("qv"), p) > 0, 1).otherwise(0)
+    )
+    with_bits = pre.withColumn("_bits", bits)
 
     band_structs = []
     for b in range(bands):
         code = F.lit(0)
         for r in range(rows_per_band):
-            code = code + _bit(b * rows_per_band + r) * F.lit(1 << r)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), code.alias("code"))
-        )
-    return pre.select(
+            code = code + F.element_at("_bits", b * rows_per_band + r + 1) * F.lit(1 << r)
+        band_structs.append(F.struct(F.lit(b).alias("band_idx"), code.alias("code")))
+    return with_bits.select(
         "id", "qv", "nrm", F.explode(F.array(*band_structs)).alias("bc")
     ).select("id", "qv", "nrm", "bc.band_idx", "bc.code")
 

@@ -487,11 +487,11 @@ from documents
 def q_doc_fingerprints(spark, sf_dir):
     load_views(spark, sf_dir)
     c = F.col("text")
-    return spark.table("documents").select(
+    return DD.with_simhash(spark.table("documents"), "text", out="simhash").select(
         "doc_id",
         TX.set_fingerprint(c).alias("set_fp"),
         TX.rolling_fingerprint(c).alias("rolling_fp"),
-        DD.simhash(c).alias("simhash"),
+        "simhash",
     )
 
 
