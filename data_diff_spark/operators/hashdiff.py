@@ -107,8 +107,13 @@ def hash_diff(
     out_names = cols1
     keys = list(t1.key_columns)
 
-    a = _annotated(t1, cols1, out_names, n_buckets)
-    b = _annotated(t2, cols2, out_names, n_buckets)
+    # Persisted: each side feeds two plan subtrees (the digest compare and
+    # the phase-2 row diff), and normalization+md5 is the dominant per-row
+    # cost — without the persist both scans run twice. MEMORY_AND_DISK
+    # spills for tables beyond executor memory; at extreme scale prefer
+    # writing (keys, cks, bucket) to a bucketed intermediate instead.
+    a = _annotated(t1, cols1, out_names, n_buckets).persist()
+    b = _annotated(t2, cols2, out_names, n_buckets).persist()
 
     # Materialize the mismatched bucket ids ONCE (≤ n_buckets ints on the
     # driver). Leaving this as a lazy semi-join makes Spark rebuild the whole
