@@ -1,0 +1,204 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (/root/reference/data_diff/__main__.py:119-345):
+
+    python -m data_diff_spark URI1 URI2 -k KEY [-c COL ...] [options]
+
+URIs are this engine's source URIs (sources/connect.py): parquet://path,
+csv://path, json://path, orc://path, delta://path, table://name, bare
+catalog table names, and jdbc:... with ?-style options.
+
+Flag parity map (reference flag -> here):
+    -k/--key-columns        same (repeatable)
+    -c/--columns            same (repeatable, POSIX * ? wildcards expanded
+                            against the schema — __main__.py:439-461)
+    -w/--where              same (SQL predicate applied to both sides)
+    -a/--algorithm          auto|joindiff|hashdiff (AUTO -> joindiff;
+                            reference picks joindiff for same-DB pairs)
+    -t/--update-column      same
+    --min-age/--max-age     same duration grammar, e.g. 5min, 2h, 1d
+                            (parse_time.py:56-74)
+    -l/--limit              same (stop after N diff rows)
+    --stats                 summary block instead of rows
+    -j/--json               JSONL rows ({"sign": "-", ...})
+    --bisection-factor/--bisection-threshold -> --n-buckets (the Spark
+                            hashdiff has one knob, SURVEY.md §4.3)
+    -m/--materialize        write the diff DataFrame to a parquet path /
+                            saveAsTable instead of stdout
+    --materialize-limit     cap on materialized rows (joindiff_tables.py:38)
+    --threads               accepted and ignored (Spark schedules tasks;
+                            the reference's thread pool has no analogue)
+"""
+
+from __future__ import annotations
+
+import argparse
+import fnmatch
+import json
+import re
+import sys
+from typing import List, Optional, Sequence
+
+from pyspark.sql import SparkSession
+
+_DURATION_RE = re.compile(
+    r"^(\d+)\s*(w|weeks?|d|days?|h|hours?|min|mins?|minutes?|s|secs?|seconds?)$"
+)
+_UNIT_SECONDS = {
+    "w": 7 * 86400, "d": 86400, "h": 3600, "min": 60, "s": 1,
+}
+
+
+def parse_duration_seconds(text: str) -> int:
+    """'5min' / '2h' / '1d' / '3w' -> seconds (reference parse_time.py)."""
+    m = _DURATION_RE.match(text.strip().lower())
+    if not m:
+        raise ValueError(f"unparseable duration: {text!r} (try e.g. 5min, 2h, 1d)")
+    n, unit = int(m.group(1)), m.group(2)
+    key = {"weeks": "w", "week": "w", "days": "d", "day": "d", "hours": "h",
+           "hour": "h", "mins": "min", "minutes": "min", "minute": "min",
+           "secs": "s", "seconds": "s", "second": "s", "sec": "s"}.get(unit, unit)
+    return n * _UNIT_SECONDS[key]
+
+
+def expand_columns(patterns: Sequence[str], schema_cols: Sequence[str], keys: Sequence[str]) -> List[str]:
+    """POSIX-wildcard column selection against the actual schema
+    (reference _get_expanded_columns, __main__.py:439-461)."""
+    out: List[str] = []
+    for pat in patterns:
+        matches = [c for c in schema_cols if fnmatch.fnmatchcase(c, pat) and c not in keys]
+        if not matches:
+            raise SystemExit(f"error: column pattern {pat!r} matched nothing in {list(schema_cols)}")
+        out.extend(m for m in matches if m not in out)
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="data-diff-spark",
+        description="Diff two tables with Spark (joindiff / bucketed hashdiff).",
+    )
+    p.add_argument("uri1", help="source URI of table A (parquet://…, csv://…, jdbc:…, table name)")
+    p.add_argument("uri2", help="source URI of table B")
+    p.add_argument("-k", "--key-columns", action="append", required=True,
+                   help="primary key column (repeat for compound keys)")
+    p.add_argument("-c", "--columns", action="append", default=[],
+                   help="columns to compare (POSIX wildcards; default: all shared non-key columns)")
+    p.add_argument("-w", "--where", default=None, help="SQL predicate applied to both sides")
+    p.add_argument("-a", "--algorithm", default="auto", choices=["auto", "joindiff", "hashdiff"])
+    p.add_argument("-t", "--update-column", default=None)
+    p.add_argument("--min-age", default=None, help="ignore rows updated less than AGE ago (e.g. 5min)")
+    p.add_argument("--max-age", default=None, help="ignore rows updated more than AGE ago")
+    p.add_argument("-l", "--limit", type=int, default=None)
+    p.add_argument("--stats", action="store_true", help="print summary statistics instead of rows")
+    p.add_argument("-j", "--json", dest="json_output", action="store_true", help="JSONL output")
+    p.add_argument("--n-buckets", type=int, default=4096, help="hashdiff checksum buckets")
+    p.add_argument("-m", "--materialize", default=None,
+                   help="write diff to this parquet path (or table:NAME) instead of stdout")
+    p.add_argument("--materialize-limit", type=int, default=1000)
+    p.add_argument("--assume-unique-key", action="store_true",
+                   help="skip the duplicate-key validation query")
+    p.add_argument("--skip-null-keys", action="store_true")
+    p.add_argument("--threads", type=int, default=None, help="ignored (Spark schedules tasks)")
+    p.add_argument("--master", default="local[*]", help="Spark master (default local[*])")
+    return p
+
+
+def _age_bound(spark: SparkSession, age: str):
+    from pyspark.sql import functions as F
+
+    secs = parse_duration_seconds(age)
+    return F.current_timestamp() - F.expr(f"INTERVAL {secs} SECOND")
+
+
+def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = None) -> int:
+    from pyspark.sql import functions as F
+
+    from data_diff_spark.diff import Algorithm, diff_tables
+    from data_diff_spark.sources.connect import connect_to_table
+
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if own_session:
+        spark = (
+            SparkSession.builder.master(args.master)
+            .appName("data-diff-spark")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+
+    try:
+        keys = args.key_columns
+        t1 = connect_to_table(spark, args.uri1, keys, args.update_column, None, args.where)
+        t2 = connect_to_table(spark, args.uri2, keys, args.update_column, None, args.where)
+
+        shared = [c for c in t1.df.columns if c in set(t2.df.columns)]
+        if args.columns:
+            compare = expand_columns(args.columns, shared, keys)
+        else:
+            compare = [c for c in shared if c not in keys]
+        t1 = t1.with_(extra_columns=tuple(compare))
+        t2 = t2.with_(extra_columns=tuple(compare))
+
+        if args.update_column and (args.min_age or args.max_age):
+            upd = F.col(args.update_column)
+            for seg_attr, pred in (("min_age", upd < _age_bound(spark, args.min_age) if args.min_age else None),
+                                   ("max_age", upd > _age_bound(spark, args.max_age) if args.max_age else None)):
+                if pred is not None:
+                    t1 = t1.with_(df=t1.df.filter(pred))
+                    t2 = t2.with_(df=t2.df.filter(pred))
+
+        result = diff_tables(
+            t1,
+            t2,
+            algorithm=Algorithm(args.algorithm),
+            n_buckets=args.n_buckets,
+            validate_unique_key=not args.assume_unique_key and args.algorithm == "joindiff",
+            skip_null_keys=args.skip_null_keys,
+        )
+
+        if args.materialize:
+            df = result.df
+            if args.materialize_limit:
+                df = df.limit(args.materialize_limit)
+            if args.materialize.startswith("table:"):
+                df.write.mode("append").saveAsTable(args.materialize[len("table:"):])
+            else:
+                df.write.mode("overwrite").parquet(args.materialize)
+            print(f"materialized diff to {args.materialize}", file=sys.stderr)
+            return 0
+
+        if args.stats:
+            stats = result.get_stats_dict()
+            for k, v in stats.items():
+                print(f"{k}: {v}")
+            return 0
+
+        df = result.df
+        if args.limit:
+            df = df.limit(args.limit)
+        it = df.toLocalIterator()
+        cols = df.columns[1:]  # first column is the sign
+        for row in it:
+            if args.json_output:
+                print(json.dumps({"sign": row[0], **{c: _jsonable(row[c]) for c in cols}}))
+            else:
+                print(f"{row[0]} {', '.join(repr(row[c]) for c in cols)}")
+        return 0
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _jsonable(v):
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        return str(v)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""CLI tests — in-process (shared Spark session) against scratch parquet."""
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from data_diff_spark.cli import expand_columns, main, parse_duration_seconds
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+@pytest.fixture(scope="module")
+def mod_orders_path(sf_dir):
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "cli_orders_mod.parquet")
+    duckdb.sql(f"""
+      copy (
+        select o_orderkey, o_custkey, o_orderstatus,
+               case when o_orderkey % 100 = 2 then o_totalprice + 100.0 else o_totalprice end as o_totalprice,
+               o_orderdate, o_orderpriority
+        from '{sf_dir}/orders.parquet' where o_orderkey % 100 <> 1
+      ) to '{path}' (format parquet)
+    """)
+    return path
+
+
+def test_duration_parsing():
+    assert parse_duration_seconds("5min") == 300
+    assert parse_duration_seconds("2h") == 7200
+    assert parse_duration_seconds("1d") == 86400
+    assert parse_duration_seconds("3 weeks") == 3 * 7 * 86400
+    with pytest.raises(ValueError):
+        parse_duration_seconds("fortnight")
+
+
+def test_expand_columns():
+    cols = ["o_orderkey", "o_totalprice", "o_orderdate"]
+    assert expand_columns(["o_total*"], cols, ["o_orderkey"]) == ["o_totalprice"]
+    assert expand_columns(["*"], cols, ["o_orderkey"]) == ["o_totalprice", "o_orderdate"]
+    with pytest.raises(SystemExit):
+        expand_columns(["nope*"], cols, [])
+
+
+def test_cli_stats(spark, sf_dir, mod_orders_path, capsys):
+    rc = main(
+        [f"parquet://{sf_dir}/orders.parquet", f"parquet://{mod_orders_path}",
+         "-k", "o_orderkey", "--stats"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = dict(line.split(": ") for line in capsys.readouterr().out.strip().splitlines())
+    assert int(out["rows_A"]) == 1500
+    assert int(out["exclusive_A"]) == 15
+    assert int(out["updated"]) == 15
+
+
+def test_cli_jsonl_hashdiff(spark, sf_dir, mod_orders_path, capsys):
+    rc = main(
+        [f"parquet://{sf_dir}/orders.parquet", f"parquet://{mod_orders_path}",
+         "-k", "o_orderkey", "-a", "hashdiff", "-j", "-c", "o_total*"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert all(set(r) == {"sign", "o_orderkey", "o_totalprice"} for r in rows)
+    signs = {}
+    for r in rows:
+        signs[r["sign"]] = signs.get(r["sign"], 0) + 1
+    assert signs == {"-": 30, "+": 15}
+
+
+def test_cli_materialize(spark, sf_dir, mod_orders_path, tmp_path):
+    out = os.path.join(SCRATCH, "cli_diff_out.parquet")
+    rc = main(
+        [f"parquet://{sf_dir}/orders.parquet", f"parquet://{mod_orders_path}",
+         "-k", "o_orderkey", "-m", out, "--materialize-limit", "10"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert got.columns[0] == "sign"
