@@ -147,6 +147,33 @@ class TableSegment:
             *normalized_columns(self.schema, self.relevant_columns, self.precision_overrides)
         )
 
+    def collect_stats(self) -> dict:
+        """count(*) plus sum(col) for every numeric compared column, in ONE
+        aggregation pass (reference _collect_stats,
+        joindiff_tables.py:268-305)."""
+        from pyspark.sql import types as T
+
+        numeric = [
+            f.name
+            for f in self.schema.fields
+            if f.name in self.relevant_columns and isinstance(f.dataType, T.NumericType)
+        ]
+        row = self.make_select().agg(
+            F.count(F.lit(1)).alias("count"),
+            *[F.sum(c).alias(f"sum_{c}") for c in numeric],
+        ).collect()[0]
+        return row.asDict()
+
+    def ignore_column(self, column: str) -> "TableSegment":
+        """Drop a column from comparison/checksums (reference ignore_column,
+        diff_tables.py:397-416) — checksum expressions derive from
+        relevant_columns, so the next query simply excludes it."""
+        if column in self.key_columns:
+            raise ValueError(f"cannot ignore key column {column!r}")
+        return self.with_(
+            extra_columns=tuple(c for c in self.extra_columns if c != column)
+        )
+
     # -- helpers -----------------------------------------------------------
 
     @property

@@ -672,7 +672,95 @@ from documents
 """
 
 
+# --- JSON surface (reference JSON ColType, database_types.py:273-275) -------
+
+
+def q_events_json_extract(spark, sf_dir):
+    """JSON path extraction + typed aggregation over events.props — the
+    reference compares JSON as minified strings (normalize_json); here the
+    engine also computes on extracted values."""
+    load_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON = """
+select event_type, count(*) as n,
+       sum((props->>'$.k')::BIGINT)::BIGINT as sum_k,
+       min((props->>'$.k')::BIGINT) as min_k,
+       max((props->>'$.k')::BIGINT) as max_k
+from events group by event_type
+"""
+
+
+def q_collect_stats_lineitem(spark, sf_dir):
+    """Per-table stats pass (reference _collect_stats,
+    joindiff_tables.py:268-305): count + sum of every numeric compared
+    column in one aggregation. Sums go through decimal for cross-engine
+    determinism."""
+    load_views(spark, sf_dir)
+    keys = ["l_orderkey", "l_linenumber"]
+    extras = [c for c in LINEITEM_DIFF_COLS if c not in keys]
+    t = table_segment(spark.table("lineitem").select(*LINEITEM_DIFF_COLS), keys, extra_columns=extras)
+    from pyspark.sql import types as T
+
+    numeric = [f.name for f in t.schema.fields
+               if f.name in t.relevant_columns and isinstance(f.dataType, T.NumericType)]
+    return t.make_select().agg(
+        F.count(F.lit(1)).alias("count"),
+        *[F.sum(F.col(c).cast("decimal(38,4)")).cast("double").alias(f"sum_{c}") for c in numeric],
+    )
+
+
+ORACLE_COLLECT_STATS = """
+select count(*) as count,
+       cast(sum(cast(l_orderkey as decimal(38,4))) as double) as sum_l_orderkey,
+       cast(sum(cast(l_linenumber as decimal(38,4))) as double) as sum_l_linenumber,
+       cast(sum(cast(l_partkey as decimal(38,4))) as double) as sum_l_partkey,
+       cast(sum(cast(l_suppkey as decimal(38,4))) as double) as sum_l_suppkey,
+       cast(sum(cast(l_quantity as decimal(38,4))) as double) as sum_l_quantity,
+       cast(sum(cast(l_extendedprice as decimal(38,4))) as double) as sum_l_extendedprice,
+       cast(sum(cast(l_discount as decimal(38,4))) as double) as sum_l_discount,
+       cast(sum(cast(l_tax as decimal(38,4))) as double) as sum_l_tax
+from lineitem
+"""
+
+
+def q_events_session_window(spark, sf_dir):
+    """Native Spark session windows (F.session_window, 30-min gap) reduced
+    to per-user session/event counts — same oracle as the lag-based
+    sessionization, proving the two formulations agree."""
+    load_views(spark, sf_dir)
+    sw = (
+        spark.table("events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    return sw.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+    )
+
+
 # --- structured streaming (beyond-reference) --------------------------------
+
+
+def q_events_sessionize_stream(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    gap sessionization with state carried across micro-batches, run to
+    completion on bounded input. Shares the batch sessionization oracle."""
+    from data_diff_spark.streaming.sessionize import sessionize_batch_equivalent
+
+    return sessionize_batch_equivalent(spark, sf_dir)
 
 
 def q_events_hourly_stream(spark, sf_dir):
@@ -717,4 +805,8 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ann_topk_lsh": (q_ann_topk_lsh, None),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
     "events_hourly_stream": (q_events_hourly_stream, EVENTS_HOURLY_SQL),
+    "events_json_extract": (q_events_json_extract, ORACLE_EVENTS_JSON),
+    "collect_stats_lineitem": (q_collect_stats_lineitem, ORACLE_COLLECT_STATS),
+    "events_session_window": (q_events_session_window, SESSIONIZE_ORACLE),
+    "events_sessionize_stream": (q_events_sessionize_stream, SESSIONIZE_ORACLE),
 }
