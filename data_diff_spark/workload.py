@@ -751,6 +751,23 @@ def q_events_session_window(spark, sf_dir):
     )
 
 
+def q_events_rollup(spark, sf_dir):
+    """Hierarchical rollup (hour within event_type + subtotals + grand
+    total) — the reference has no grouping-sets surface (SURVEY §2.3 'No
+    grouping sets / cube / rollup'); Spark and DuckDB both execute this
+    exact SQL."""
+    load_views(spark, sf_dir)
+    return spark.sql(EVENTS_ROLLUP_SQL)
+
+
+EVENTS_ROLLUP_SQL = """
+select event_type, date_trunc('hour', ts) as hour, count(*) as n,
+       cast(sum(cast(value as decimal(38,4))) as double) as total_value
+from events
+group by rollup(event_type, date_trunc('hour', ts))
+"""
+
+
 # --- structured streaming (beyond-reference) --------------------------------
 
 
@@ -808,5 +825,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_json_extract": (q_events_json_extract, ORACLE_EVENTS_JSON),
     "collect_stats_lineitem": (q_collect_stats_lineitem, ORACLE_COLLECT_STATS),
     "events_session_window": (q_events_session_window, SESSIONIZE_ORACLE),
+    "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "events_sessionize_stream": (q_events_sessionize_stream, SESSIONIZE_ORACLE),
 }
