@@ -129,14 +129,28 @@ def normalized_columns(
     schema: T.StructType,
     columns: Sequence[str],
     precision_overrides: Optional[Mapping[str, int]] = None,
+    kind_overrides: Optional[Mapping[str, str]] = None,
 ) -> list[Column]:
-    """Normalize each named column per its schema type; keeps original names."""
+    """Normalize each named column per its schema type; keeps original names.
+
+    kind_overrides marks string columns with refined semantic kinds
+    (refine.py / the reference's _refine_coltypes): 'uuid' → trim,
+    'json' → structural canonicalization.
+    """
     by_name = {f.name: f for f in schema.fields}
     overrides = precision_overrides or {}
+    kinds = kind_overrides or {}
     out = []
     for name in columns:
         f = by_name[name]
-        out.append(normalize_as_string(F.col(name), f.dataType, overrides.get(name)).alias(name))
+        kind = kinds.get(name)
+        if kind == "uuid":
+            expr = normalize_uuid(F.col(name))
+        elif kind == "json":
+            expr = normalize_json(F.col(name))
+        else:
+            expr = normalize_as_string(F.col(name), f.dataType, overrides.get(name))
+        out.append(expr.alias(name))
     return out
 
 
@@ -169,13 +183,14 @@ def row_checksum(
     schema: T.StructType,
     columns: Sequence[str],
     precision_overrides: Optional[Mapping[str, int]] = None,
+    kind_overrides: Optional[Mapping[str, str]] = None,
 ) -> Column:
     """Per-row checksum column: md5_as_int(fingerprint(normalized columns)).
 
     sum() of this column over any row set is the reference's segment checksum
     (table_segment.py:239-258); equal row multisets ⇒ equal sums.
     """
-    normd = normalized_columns(schema, columns, precision_overrides)
+    normd = normalized_columns(schema, columns, precision_overrides, kind_overrides)
     return md5_as_int(row_fingerprint(normd))
 
 

@@ -58,11 +58,11 @@ def _annotated(t: TableSegment, cols: List[str], out_names: List[str], n_buckets
     alignment-by-construction)."""
     nkeys = len(t.key_columns)
     df = t.make_select()
-    normd = normalized_columns(t.schema, cols, t.precision_overrides)
+    normd = normalized_columns(t.schema, cols, t.precision_overrides, t.kind_overrides)
     cks = md5_as_int(row_fingerprint(normd))
     key_norm = [
         F.coalesce(c, F.lit("<null>")) for c in
-        normalized_columns(t.schema, cols[:nkeys], t.precision_overrides)
+        normalized_columns(t.schema, cols[:nkeys], t.precision_overrides, t.kind_overrides)
     ]
     bucket = F.pmod(F.xxhash64(*key_norm), F.lit(n_buckets))
     renamed = [F.col(c).alias(o) for c, o in zip(cols, out_names)]

@@ -42,9 +42,22 @@ def _check_consistent(t1: TableSegment, t2: TableSegment) -> Tuple[List[str], Li
     return cols1, cols2
 
 
-def _value_eq(a: Column, b: Column, dt1, dt2, p1, p2) -> Column:
-    """NULL-safe equality; when the two sides' physical types differ, compare
-    canonical normalized strings (the reference's cross-type semantics)."""
+def _norm_kind(col: Column, dt, p, kind: str | None) -> Column:
+    from data_diff_spark.normalize import normalize_json, normalize_uuid
+
+    if kind == "uuid":
+        return normalize_uuid(col)
+    if kind == "json":
+        return normalize_json(col)
+    return normalize_as_string(col, dt, p)
+
+
+def _value_eq(a: Column, b: Column, dt1, dt2, p1, p2, k1=None, k2=None) -> Column:
+    """NULL-safe equality; when the two sides' physical types differ — or a
+    refined semantic kind (uuid/json, refine.py) applies — compare canonical
+    normalized strings (the reference's cross-type semantics)."""
+    if k1 or k2:
+        return _norm_kind(a, dt1, p1, k1).eqNullSafe(_norm_kind(b, dt2, p2, k2))
     if dt1 == dt2:
         return a.eqNullSafe(b)
     return normalize_as_string(a, dt1, p1).eqNullSafe(normalize_as_string(b, dt2, p2))
@@ -67,7 +80,13 @@ def joined_frame(t1: TableSegment, t2: TableSegment) -> Tuple[DataFrame, List[st
 
     on = None
     for k1, k2 in zip(t1.key_columns, t2.key_columns):
-        cond = F.col(_A + k1).eqNullSafe(F.col(_B + k2))
+        ka, kb = t1.kind_overrides.get(k1), t2.kind_overrides.get(k2)
+        ca, cb = F.col(_A + k1), F.col(_B + k2)
+        if ka or kb:
+            # refined key kinds (e.g. uuid-in-string): join on canonical form
+            ca = _norm_kind(ca, dt1[k1], t1.precision_overrides.get(k1), ka)
+            cb = _norm_kind(cb, dt2[k2], t2.precision_overrides.get(k2), kb)
+        cond = ca.eqNullSafe(cb)
         on = cond if on is None else on & cond
     j = a.join(b, on=on, how="full_outer")
 
@@ -84,6 +103,7 @@ def joined_frame(t1: TableSegment, t2: TableSegment) -> Tuple[DataFrame, List[st
             F.col(_A + c1), F.col(_B + c2),
             dt1[c1], dt2[c2],
             t1.precision_overrides.get(c1), t2.precision_overrides.get(c2),
+            t1.kind_overrides.get(c1), t2.kind_overrides.get(c2),
         )
         flags.append((~eq).alias(f"__diff_{c1}"))
 

@@ -38,6 +38,9 @@ class TableSegment:
     max_update: Optional[Any] = None
     where: Optional[str] = None
     precision_overrides: Mapping[str, int] = field(default_factory=dict)
+    # string-column semantic kinds from sampling refinement (refine.py):
+    # {'col': 'uuid' | 'json'} — changes the normalization expression only
+    kind_overrides: Mapping[str, str] = field(default_factory=dict)
     case_sensitive: bool = True
 
     def __post_init__(self) -> None:
@@ -112,7 +115,7 @@ class TableSegment:
         return self.make_select().count()
 
     def checksum_column(self) -> Column:
-        return row_checksum(self.schema, self.relevant_columns, self.precision_overrides)
+        return row_checksum(self.schema, self.relevant_columns, self.precision_overrides, self.kind_overrides)
 
     def count_and_checksum(self) -> Tuple[int, Optional[int]]:
         """One-pass count(*) + sum(md5_as_int(fingerprint))
@@ -144,7 +147,7 @@ class TableSegment:
         """All relevant columns, normalized to canonical strings
         (table_segment.py:181-187) — kept distributed, never collected."""
         return self.make_select().select(
-            *normalized_columns(self.schema, self.relevant_columns, self.precision_overrides)
+            *normalized_columns(self.schema, self.relevant_columns, self.precision_overrides, self.kind_overrides)
         )
 
     def collect_stats(self) -> dict:
