@@ -60,6 +60,9 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # Operators persist multi-use subtrees; drop them between queries so
+        # accumulated cache memory doesn't distort later timings.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -91,6 +91,27 @@ def duckdb_hash60(col: str) -> str:
     return f"('0x' || substring(md5({col}), 1, 15))::BIGINT"
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, lookaround-free so Java
+# regex and RE2 agree): contractions, letter runs, digit runs, punctuation
+# runs, each with an optional leading space.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Approximate LLM token count: matches of the BPE pre-tokenizer
+    pattern, whitespace-only matches excluded. Tracks real BPE counts
+    closely enough for length filtering/budgeting without a vocab file."""
+    toks = F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+    return F.size(F.filter(toks, lambda x: F.trim(x) != ""))
+
+
+def duckdb_bpe_token_count(col: str) -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return (
+        f"len(list_filter(regexp_extract_all({col}, '{pat}'), x -> trim(x) <> ''))"
+    )
+
+
 # --- language ID ------------------------------------------------------------
 
 

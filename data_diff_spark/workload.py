@@ -463,6 +463,7 @@ def q_text_stats(spark, sf_dir):
     return spark.table("documents").select(
         "doc_id",
         TX.token_count(c).cast("long").alias("n_tokens"),
+        TX.bpe_token_count(c).cast("long").alias("n_bpe_tokens"),
         TX.lang_id(c).alias("lang_pred"),
         TX.alpha_ratio(c).alias("alpha_ratio"),
         TX.mean_token_len(c).alias("mean_token_len"),
@@ -475,6 +476,7 @@ def _text_stats_oracle() -> str:
     p = TX.duckdb_quality_parts("text")
     return f"""
 select doc_id, {p['token_count']}::BIGINT as n_tokens,
+       {TX.duckdb_bpe_token_count('text')}::BIGINT as n_bpe_tokens,
        {TX.duckdb_lang_id('text')} as lang_pred,
        {p['alpha_ratio']} as alpha_ratio,
        {p['mean_token_len']} as mean_token_len,

@@ -64,6 +64,24 @@ def test_fingerprints_distinguish_order(edge):
     assert rows[4].sfp == rows[5].sfp and rows[4].rfp == rows[5].rfp == 0
 
 
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="it's a test, isn't it?"),
+            Row(doc_id=2, text="hello world"),
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text="abc123!!"),
+        ]
+    )
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", TX.bpe_token_count(F.col("text")).alias("n")).collect()}
+    # "it"+"'s"+" a"+" test"+","+" isn"+"'t"+" it"+"?" = 9
+    assert got[1] == 9
+    assert got[2] == 2
+    assert got[3] == 0
+    assert got[4] == 3  # "abc" + "123" + "!!"
+
+
 def test_lang_id_picks_stopword_language(spark):
     df = spark.createDataFrame(
         [
