@@ -46,6 +46,15 @@ class TableSegment:
     def __post_init__(self) -> None:
         if not self.key_columns:
             raise ValueError("at least one key column is required")
+        if not self.case_sensitive:
+            # resolve declared names against actual DataFrame casing
+            # (reference CaseInsensitiveDict, utils.py:81-117)
+            lookup = {c.lower(): c for c in self.df.columns}
+            fix = lambda n: lookup.get(n.lower(), n)
+            object.__setattr__(self, "key_columns", tuple(fix(k) for k in self.key_columns))
+            if self.update_column:
+                object.__setattr__(self, "update_column", fix(self.update_column))
+            object.__setattr__(self, "extra_columns", tuple(fix(c) for c in self.extra_columns))
         missing = [c for c in self.relevant_columns if c not in self.df.columns]
         if missing:
             raise ValueError(f"columns not in DataFrame: {missing} (have {self.df.columns})")

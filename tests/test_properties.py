@@ -1,0 +1,102 @@
+"""Property-based invariants (hypothesis) for the checksum/diff core.
+
+Strategy note: one shared Spark session, data pushed through
+spark.createDataFrame per example — examples kept small and counts low so
+the suite stays fast; the properties (not volume) are the point.
+"""
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_diff_spark.constants import CHECKSUM_OFFSET
+
+VALUES = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=12),
+)
+
+ROWS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=50), VALUES), min_size=1, max_size=12
+)
+
+COMMON = dict(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id int, v string")
+
+
+def str_to_checksum(s: str) -> int:
+    """The reference's Python-side golden formula (tests/common.py:117-127)."""
+    md5 = hashlib.md5(s.encode("utf-8")).hexdigest()
+    return int(md5[-12:], 16) - CHECKSUM_OFFSET
+
+
+@settings(**COMMON)
+@given(rows=ROWS)
+def test_checksum_is_permutation_invariant(spark, rows):
+    """sum(row_checksum) must not depend on row order or partitioning —
+    the property that makes bucket digests comparable."""
+    from data_diff_spark import table_segment
+
+    norm = [(i, None if v is None else str(v)) for i, v in rows]
+    t_fwd = table_segment(_mk(spark, norm), ["id"])
+    t_rev = table_segment(_mk(spark, list(reversed(norm))).repartition(5), ["id"])
+    assert t_fwd.count_and_checksum() == t_rev.count_and_checksum()
+
+
+@settings(**COMMON)
+@given(rows=ROWS)
+def test_diff_of_identical_multisets_is_empty(spark, rows):
+    from data_diff_spark import table_segment
+    from data_diff_spark.operators.hashdiff import hash_diff
+
+    norm = [(i, None if v is None else str(v)) for i, v in rows]
+    t1 = table_segment(_mk(spark, norm), ["id"])
+    t2 = table_segment(_mk(spark, list(reversed(norm))), ["id"])
+    assert hash_diff(t1, t2, n_buckets=8).count() == 0
+
+
+@settings(**COMMON)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5)), min_size=1, max_size=10, unique_by=lambda r: r[0]
+    ),
+    delta=st.tuples(st.integers(0, 30), st.integers(6, 9)),
+)
+def test_single_row_change_is_detected(spark, rows, delta):
+    """Changing exactly one row's value produces exactly that row as a
+    -/+ pair (joindiff) for unique PKs."""
+    from data_diff_spark import table_segment
+    from data_diff_spark.operators.joindiff import join_diff
+
+    key, newv = delta
+    base = [(i, str(v)) for i, v in rows]
+    if key not in {i for i, _ in rows}:
+        base_with = base + [(key, "x")]
+    else:
+        base_with = base
+    changed = [(i, str(newv) if i == key else v) for i, v in base_with]
+    t1 = table_segment(_mk(spark, base_with), ["id"])
+    t2 = table_segment(_mk(spark, changed), ["id"])
+    got = join_diff(t1, t2).collect()
+    assert sorted((r[0], r[1]) for r in got) == [("+", key), ("-", key)]
+
+
+@settings(**COMMON)
+@given(s=st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=40))
+def test_md5_as_int_matches_python_golden(spark, s):
+    from pyspark.sql import functions as F
+
+    from data_diff_spark.normalize import md5_as_int
+
+    got = spark.range(1).select(md5_as_int(F.lit(s)).alias("c")).collect()[0]["c"]
+    assert int(got) == str_to_checksum(s)
