@@ -282,6 +282,28 @@ from orders a full outer join t2 b on a.o_orderkey = b.o_orderkey
 """
 
 
+def q_hashdiff_cross_engine(spark, sf_dir):
+    """TRUE cross-engine diff: the Spark side scans parquet; the second side
+    lives in DuckDB (standing in for PostgreSQL/Snowflake) and computes its
+    own bucket digests with the reference's checksum SQL. Only digests +
+    mismatched-bucket rows cross the engine boundary."""
+    import duckdb
+
+    from data_diff_spark.operators.remote import DuckDBSide, hash_diff_remote
+
+    load_views(spark, sf_dir)
+    t1 = table_segment(
+        spark.table("orders").select(*ORDERS_COLS), ["o_orderkey"],
+        extra_columns=ORDERS_COLS[1:],
+    )
+    con = duckdb.connect()
+    for t in ("orders",):
+        con.execute(f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
+    con.execute(f"create view t2 as {MODIFIED_ORDERS_SQL}")
+    remote = DuckDBSide("t2", ["o_orderkey"], ORDERS_COLS, con=con)
+    return hash_diff_remote(t1, remote)
+
+
 # --- segment-query operators (SURVEY §2.2) ---------------------------------
 
 
@@ -828,5 +850,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "collect_stats_lineitem": (q_collect_stats_lineitem, ORACLE_COLLECT_STATS),
     "events_session_window": (q_events_session_window, SESSIONIZE_ORACLE),
     "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
+    "hashdiff_cross_engine": (q_hashdiff_cross_engine, _orders_diff_oracle()),
     "events_sessionize_stream": (q_events_sessionize_stream, SESSIONIZE_ORACLE),
 }

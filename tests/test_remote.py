@@ -1,0 +1,56 @@
+"""Cross-engine hashdiff: Spark side vs DuckDB side (digests-only wire)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_diff_spark import table_segment
+from data_diff_spark.operators.remote import DuckDBSide, hash_diff_remote
+
+COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+@pytest.fixture(scope="module")
+def t1(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*COLS)
+    return table_segment(df, ["o_orderkey"], extra_columns=COLS[1:])
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(f"create view orders as select * from read_parquet('{sf_dir}/orders.parquet')")
+    return c
+
+
+def test_identical_sides_zero_diff_zero_download(t1, con):
+    remote = DuckDBSide("orders", ["o_orderkey"], COLS, con=con)
+    assert hash_diff_remote(t1, remote).count() == 0
+    # and the digest phase alone suffices: fetch_buckets([]) is empty
+    assert len(remote.fetch_buckets(1024, [])) == 0
+
+
+def test_cross_engine_detects_changes(t1, con):
+    con.execute("""create or replace view mod as
+      select o_orderkey, o_custkey, o_orderstatus,
+             case when o_orderkey % 100 = 2 then o_totalprice + 100.0 else o_totalprice end as o_totalprice,
+             o_orderdate, o_orderpriority
+      from orders where o_orderkey % 100 <> 1""")
+    remote = DuckDBSide("mod", ["o_orderkey"], COLS, con=con)
+    rows = hash_diff_remote(t1, remote).collect()
+    minus = {r.o_orderkey for r in rows if r[0] == "-"}
+    plus = {r.o_orderkey for r in rows if r[0] == "+"}
+    deleted = {r.o_orderkey for r in rows if r[0] == "-" and r.o_orderkey % 100 == 1}
+    assert deleted == {k for k in minus if k % 100 == 1}
+    assert plus == {k for k in minus if k % 100 == 2}  # updates appear on both sides
+
+
+def test_differing_remote_column_names(t1, con):
+    """Remote side with different column names — matched by position, like
+    the reference (test_diff_tables.py:306-348)."""
+    con.execute("""create or replace view renamed as
+      select o_orderkey as pk, o_custkey as c1, o_orderstatus as c2,
+             o_totalprice as c3, o_orderdate as c4, o_orderpriority as c5
+      from orders""")
+    remote = DuckDBSide("renamed", ["pk"], ["pk", "c1", "c2", "c3", "c4", "c5"], con=con)
+    assert hash_diff_remote(t1, remote).count() == 0
