@@ -804,6 +804,30 @@ def q_events_sessionize_stream(spark, sf_dir):
     return sessionize_batch_equivalent(spark, sf_dir)
 
 
+def q_events_stream_validate(spark, sf_dir):
+    """Streaming diff: stream-static join validating arriving events against
+    a (deterministically perturbed) reference table — '+' = unknown key,
+    '!' = value mismatch. Bounded run equals the batch left-join diff."""
+    from data_diff_spark.streaming.diff_stream import validate_events_stream
+
+    return validate_events_stream(spark, sf_dir)
+
+
+ORACLE_STREAM_VALIDATE = """
+with ref as (
+  select event_id, event_type,
+         case when event_id % 50 = 0 then value + 1.0 else value end as value
+  from events where event_id % 97 <> 0
+)
+select case when r.event_id is null then '+' else '!' end as sign,
+       e.event_id, e.event_type, e.value
+from events e left join ref r on e.event_id = r.event_id
+where r.event_id is null
+   or e.event_type is distinct from r.event_type
+   or e.value is distinct from r.value
+"""
+
+
 def q_events_hourly_stream(spark, sf_dir):
     """Streaming hourly rollup run to completion (AvailableNow) — on bounded
     input the result must equal the batch GROUP BY, so it shares the
@@ -851,5 +875,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_session_window": (q_events_session_window, SESSIONIZE_ORACLE),
     "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "hashdiff_cross_engine": (q_hashdiff_cross_engine, _orders_diff_oracle()),
+    "events_stream_validate": (q_events_stream_validate, ORACLE_STREAM_VALIDATE),
     "events_sessionize_stream": (q_events_sessionize_stream, SESSIONIZE_ORACLE),
 }
