@@ -663,6 +663,14 @@ select id_a, id_b, cosine from p where cosine >= 0.99
 """
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF approximate top-k (KMeans coarse quantizer + probed exact
+    re-rank). Approximate by design — rows-only check; recall pinned in
+    tests/test_similarity.py."""
+    load_views(spark, sf_dir)
+    return SIM.ivf_topk(_emb_base(spark), _emb_queries(spark), k=5)
+
+
 def q_ann_topk_lsh(spark, sf_dir):
     """Approximate top-k (LSH bucket-restricted). No SQL oracle — the result
     is approximate by design; recall vs the exact path is pinned in
@@ -868,6 +876,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "cosine_topk_exact": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_neardup_lsh": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "ann_topk_lsh": (q_ann_topk_lsh, None),
+    "ann_topk_ivf": (q_ann_topk_ivf, None),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
     "events_hourly_stream": (q_events_hourly_stream, EVENTS_HOURLY_SQL),
     "events_json_extract": (q_events_json_extract, ORACLE_EVENTS_JSON),

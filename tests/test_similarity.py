@@ -63,6 +63,16 @@ def test_ann_recall_vs_exact(emb, queries):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ivf_recall_vs_exact(emb, queries):
+    from data_diff_spark.operators.similarity import ivf_topk
+
+    exact = {(r.id_q, r.id_c) for r in SIM.cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.id_q, r.id_c) for r in ivf_topk(emb, queries, k=5).collect()}
+    assert len(approx) == len(exact)  # always returns a full top-k
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
 def test_quantized_dot_exactness(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
