@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--assume-unique-key", action="store_true",
                    help="skip the duplicate-key validation query")
     p.add_argument("--skip-null-keys", action="store_true")
+    p.add_argument("--explain", action="store_true",
+                   help="print the physical plan of the diff instead of executing it "
+                        "(reference interactive EXPLAIN mode, base.py:984-994)")
     p.add_argument("--threads", type=int, default=None, help="ignored (Spark schedules tasks)")
     p.add_argument("--master", default="local[*]", help="Spark master (default local[*])")
     return p
@@ -158,6 +161,12 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
             validate_unique_key=not args.assume_unique_key and args.algorithm == "joindiff",
             skip_null_keys=args.skip_null_keys,
         )
+
+        if args.explain:
+            print(result.df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            ))
+            return 0
 
         if args.materialize:
             df = result.df

@@ -304,6 +304,54 @@ def q_hashdiff_cross_engine(spark, sf_dir):
     return hash_diff_remote(t1, remote)
 
 
+def q_joindiff_orders_window(spark, sf_dir):
+    """Diff restricted to an update-column window (reference min_update/
+    max_update, table_segment.py:166-170): both sides filter to orders
+    updated inside a fixed date range before comparing."""
+    load_views(spark, sf_dir)
+    lo, hi = "1994-01-01 00:00:00", "1996-01-01 00:00:00"
+    t1 = table_segment(spark.table("orders").select(*ORDERS_COLS), ["o_orderkey"],
+                       update_column="o_orderdate", extra_columns=ORDERS_COLS[1:],
+                       min_update=lo, max_update=hi)
+    t2 = table_segment(spark.sql(MODIFIED_ORDERS_SQL), ["o_orderkey"],
+                       update_column="o_orderdate", extra_columns=ORDERS_COLS[1:],
+                       min_update=lo, max_update=hi)
+    return jd.join_diff(t1, t2)
+
+
+def _orders_window_oracle() -> str:
+    nonkey = ORDERS_COLS[1:]
+    differs = " or ".join(f"a.{c} is distinct from b.{c}" for c in nonkey)
+    acols = ", ".join(f"a.{c} as {c}" for c in ORDERS_COLS)
+    bcols = ", ".join(f"b.{c} as {c}" for c in ORDERS_COLS)
+    rng = ("o_orderdate >= timestamp '1994-01-01 00:00:00' "
+           "and o_orderdate < timestamp '1996-01-01 00:00:00'")
+    return f"""
+with t1 as (select {', '.join(ORDERS_COLS)} from orders where {rng}),
+t2 as (select * from ({MODIFIED_ORDERS_SQL}) where {rng})
+select '-' as sign, {acols}
+from t1 a left join t2 b on a.o_orderkey = b.o_orderkey
+where b.o_orderkey is null or {differs}
+union all
+select '+' as sign, {bcols}
+from t2 b left join t1 a on a.o_orderkey = b.o_orderkey
+where a.o_orderkey is null or {differs}
+"""
+
+
+def q_checksum_orders_keyrange(spark, sf_dir):
+    """Segment checksum under a key-range restriction (reference
+    make_select key bounds, table_segment.py:158-179): [1000, 9000)."""
+    load_views(spark, sf_dir)
+    t = table_segment(spark.table("orders").select(*ORDERS_COLS), ["o_orderkey"],
+                      extra_columns=ORDERS_COLS[1:],
+                      min_key=(1000,), max_key=(9000,))
+    return t.make_select().agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(t.checksum_column()).cast("string").alias("cks"),
+    )
+
+
 # --- segment-query operators (SURVEY §2.2) ---------------------------------
 
 
@@ -332,6 +380,11 @@ select count(*) as cnt,
            )), 21, 12))::BIGINT - 140737488355327) as varchar) as cks
 from orders
 """
+
+
+ORACLE_CHECKSUM_KEYRANGE = ORACLE_CHECKSUM_ORDERS.replace(
+    "from orders", "from orders where o_orderkey >= 1000 and o_orderkey < 9000"
+)
 
 
 def q_key_range_orders(spark, sf_dir):
@@ -885,5 +938,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "hashdiff_cross_engine": (q_hashdiff_cross_engine, _orders_diff_oracle()),
     "events_stream_validate": (q_events_stream_validate, ORACLE_STREAM_VALIDATE),
+    "joindiff_orders_window": (q_joindiff_orders_window, _orders_window_oracle()),
+    "checksum_orders_keyrange": (q_checksum_orders_keyrange, ORACLE_CHECKSUM_KEYRANGE),
     "events_sessionize_stream": (q_events_sessionize_stream, SESSIONIZE_ORACLE),
 }
