@@ -1,0 +1,87 @@
+"""Plan-shape regression tests: the properties that matter at 100 TB.
+
+These pin what .explain('formatted') showed during development — filter
+pushdown reaching the parquet scan, column pruning through the ingest
+repartition, dimension broadcasts, partition pruning on partitioned
+layouts — so a refactor that silently degrades a plan fails a test, not a
+production run.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark, sf_dir):
+    from data_diff_spark.workload import load_views
+
+    load_views(spark, sf_dir)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from data_diff_spark.workload import WORKLOAD
+
+    plan = plan_of(WORKLOAD["tpch_q1"][0](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_through_repartition(spark, sf_dir):
+    from data_diff_spark.workload import WORKLOAD
+
+    plan = plan_of(WORKLOAD["tpch_q5"][0](spark, sf_dir))
+    # lineitem has 11+ columns; the scan must read only the 4 the query uses
+    assert "struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    from data_diff_spark.workload import WORKLOAD
+
+    plan = plan_of(WORKLOAD["tpch_q5"][0](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_joindiff_where_pushdown(spark, sf_dir):
+    from data_diff_spark import table_segment
+    from data_diff_spark.operators.joindiff import join_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t1 = table_segment(orders, ["o_orderkey"], where="o_orderkey < 500")
+    t2 = table_segment(orders, ["o_orderkey"], where="o_orderkey < 500")
+    plan = plan_of(join_diff(t1, t2))
+    assert "LessThan(o_orderkey,500)" in plan  # reached PushedFilters
+
+
+def test_partition_pruning(spark, sf_dir):
+    scratch = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+    path = os.path.join(scratch, "orders_by_status")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark.read.parquet(f"{sf_dir}/orders.parquet").write.mode("overwrite") \
+            .partitionBy("o_orderstatus").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    # the partition column predicate must be partition-pruned, not a data filter
+    assert "PushedFilters: [IsNotNull(o_orderstatus" not in plan
+
+
+def test_hashdiff_zero_diff_reads_no_phase2(spark, sf_dir):
+    """Identical sides: every bucket digest matches, so the phase-2 filter
+    folds to an empty relation (isin([]) on the persisted frame)."""
+    from data_diff_spark import table_segment
+    from data_diff_spark.operators.hashdiff import hash_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t1 = table_segment(orders, ["o_orderkey"])
+    t2 = table_segment(orders, ["o_orderkey"])
+    d = hash_diff(t1, t2, n_buckets=64)
+    assert d.count() == 0
