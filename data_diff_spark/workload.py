@@ -456,6 +456,28 @@ order by revenue desc, n_name
 """
 
 
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar subquery,
+    decorrelated by Catalyst into an aggregate+join — a relational
+    capability the reference's AST cannot express (SURVEY §2.3 has no
+    subqueries). Inner avg through decimal so the filter boundary is exact
+    in both engines."""
+    load_views(spark, sf_dir)
+    return spark.sql(TPCH_Q17_SQL)
+
+
+TPCH_Q17_SQL = """
+select cast(cast(sum(cast(l_extendedprice as decimal(38,4))) as double) / 7.0 as double) as avg_yearly
+from lineitem, part
+where p_partkey = l_partkey
+  and p_brand like 'Brand%1'
+  and l_quantity < (
+    select 0.2 * avg(cast(l_quantity as decimal(38,6)))
+    from lineitem l2 where l2.l_partkey = p_partkey
+  )
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """EXCEPT ALL / INTERSECT surface (reference TableOp, ast_classes.py:548-563)."""
     load_views(spark, sf_dir)
@@ -917,6 +939,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tpch_q1": (q_tpch_q1, TPCH_Q1_SQL),
     "tpch_q3": (q_tpch_q3, TPCH_Q3_SQL),
     "tpch_q5": (q_tpch_q5, TPCH_Q5_SQL),
+    "tpch_q17_subquery": (q_tpch_q17, TPCH_Q17_SQL),
     "set_ops_except": (q_set_ops, ORACLE_SET_OPS),
     "events_hourly": (q_events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (q_events_sessionize, SESSIONIZE_ORACLE),

@@ -125,6 +125,16 @@ def test_simhash_properties(spark):
     assert got == [(1, 2, 0)]  # identical docs at distance 0; unrelated doc beyond 3
 
 
+def test_dedup_ops_on_empty_and_singleton(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame([Row(doc_id=1, text="just one document here")])
+    for frame in (empty, one):
+        assert DD.jaccard_pairs(frame, threshold=0.5).count() == 0
+        assert DD.minhash_lsh_dedup(frame, threshold=0.5).count() == 0
+        assert DD.simhash_pairs(frame, max_hamming=3).count() == 0
+    assert DD.exact_dedup(one).count() == 1
+
+
 def test_simhash_pair_completeness_vs_bruteforce(docs):
     """The chunk-join must find every pair the O(n^2) scan finds (pigeonhole
     guarantees completeness for max_hamming < chunks)."""
