@@ -17,7 +17,7 @@ IEEE-754 double ops in a fixed order).
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -251,6 +251,69 @@ def duckdb_rolling_fingerprint(col: str) -> str:
         f"list_reduce(list_prepend(0::BIGINT, {hs}), "
         f"(acc, x) -> (acc * 31 + x) % {P31})"
     )
+
+
+# --- corpus quality filtering ------------------------------------------------
+
+
+def quality_filter(
+    df,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    min_quality: float = 0.3,
+    allowed_langs: Optional[Sequence[str]] = None,
+):
+    """The canonical training-data cleaning stage: annotate every document
+    with keep/reject and the FIRST failing rule (rules evaluated in a fixed
+    order, so the reason is deterministic). Map-only — one codegen'd pass,
+    no shuffle; filter with .where("keep") or keep the annotations for a
+    rejection audit.
+
+    Rules, in order: too_few_tokens, too_many_tokens, low_quality,
+    disallowed_lang (skipped when allowed_langs is None).
+    """
+    c = F.col(text_col)
+    # null text = 0 tokens (size() of a null array is null, whose
+    # comparisons are null and would silently skip every rule)
+    tc = F.coalesce(token_count(c), F.lit(0))
+    qs = F.coalesce(quality_score(c), F.lit(0.0))
+    reason = F.when(tc < min_tokens, F.lit("too_few_tokens")).when(
+        tc > max_tokens, F.lit("too_many_tokens")
+    ).when(qs < min_quality, F.lit("low_quality"))
+    if allowed_langs is not None:
+        lang = lang_id(c)
+        reason = reason.when(
+            ~lang.isin(list(allowed_langs)), F.lit("disallowed_lang")
+        )
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    return df.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull()
+    )
+
+
+def duckdb_quality_filter(
+    col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    min_quality: float = 0.3,
+    allowed_langs: Optional[Sequence[str]] = None,
+) -> str:
+    """DuckDB expression for the same reject_reason."""
+    p = duckdb_quality_parts(col)
+    tc = f"coalesce({p['token_count']}, 0)"
+    qs = f"coalesce({duckdb_quality_score(col)}, 0.0)"
+    whens = [
+        f"when {tc} < {min_tokens} then 'too_few_tokens'",
+        f"when {tc} > {max_tokens} then 'too_many_tokens'",
+        f"when {qs} < {min_quality} then 'low_quality'",
+    ]
+    if allowed_langs is not None:
+        langs = ", ".join(f"'{l}'" for l in allowed_langs)
+        whens.append(
+            f"when not list_contains([{langs}], {duckdb_lang_id(col)}) then 'disallowed_lang'"
+        )
+    return "(case " + " ".join(whens) + " else null end)"
 
 
 # --- minhash coefficients (shared with operators/dedup.py) ------------------

@@ -603,6 +603,27 @@ from documents
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Corpus cleaning stage: keep/reject + first-failing-rule annotation
+    per document (token bounds, quality floor, language allowlist) — one
+    map-only pass."""
+    load_views(spark, sf_dir)
+    return TX.quality_filter(
+        spark.table("documents").select("doc_id", "text"),
+        min_tokens=20, min_quality=0.25, allowed_langs=["en", "und"],
+    ).select("doc_id", "keep", "reject_reason")
+
+
+def _quality_filter_oracle() -> str:
+    reason = TX.duckdb_quality_filter(
+        "text", min_tokens=20, min_quality=0.25, allowed_langs=["en", "und"]
+    )
+    return f"""
+select doc_id, ({reason}) is null as keep, {reason} as reject_reason
+from documents
+"""
+
+
 # doubled corpus (ids shifted) so exact dedup has real work to do: every
 # text appears exactly twice -> 500 groups of n_copies=2
 DOCS2_SQL = """
@@ -945,6 +966,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_sessionize": (q_events_sessionize, SESSIONIZE_ORACLE),
     "text_stats": (q_text_stats, _text_stats_oracle()),
     "doc_fingerprints": (q_doc_fingerprints, _doc_fingerprints_oracle()),
+    "quality_filter_docs": (q_quality_filter, _quality_filter_oracle()),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _jaccard_pairs_oracle()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _jaccard_pairs_oracle()),

@@ -125,6 +125,23 @@ def test_simhash_properties(spark):
     assert got == [(1, 2, 0)]  # identical docs at distance 0; unrelated doc beyond 3
 
 
+def test_quality_filter_rules_and_nulls(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat is in the house and it is a good cat indeed today"),
+            Row(doc_id=2, text="x"),          # too few tokens
+            Row(doc_id=3, text=None),          # null -> 0 tokens, must NOT pass
+            Row(doc_id=4, text=""),
+        ]
+    )
+    out = {r.doc_id: (r.keep, r.reject_reason) for r in TX.quality_filter(
+        df, min_tokens=5, min_quality=0.0).collect()}
+    assert out[1] == (True, None)
+    assert out[2] == (False, "too_few_tokens")
+    assert out[3] == (False, "too_few_tokens")
+    assert out[4] == (False, "too_few_tokens")
+
+
 def test_dedup_ops_on_empty_and_singleton(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     one = spark.createDataFrame([Row(doc_id=1, text="just one document here")])
