@@ -137,6 +137,13 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
         t1 = connect_to_table(spark, args.uri1, keys, args.update_column, None, args.where)
         t2 = connect_to_table(spark, args.uri2, keys, args.update_column, None, args.where)
 
+        from data_diff_spark.diff import diff_schemas
+
+        for col, ta, tb, status in diff_schemas(t1.df, t2.df):
+            if status != "common":
+                print(f"warning: schema difference on {col!r}: {ta} vs {tb} ({status})",
+                      file=sys.stderr)
+
         shared = [c for c in t1.df.columns if c in set(t2.df.columns)]
         if args.columns:
             compare = expand_columns(args.columns, shared, keys)

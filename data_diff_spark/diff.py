@@ -70,6 +70,28 @@ class DiffResult:
         }
 
 
+def diff_schemas(df1: DataFrame, df2: DataFrame) -> list:
+    """Structural schema comparison (reference diff_schemas,
+    __main__.py:78-100): [(column, type_a, type_b, status)] with status in
+    'common' | 'only_a' | 'only_b' | 'type_changed'. The CLI warns on
+    anything not 'common' before diffing."""
+    a = {f.name: f.dataType.simpleString() for f in df1.schema.fields}
+    b = {f.name: f.dataType.simpleString() for f in df2.schema.fields}
+    out = []
+    for name in list(a) + [n for n in b if n not in a]:
+        ta, tb = a.get(name), b.get(name)
+        if ta is None:
+            status = "only_b"
+        elif tb is None:
+            status = "only_a"
+        elif ta != tb:
+            status = "type_changed"
+        else:
+            status = "common"
+        out.append((name, ta, tb, status))
+    return out
+
+
 def diff_tables(
     table1: TableSegment,
     table2: TableSegment,

@@ -73,6 +73,28 @@ def _read_table(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
     return spark.table(rest)
 
 
+@register_scheme("duckdb")
+def _read_duckdb(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    """duckdb://<db-path>#<table-or-query>  (duckdb://#<query> for :memory:).
+
+    The reference ships a DuckDB adapter (databases/duckdb.py); here the
+    relation is materialized through Arrow on the driver — appropriate for
+    small/reference-side tables. For digest-only cross-engine diffs of BIG
+    DuckDB tables use operators/remote.py, which ships bucket digests
+    instead of rows.
+    """
+    import duckdb
+
+    db, _, rel = rest.partition("#")
+    con = duckdb.connect(db) if db else duckdb.connect()
+    rel = rel or opts.get("table", "")
+    if not rel:
+        raise ValueError("duckdb URI needs '#<table-or-query>'")
+    q = rel if rel.lstrip().lower().startswith("select") else f"select * from {rel}"
+    tbl = con.execute(q).fetch_arrow_table()
+    return spark.createDataFrame(tbl.to_pandas())
+
+
 def _read_jdbc(spark: SparkSession, uri: str, opts: dict) -> DataFrame:
     # jdbc:postgresql://host/db?dbtable=schema.tbl — Spark pushes filters
     # and projections down to the remote database, which is how the

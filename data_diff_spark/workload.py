@@ -387,6 +387,28 @@ ORACLE_CHECKSUM_KEYRANGE = ORACLE_CHECKSUM_ORDERS.replace(
 )
 
 
+ORDERS_KINDS = [
+    ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
+    ("o_totalprice", "float"), ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+]
+
+
+def q_get_values_orders(spark, sf_dir):
+    """The download path (reference get_values, table_segment.py:181-187):
+    every compared column rendered to its canonical comparable string —
+    kept distributed; the driver's gate hashes the full normalized
+    relation, pinning the entire normalization layer column-by-column."""
+    load_views(spark, sf_dir)
+    t = table_segment(spark.table("orders").select(*ORDERS_COLS), ["o_orderkey"],
+                      extra_columns=ORDERS_COLS[1:])
+    return t.get_values()
+
+
+def _get_values_oracle() -> str:
+    cols = ", ".join(f"{duckdb_norm(c, k)} as {c}" for c, k in ORDERS_KINDS)
+    return f"select {cols} from orders"
+
+
 def q_key_range_orders(spark, sf_dir):
     load_views(spark, sf_dir)
     return spark.table("orders").agg(
@@ -985,5 +1007,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_stream_validate": (q_events_stream_validate, ORACLE_STREAM_VALIDATE),
     "joindiff_orders_window": (q_joindiff_orders_window, _orders_window_oracle()),
     "checksum_orders_keyrange": (q_checksum_orders_keyrange, ORACLE_CHECKSUM_KEYRANGE),
+    "get_values_orders": (q_get_values_orders, _get_values_oracle()),
     "events_sessionize_stream": (q_events_sessionize_stream, SESSIONIZE_ORACLE),
 }

@@ -71,6 +71,30 @@ def test_cli_jsonl_hashdiff(spark, sf_dir, mod_orders_path, capsys):
     assert signs == {"-": 30, "+": 15}
 
 
+def test_diff_schemas():
+    import pyspark.sql.types as T
+
+    from data_diff_spark.diff import diff_schemas
+
+    class FakeDF:
+        def __init__(self, fields):
+            self.schema = T.StructType([T.StructField(n, t) for n, t in fields])
+
+    a = FakeDF([("id", T.LongType()), ("v", T.DoubleType()), ("gone", T.StringType())])
+    b = FakeDF([("id", T.LongType()), ("v", T.DecimalType(10, 2)), ("new", T.StringType())])
+    got = {c: s for c, _, _, s in diff_schemas(a, b)}
+    assert got == {"id": "common", "v": "type_changed", "gone": "only_a", "new": "only_b"}
+
+
+def test_duckdb_scheme(spark, sf_dir):
+    from data_diff_spark.sources.connect import read_uri
+
+    df = read_uri(spark, f"duckdb://#select 1 as a, 'x' as b")
+    assert df.collect()[0].asDict() == {"a": 1, "b": "x"}
+    df2 = read_uri(spark, f"duckdb://#read_parquet('{sf_dir}/region.parquet')")
+    assert df2.count() == spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+
 def test_cli_materialize(spark, sf_dir, mod_orders_path, tmp_path):
     out = os.path.join(SCRATCH, "cli_diff_out.parquet")
     rc = main(
