@@ -253,6 +253,47 @@ def duckdb_rolling_fingerprint(col: str) -> str:
     )
 
 
+# --- feature hashing (text -> fixed-dim vector) ------------------------------
+
+
+def hashed_vector(df, text_col: str = "text", id_col: str = "doc_id", dim: int = 64):
+    """Feature-hashing vectorizer ("hashing trick"): token t contributes
+    sign(t) to dimension hash(t) mod dim, signs from an independent hash bit
+    to cancel collision bias — sklearn's HashingVectorizer semantics, as a
+    pure map-only Column pipeline (no vocabulary, no fitting, no shuffle),
+    which is why it scales to 100 TB where a fitted vocabulary cannot.
+
+    Output column 'vector': array<long> of length dim, ready for the
+    operators/similarity.py cosine machinery."""
+    hs = "_hv_hs"
+
+    def _dim_sum(i: int) -> Column:
+        return F.aggregate(
+            F.col(hs),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when((h % dim) == i,
+                     F.when(F.shiftright(h, 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                     ).otherwise(0),
+        )
+
+    return (
+        df.withColumn(hs, F.transform(tokens(F.col(text_col)), hash60))
+        .withColumn("vector", F.array(*[_dim_sum(i) for i in range(dim)]))
+        .drop(hs)
+    )
+
+
+def duckdb_hashed_vector(col: str = "text", dim: int = 64) -> str:
+    hs = f"list_transform({duckdb_tokens(col)}, x -> {duckdb_hash60('x')})"
+    dims = ", ".join(
+        f"coalesce(list_sum(list_transform({hs}, h -> "
+        f"case when h % {dim} = {i} then (case when (h >> 32) & 1 = 1 then 1 else -1 end) else 0 end)), 0)::BIGINT"
+        for i in range(dim)
+    )
+    return f"[{dims}]"
+
+
 # --- corpus quality filtering ------------------------------------------------
 
 

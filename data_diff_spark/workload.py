@@ -655,6 +655,22 @@ select doc_id + 1000000 as doc_id, text from documents
 """
 
 
+def q_hashed_doc_vectors(spark, sf_dir):
+    """Feature-hashing vectorizer (map-only text -> 64-dim signed count
+    vector); serialized to a canonical string for the value-hash compare."""
+    load_views(spark, sf_dir)
+    return TX.hashed_vector(spark.table("documents"), dim=64).select(
+        "doc_id", F.concat_ws(",", F.col("vector")).alias("vector_str")
+    )
+
+
+def _hashed_vectors_oracle() -> str:
+    return f"""
+select doc_id, array_to_string({TX.duckdb_hashed_vector('text', 64)}, ',') as vector_str
+from documents
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     load_views(spark, sf_dir)
     return DD.exact_dedup(spark.sql(DOCS2_SQL))
@@ -989,6 +1005,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_stats": (q_text_stats, _text_stats_oracle()),
     "doc_fingerprints": (q_doc_fingerprints, _doc_fingerprints_oracle()),
     "quality_filter_docs": (q_quality_filter, _quality_filter_oracle()),
+    "hashed_doc_vectors": (q_hashed_doc_vectors, _hashed_vectors_oracle()),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _jaccard_pairs_oracle()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _jaccard_pairs_oracle()),

@@ -125,6 +125,34 @@ def test_simhash_properties(spark):
     assert got == [(1, 2, 0)]  # identical docs at distance 0; unrelated doc beyond 3
 
 
+def test_hashed_vectors_preserve_similarity(spark, docs):
+    """Near-dup documents (trigram J>=0.8) must have high hashed-vector
+    cosine; empty text maps to the zero vector."""
+    from pyspark.sql import Row as R
+
+    hv = TX.hashed_vector(docs, dim=64).select(
+        F.col("doc_id").alias("id"),
+        F.transform("vector", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pairs = DD.jaccard_pairs(docs, threshold=0.8)
+    from data_diff_spark.operators.similarity import cosine_pairs_lsh
+
+    # cosine over ALL pairs (threshold -2), then check the near-dup ones
+    a = hv.alias("a"); b = hv.alias("b")
+    from data_diff_spark.operators.similarity import quantize, _qdot, _qnorm
+
+    qa = quantize(F.col("a.embedding")); qb = quantize(F.col("b.embedding"))
+    joined = (
+        pairs.join(a, pairs.id_a == F.col("a.id")).join(b, pairs.id_b == F.col("b.id"))
+        .select((_qdot(qa, qb).cast("double") / (_qnorm(qa) * _qnorm(qb))).alias("cos"))
+        .collect()
+    )
+    assert joined and all(r.cos > 0.8 for r in joined)
+
+    z = TX.hashed_vector(spark.createDataFrame([R(doc_id=1, text="")]), dim=8).collect()[0]
+    assert list(z.vector) == [0] * 8
+
+
 def test_quality_filter_rules_and_nulls(spark):
     df = spark.createDataFrame(
         [
