@@ -41,6 +41,9 @@ class TableSegment:
     # string-column semantic kinds from sampling refinement (refine.py):
     # {'col': 'uuid' | 'json'} — changes the normalization expression only
     kind_overrides: Mapping[str, str] = field(default_factory=dict)
+    # optimizer hints applied to make_select (reference optimizer_hints
+    # passthrough, ast_classes.py:576 / base.py:898-899): e.g. ("broadcast",)
+    hints: Tuple[str, ...] = ()
     case_sensitive: bool = True
 
     def __post_init__(self) -> None:
@@ -115,7 +118,10 @@ class TableSegment:
         pred = self._range_predicate()
         if pred is not None:
             df = df.filter(pred)
-        return df.select(*self.relevant_columns)
+        df = df.select(*self.relevant_columns)
+        for h in self.hints:
+            df = df.hint(h)
+        return df
 
     # -- segment queries (reference §2.2) ---------------------------------
 

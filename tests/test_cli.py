@@ -95,6 +95,26 @@ def test_duckdb_scheme(spark, sf_dir):
     assert df2.count() == spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
 
+def test_csv_json_schemes_roundtrip(spark, sf_dir):
+    """Same logical rows through parquet vs csv vs json sources -> zero
+    diff (the connect layer + normalization absorb the physical encoding)."""
+    from data_diff_spark import diff_tables
+    from data_diff_spark.sources.connect import connect_to_table
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    csv_path = os.path.join(SCRATCH, "nation_csv")
+    json_path = os.path.join(SCRATCH, "nation_json")
+    base.write.mode("overwrite").option("header", True).csv(csv_path)
+    base.write.mode("overwrite").json(json_path)
+
+    t_parquet = connect_to_table(spark, f"parquet://{sf_dir}/nation.parquet", ["n_nationkey"])
+    t_csv = connect_to_table(spark, f"csv://{csv_path}", ["n_nationkey"])
+    t_json = connect_to_table(spark, f"json://{json_path}", ["n_nationkey"])
+    assert diff_tables(t_parquet, t_csv).df.count() == 0
+    assert diff_tables(t_parquet, t_json).df.count() == 0
+
+
 def test_cli_materialize(spark, sf_dir, mod_orders_path, tmp_path):
     out = os.path.join(SCRATCH, "cli_diff_out.parquet")
     rc = main(

@@ -74,6 +74,29 @@ def test_partition_pruning(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(o_orderstatus" not in plan
 
 
+def test_broadcast_hint_passthrough(spark, sf_dir):
+    """TableSegment.hints reaches the physical plan (reference
+    optimizer_hints passthrough). NB: joindiff's FULL OUTER cannot use a
+    broadcast strategy in Spark, so the hint is demonstrated on an inner
+    join of two segments."""
+    from data_diff_spark import table_segment
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # disable auto-broadcast so only the hint can cause it
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t1 = table_segment(orders, ["o_orderkey"])
+        t2 = table_segment(orders.limit(100), ["o_orderkey"], hints=("broadcast",))
+        j = t1.make_select().join(t2.make_select().select("o_orderkey"), "o_orderkey")
+        assert "BroadcastHashJoin" in plan_of(j)
+        t2_plain = table_segment(orders.limit(100), ["o_orderkey"])
+        j2 = t1.make_select().join(t2_plain.make_select().select("o_orderkey"), "o_orderkey")
+        assert "BroadcastHashJoin" not in plan_of(j2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_hashdiff_zero_diff_reads_no_phase2(spark, sf_dir):
     """Identical sides: every bucket digest matches, so the phase-2 filter
     folds to an empty relation (isin([]) on the persisted frame)."""
