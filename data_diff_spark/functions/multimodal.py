@@ -88,6 +88,13 @@ def sample_frames(data: bytes, every_n: int = 30):  # pragma: no cover - stub
     raise NotImplementedError("video frame sampling requires pyav/cv2")
 
 
+def resize_image(data: bytes, width: int, height: int):  # pragma: no cover - stub
+    """Real image resize. STUB: swap in PIL's Image.resize on a cluster
+    shipping PIL; runs inside the same mapInPandas template as
+    extract_features (bytes in, bytes out, batch at a time)."""
+    raise NotImplementedError("image resize requires PIL/cv2")
+
+
 def fake_decode(data: bytes) -> dict:
     """Deterministic stand-in for decode: byte stats + digest. Exercises the
     same data path (raw bytes in a pandas batch -> per-item python compute)

@@ -47,6 +47,8 @@ def test_real_decoder_is_explicit_stub():
         MM.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         MM.sample_frames(b"", 10)
+    with pytest.raises(NotImplementedError):
+        MM.resize_image(b"", 64, 64)
 
 
 def test_streaming_rollup_equals_batch(spark, sf_dir):
