@@ -78,10 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
         prog="data-diff-spark",
         description="Diff two tables with Spark (joindiff / bucketed hashdiff).",
     )
-    p.add_argument("uri1", help="source URI of table A (parquet://…, csv://…, jdbc:…, table name)")
-    p.add_argument("uri2", help="source URI of table B")
-    p.add_argument("-k", "--key-columns", action="append", required=True,
-                   help="primary key column (repeat for compound keys)")
+    p.add_argument("uri1", nargs="?", default=None,
+                   help="source URI of table A (parquet://…, csv://…, jdbc:…, table name)")
+    p.add_argument("uri2", nargs="?", default=None, help="source URI of table B")
+    p.add_argument("--config", default=None, metavar="FILE[#RUN]",
+                   help="TOML config with [run.<name>] sections supplying defaults "
+                        "(reference config.py apply_config_from_file); explicit "
+                        "flags override the file")
+    p.add_argument("-k", "--key-columns", action="append",
+                   help="primary key column (repeat for compound keys; "
+                        "required here or in --config)")
     p.add_argument("-c", "--columns", action="append", default=[],
                    help="columns to compare (POSIX wildcards; default: all shared non-key columns)")
     p.add_argument("-w", "--where", default=None, help="SQL predicate applied to both sides")
@@ -107,6 +113,43 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# config keys -> (arg attribute, "unset" sentinel the file may fill)
+_CONFIG_KEYS = {
+    "uri1": ("uri1", None), "uri2": ("uri2", None),
+    "key_columns": ("key_columns", None), "columns": ("columns", []),
+    "where": ("where", None), "algorithm": ("algorithm", "auto"),
+    "update_column": ("update_column", None),
+    "min_age": ("min_age", None), "max_age": ("max_age", None),
+    "limit": ("limit", None), "n_buckets": ("n_buckets", 4096),
+    "materialize": ("materialize", None),
+}
+
+
+def _apply_config(args) -> None:
+    """Overlay [run.<name>] TOML defaults under explicit CLI flags
+    (reference config.py:21-85 semantics: CLI wins)."""
+    if not args.config:
+        return
+    import tomllib
+
+    path, _, section = args.config.partition("#")
+    with open(path, "rb") as f:
+        data = tomllib.load(f)
+    run = data.get("run", {})
+    sec = run.get(section or "default")
+    if sec is None:
+        raise SystemExit(f"error: no [run.{section or 'default'}] section in {path}")
+    for key, val in sec.items():
+        if key not in _CONFIG_KEYS:
+            raise SystemExit(f"error: unknown config key {key!r} "
+                             f"(known: {sorted(_CONFIG_KEYS)})")
+        attr, unset = _CONFIG_KEYS[key]
+        if getattr(args, attr) == unset:  # only fill what the CLI left unset
+            if attr in ("key_columns", "columns") and isinstance(val, str):
+                val = [val]
+            setattr(args, attr, val)
+
+
 def _age_bound(spark: SparkSession, age: str):
     from pyspark.sql import functions as F
 
@@ -121,6 +164,10 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
     from data_diff_spark.sources.connect import connect_to_table
 
     args = build_parser().parse_args(argv)
+    _apply_config(args)
+    if not args.uri1 or not args.uri2 or not args.key_columns:
+        raise SystemExit("error: uri1, uri2 and -k/--key-columns are required "
+                         "(on the command line or via --config)")
     own_session = spark is None
     if own_session:
         spark = (

@@ -95,6 +95,27 @@ def test_duckdb_scheme(spark, sf_dir):
     assert df2.count() == spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
 
+def test_toml_config_overlay(spark, sf_dir, mod_orders_path, capsys):
+    cfg = os.path.join(SCRATCH, "test_conf.toml")
+    with open(cfg, "w") as f:
+        f.write(f"""
+[run.orders]
+uri1 = "parquet://{sf_dir}/orders.parquet"
+uri2 = "parquet://{mod_orders_path}"
+key_columns = "o_orderkey"
+algorithm = "hashdiff"
+""")
+    rc = main(["--config", f"{cfg}#orders", "--stats"], spark=spark)
+    assert rc == 0
+    out = dict(line.split(": ") for line in capsys.readouterr().out.strip().splitlines())
+    assert int(out["rows_A"]) == 1500 and int(out["updated"]) == 15
+
+    with pytest.raises(SystemExit, match="no \\[run.missing\\]"):
+        main(["--config", f"{cfg}#missing"], spark=spark)
+    with pytest.raises(SystemExit, match="required"):
+        main([], spark=spark)
+
+
 def test_csv_json_schemes_roundtrip(spark, sf_dir):
     """Same logical rows through parquet vs csv vs json sources -> zero
     diff (the connect layer + normalization absorb the physical encoding)."""
