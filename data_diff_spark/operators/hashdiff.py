@@ -52,12 +52,20 @@ _SUM = "__sum__"
 _H = "__keyhash__"
 
 
+def _knorm(i: int) -> str:
+    return f"__knorm{i}__"
+
+
 def _annotated(t: TableSegment, cols: List[str], out_names: List[str]) -> DataFrame:
-    """Rows + per-row checksum + raw key hash, columns renamed to the shared
-    output names. The hash covers the *normalized key strings* so both
-    sides align even when key columns differ in name or physical type (the
-    reference aligns segments by key value, diff_tables.py:377-391 —
-    hashing canonical strings gives the same alignment-by-construction).
+    """Rows + per-row checksum + normalized key strings + key hash, columns
+    renamed to the shared output names. The hash covers the *normalized key
+    strings* so both sides align even when key columns differ in name or
+    physical type (the reference aligns segments by key value,
+    diff_tables.py:377-391 — hashing canonical strings gives the same
+    alignment-by-construction). The normalized strings themselves are kept
+    as __knorm{i}__ columns: phase 2 partitions its multiset windows on
+    them, so the window grouping agrees with the digest hashing even under
+    kind overrides (uuid trim) or cross-side key type differences.
     Bucket ids at any granularity derive from the stored hash (pmod), so
     the digest levels are chosen AFTER annotation."""
     nkeys = len(t.key_columns)
@@ -69,7 +77,8 @@ def _annotated(t: TableSegment, cols: List[str], out_names: List[str]) -> DataFr
         normalized_columns(t.schema, cols[:nkeys], t.precision_overrides, t.kind_overrides)
     ]
     renamed = [F.col(c).alias(o) for c, o in zip(cols, out_names)]
-    return df.select(*renamed, cks.alias(_CKS), F.xxhash64(*key_norm).alias(_H))
+    knorm_cols = [k.alias(_knorm(i)) for i, k in enumerate(key_norm)]
+    return df.select(*renamed, cks.alias(_CKS), *knorm_cols, F.xxhash64(*key_norm).alias(_H))
 
 
 def _bucket_digest(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -176,7 +185,10 @@ def hash_diff(
     u = a_bad.withColumn(SIGN_COL, F.lit("-")).unionAll(
         b_bad.withColumn(SIGN_COL, F.lit("+"))
     )
-    w = Window.partitionBy(*keys)
+    # Windows partition on the NORMALIZED key strings carried from
+    # _annotated — the same canonical form the digests hash — not the raw
+    # renamed key values, whose types/trimming may differ across sides.
+    w = Window.partitionBy(*[_knorm(i) for i in range(nkeys)])
     is_a = (F.col(SIGN_COL) == "-").cast("long")
     ca = F.sum(is_a).over(w)
     cb = F.sum(1 - is_a).over(w)
@@ -189,9 +201,15 @@ def hash_diff(
     else:
         pk_differs = multiset_differs
 
-    return u.withColumn("__emit__", pk_differs).filter(F.col("__emit__")).select(
+    out = u.withColumn("__emit__", pk_differs).filter(F.col("__emit__")).select(
         SIGN_COL, *out_names
     )
+    # Caller-managed cache lifecycle: the result is lazy, so the persisted
+    # sides must outlive it. DiffResult.unpersist() (and the CLI) release
+    # them once the diff is materialized; long-lived sessions doing many
+    # diffs would otherwise accumulate cached wide tables.
+    out._ddspark_persisted = [a, b]
+    return out
 
 
 def count_and_checksum(t: TableSegment) -> Tuple[int, Optional[int]]:

@@ -25,6 +25,7 @@ distributed. Bucket alignment uses a cross-engine-stable key hash
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,11 +47,23 @@ def _spark_bucket(key_norm: List, n_buckets: int):
     return F.pmod(F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long"), F.lit(n_buckets))
 
 
+_DECIMAL_RE = re.compile(r"DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)")
+
+
 def _duckdb_norm_sql(col: str, duck_type: str) -> str:
     """DuckDB rendering of normalize.py's canonical strings (the reference's
     DuckDB dialect, databases/duckdb.py:105-116)."""
     t = duck_type.upper()
-    if t.startswith("DECIMAL") or t in ("DOUBLE", "FLOAT", "REAL"):
+    if t.startswith("DECIMAL"):
+        # Normalize at the column's OWN scale, exactly like the Spark side
+        # (normalize.py normalize_as_string: DecimalType -> scale digits) and
+        # the reference's duckdb.py normalize_number. A fixed scale here
+        # (e.g. 6) renders DECIMAL(15,2) as '1234.500000' while Spark says
+        # '1234.50' — every bucket digest would mismatch.
+        m = _DECIMAL_RE.match(t)
+        scale = int(m.group(1)) if m else 6
+        return f"cast(cast({col} as decimal(38,{scale})) as varchar)"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
         return f"cast(cast({col} as decimal(38,6)) as varchar)"
     if "TIMESTAMP" in t:
         return f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
@@ -170,6 +183,20 @@ def hash_diff_remote(
     b_pdf = remote.fetch_buckets(n_buckets, bad)
     # align remote column names to the Spark side's
     b_pdf = b_pdf.rename(columns=dict(zip(remote.columns, cols)))
+    if len(b_pdf):
+        # DuckDB's fetch_df renders DECIMAL as float64; Spark's DecimalType
+        # rejects floats, so quantize back (driver-side, dirty rows only).
+        from decimal import Decimal
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        for f in a.schema.fields:
+            if isinstance(f.dataType, T.DecimalType) and f.name in b_pdf.columns:
+                q = Decimal(1).scaleb(-f.dataType.scale)
+                b_pdf[f.name] = b_pdf[f.name].map(
+                    lambda v, q=q: None if pd.isna(v) else Decimal(str(v)).quantize(q)
+                )
     b_df = spark.createDataFrame(b_pdf, schema=a.schema) if len(b_pdf) else spark.createDataFrame([], a.schema)
 
     from pyspark.sql import Window
@@ -177,11 +204,20 @@ def hash_diff_remote(
     u = a_bad.withColumn(SIGN_COL, F.lit("-")).unionByName(
         b_df.withColumn(SIGN_COL, F.lit("+"))
     )
-    w = Window.partitionBy(*keys)
+    # Partition the multiset windows by the NORMALIZED key strings — the same
+    # canonical form the bucket digests hash. Raw-value partitioning would
+    # split logically-equal keys (uuid kind_override trims, cross-side type
+    # coercions) into separate windows and emit spurious -/+ pairs. Both
+    # union legs share a.schema (b_df is coerced to it), so t1's
+    # normalization applies to both.
+    key_norm_u = normalized_columns(t1.schema, keys, t1.precision_overrides, t1.kind_overrides)
+    w = Window.partitionBy(*[F.coalesce(c, F.lit("<null>")) for c in key_norm_u])
     is_a = (F.col(SIGN_COL) == "-").cast("long")
     ca = F.sum(is_a).over(w)
     cb = F.sum(1 - is_a).over(w)
     sa = F.sum(F.when(F.col(SIGN_COL) == "-", F.col(_CKS))).over(w)
     sb = F.sum(F.when(F.col(SIGN_COL) == "+", F.col(_CKS))).over(w)
     differs = (ca != cb) | ~sa.eqNullSafe(sb)
-    return u.withColumn("__emit__", differs).filter("__emit__").select(SIGN_COL, *cols)
+    out = u.withColumn("__emit__", differs).filter("__emit__").select(SIGN_COL, *cols)
+    out._ddspark_persisted = [a]  # released via DiffResult.unpersist()
+    return out

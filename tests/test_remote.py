@@ -45,6 +45,35 @@ def test_cross_engine_detects_changes(t1, con):
     assert plus == {k for k in minus if k % 100 == 2}  # updates appear on both sides
 
 
+def test_decimal_scale_normalization(spark, sf_dir, con):
+    """DECIMAL columns must normalize at their OWN scale on both engines
+    (ADVICE r1: a hardcoded decimal(38,6) rendered DuckDB '1234.500000' vs
+    Spark '1234.50', false-diffing every row of any scale!=6 column)."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(15,2)").alias("price"),
+        F.col("o_custkey").cast("decimal(10,0)").alias("ck"),
+    )
+    t = table_segment(df, ["o_orderkey"], extra_columns=["price", "ck"])
+    con.execute("""create or replace view dec2 as
+      select o_orderkey, cast(o_totalprice as decimal(15,2)) as price,
+             cast(o_custkey as decimal(10,0)) as ck
+      from orders""")
+    remote = DuckDBSide("dec2", ["o_orderkey"], ["o_orderkey", "price", "ck"], con=con)
+    assert hash_diff_remote(t, remote).count() == 0
+
+    # and the checksum is still sensitive: a 1-cent change is detected
+    con.execute("""create or replace view dec2_mod as
+      select o_orderkey,
+             case when o_orderkey % 500 = 7 then price + 0.01 else price end as price,
+             ck
+      from dec2""")
+    remote_mod = DuckDBSide("dec2_mod", ["o_orderkey"], ["o_orderkey", "price", "ck"], con=con)
+    changed = hash_diff_remote(t, remote_mod)
+    assert changed.filter("o_orderkey % 500 = 7").count() > 0
+    assert changed.filter("o_orderkey % 500 <> 7").count() == 0
+
+
 def test_differing_remote_column_names(t1, con):
     """Remote side with different column names — matched by position, like
     the reference (test_diff_tables.py:306-348)."""
