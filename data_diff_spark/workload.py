@@ -798,19 +798,97 @@ select id_a, id_b, cosine from p where cosine >= 0.99
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF approximate top-k (KMeans coarse quantizer + probed exact
-    re-rank). Approximate by design — rows-only check; recall pinned in
-    tests/test_similarity.py."""
+    """IVF approximate top-k. The coarse quantizer is the deterministic
+    integer Lloyd of train_ivf_centroids (md5-ordered bounded sample, exact
+    int64 assignment/update), so the whole pipeline — training included —
+    is replayed by the DuckDB oracle and hash-matched."""
     load_views(spark, sf_dir)
     return SIM.ivf_topk(_emb_base(spark), _emb_queries(spark), k=5)
 
 
+def _ann_ivf_oracle(k=5, n_cells=16, n_probe=4, n_iter=2, train_cap=2048, dim=EMB_DIM) -> str:
+    """DuckDB replay of ivf_topk including its training loop: seeds = first
+    n_cells rows in md5(id) order, n_iter unrolled Lloyd iterations with
+    floored integer centroid means, ties broken to the lowest cell —
+    bit-identical to train_ivf_centroids' numpy int64 arithmetic."""
+    def dist(a, b):
+        return SIM.duckdb_int_l2(a, b, dim)
+
+    iters = []
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        iters.append(f"""
+a{it} as (select rn, qv, cell from (
+         select s.rn, s.qv, c.cell,
+                row_number() over (partition by s.rn order by {dist('s.qv', 'c.cv')}, c.cell) as rk
+         from samp s cross join {prev} c) t where rk = 1),
+u{it} as (select cell, list(cv order by dim) as cv from (
+         select cell, dim, cast(floor(sum(val)::double / count(*)) as bigint) as cv from (
+           select cell, unnest(qv) as val, unnest(range(1, {dim + 1})) as dim from a{it}) z
+         group by cell, dim) g group by cell),
+c{it} as (select {prev}.cell, coalesce(u{it}.cv, {prev}.cv) as cv
+          from {prev} left join u{it} using (cell))""")
+        prev = f"c{it}"
+    iter_sql = ",".join(iters)
+    return f"""
+with n as (select vec_id as id,
+            list_transform(embedding, x -> round(x::double * {SIM.QUANT_SCALE})::bigint) as qv
+           from embeddings),
+m as (select id, qv, {SIM.duckdb_norm('qv', dim)} as nrm from n),
+samp as (select qv, row_number() over (order by md5(id::varchar), id) as rn
+         from m order by md5(id::varchar), id limit {train_cap}),
+c0 as (select rn - 1 as cell, qv as cv from samp where rn <= {n_cells}),
+{iter_sql},
+acorp as (select id, qv, nrm, cell from (
+            select m.id, m.qv, m.nrm, c.cell,
+                   row_number() over (partition by m.id order by {dist('m.qv', 'c.cv')}, c.cell) as rk
+            from m cross join {prev} c) t where rk = 1),
+probe as (select id_q, qv_q, nrm_q, cell from (
+            select q.id as id_q, q.qv as qv_q, q.nrm as nrm_q, c.cell,
+                   row_number() over (partition by q.id order by {dist('q.qv', 'c.cv')}, c.cell) as rk
+            from m q cross join {prev} c where q.id % 20 = 0) t where rk <= {n_probe}),
+p as (select pr.id_q, a.id as id_c,
+             {SIM.duckdb_dot('pr.qv_q', 'a.qv', dim)}::double / (pr.nrm_q * a.nrm) as cosine
+      from acorp a join probe pr on a.cell = pr.cell where a.id <> pr.id_q),
+r as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from p)
+select id_q, id_c, rank::BIGINT as rank, cosine from r where rank <= {k}
+"""
+
+
 def q_ann_topk_lsh(spark, sf_dir):
-    """Approximate top-k (LSH bucket-restricted). No SQL oracle — the result
-    is approximate by design; recall vs the exact path is pinned in
-    tests/test_similarity.py."""
+    """Approximate top-k (LSH bucket-restricted). The hyperplanes are
+    md5-derived integers and the dot products exact int64, so the bucket
+    restriction is deterministic — the DuckDB oracle replays the identical
+    band codes and hash-matches."""
     load_views(spark, sf_dir)
     return SIM.ann_topk_lsh(_emb_base(spark), _emb_queries(spark), k=5, dim=EMB_DIM)
+
+
+def _ann_lsh_oracle(k=5, bands=8, rows_per_band=4, dim=EMB_DIM) -> str:
+    """DuckDB replay of ann_topk_lsh: same plane matrix (plane_coefficients
+    on both sides), same sign/packing arithmetic, same candidate join."""
+    planes = SIM.duckdb_planes_literal(bands, rows_per_band, dim)
+    code_terms = " + ".join(
+        f"bits[b.band_idx * {rows_per_band} + {r + 1}] * {1 << r}"
+        for r in range(rows_per_band)
+    )
+    return f"""
+with n as (select vec_id as id,
+            list_transform(embedding, x -> round(x::double * {SIM.QUANT_SCALE})::bigint) as qv
+           from embeddings),
+m as (select id, qv, {SIM.duckdb_norm('qv', dim)} as nrm,
+        list_transform({planes},
+          p -> case when {SIM.duckdb_dot('qv', 'p', dim)} > 0 then 1 else 0 end) as bits
+      from n),
+codes as (select id, qv, nrm, b.band_idx, {code_terms} as code
+          from m cross join (select unnest(range(0, {bands})) as band_idx) b),
+p as (select distinct q.id as id_q, c.id as id_c,
+             {SIM.duckdb_dot('q.qv', 'c.qv', dim)}::double / (q.nrm * c.nrm) as cosine
+      from codes c join codes q on c.band_idx = q.band_idx and c.code = q.code
+      where q.id % 20 = 0 and c.id <> q.id),
+r as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from p)
+select id_q, id_c, rank::BIGINT as rank, cosine from r where rank <= {k}
+"""
 
 
 # --- multimodal plumbing (beyond-reference) ---------------------------------
@@ -1012,8 +1090,8 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, _simhash_pairs_oracle()),
     "cosine_topk_exact": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_neardup_lsh": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
-    "ann_topk_lsh": (q_ann_topk_lsh, None),
-    "ann_topk_ivf": (q_ann_topk_ivf, None),
+    "ann_topk_lsh": (q_ann_topk_lsh, _ann_lsh_oracle()),
+    "ann_topk_ivf": (q_ann_topk_ivf, _ann_ivf_oracle()),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
     "events_hourly_stream": (q_events_hourly_stream, EVENTS_HOURLY_SQL),
     "events_json_extract": (q_events_json_extract, ORACLE_EVENTS_JSON),

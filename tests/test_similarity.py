@@ -73,6 +73,37 @@ def test_ivf_recall_vs_exact(emb, queries):
     assert recall >= 0.4, f"IVF recall too low: {recall}"
 
 
+def test_ivf_deterministic_across_partitionings(emb, queries):
+    """The integer quantizer must give identical results regardless of how
+    the corpus is partitioned (md5-ordered sample + exact int arithmetic)."""
+    a = sorted((r.id_q, r.id_c, r.rank) for r in SIM.ivf_topk(emb, queries, k=5).collect())
+    b = sorted(
+        (r.id_q, r.id_c, r.rank)
+        for r in SIM.ivf_topk(emb.repartition(17), queries, k=5).collect()
+    )
+    assert a == b
+
+
+def test_ivf_layout_roundtrip(emb, queries, tmp_path):
+    """write_ivf_layout + ivf_topk_from_layout == direct ivf_topk (same
+    deterministic centroids), with the corpus physically cell-partitioned."""
+    import os
+
+    path = str(tmp_path / "ivf_layout")
+    cents = SIM.write_ivf_layout(emb, path)
+    direct = sorted(
+        (r.id_q, r.id_c, r.rank) for r in SIM.ivf_topk(emb, queries, k=5).collect()
+    )
+    from_layout = sorted(
+        (r.id_q, r.id_c, r.rank)
+        for r in SIM.ivf_topk_from_layout(
+            emb.sparkSession, path, cents, queries, k=5
+        ).collect()
+    )
+    assert direct == from_layout
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+
+
 def test_quantized_dot_exactness(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
