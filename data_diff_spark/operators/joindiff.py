@@ -58,8 +58,10 @@ def _value_eq(a: Column, b: Column, dt1, dt2, p1, p2, k1=None, k2=None) -> Colum
     normalized strings (the reference's cross-type semantics)."""
     if k1 or k2:
         return _norm_kind(a, dt1, p1, k1).eqNullSafe(_norm_kind(b, dt2, p2, k2))
-    if dt1 == dt2:
+    if dt1 == dt2 and p1 is None and p2 is None:
         return a.eqNullSafe(b)
+    # differing physical types OR a declared/unified precision (unify.py):
+    # compare canonical normalized strings
     return normalize_as_string(a, dt1, p1).eqNullSafe(normalize_as_string(b, dt2, p2))
 
 

@@ -1057,6 +1057,35 @@ def q_events_hourly_stream(spark, sf_dir):
     return hourly_rollup_batch_equivalent(spark, sf_dir)
 
 
+def q_joindiff_mixed_precision(spark, sf_dir):
+    """Automatic precision unification (unify.py; reference
+    _validate_and_adjust_columns, hashdiff_tables.py:118-167): side B holds
+    timestamps truncated to whole seconds (declared precision 0), so
+    diff_tables reduces the pair to the minimum mutual precision — the
+    truncation alone yields ZERO spurious diffs; only the planted value
+    changes (event_id % 100 = 7) emerge."""
+    load_views(spark, sf_dir)
+    e = spark.table("events").select("event_id", "ts", "value")
+    t1 = table_segment(e, ["event_id"])
+    mod = e.select(
+        "event_id",
+        F.date_trunc("second", F.col("ts")).alias("ts"),
+        F.when(F.col("event_id") % 100 == 7, F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    t2 = table_segment(mod, ["event_id"], precision_overrides={"ts": 0})
+    return diff_tables(t1, t2).df
+
+
+ORACLE_MIXED_PRECISION = """
+select '-' as sign, event_id, ts, value from events where event_id % 100 = 7
+union all
+select '+' as sign, event_id, date_trunc('second', ts) as ts, value + 1.0 as value
+from events where event_id % 100 = 7
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1104,4 +1133,5 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "checksum_orders_keyrange": (q_checksum_orders_keyrange, ORACLE_CHECKSUM_KEYRANGE),
     "get_values_orders": (q_get_values_orders, _get_values_oracle()),
     "events_sessionize_stream": (q_events_sessionize_stream, SESSIONIZE_ORACLE),
+    "joindiff_mixed_precision": (q_joindiff_mixed_precision, ORACLE_MIXED_PRECISION),
 }
