@@ -19,8 +19,10 @@ beyond-reference operators the brief asks for, designed Spark-first:
 Scale notes (100 TB):
   - Shingle explode is the dominant shuffle; `max_shingle_freq` drops
     ultra-common shingles (stop-shingles) which otherwise create quadratic
-    skew in the inverted-index join. With the cap the result is Jaccard over
-    the *pruned* shingle space — an approximation, off by default.
+    skew in the inverted-index join (one boilerplate shingle shared by 1M
+    docs is a 10^12-row join partition). The cap is ON by default
+    (DEFAULT_MAX_SHINGLE_FREQ) with the dropped-shingle count logged —
+    with the cap the result is Jaccard over the *pruned* shingle space.
   - Minhash min-aggregation combines map-side: the shuffle carries one
     k-vector per (doc, reducer), not one row per shingle.
   - LSH band join shuffles (band_idx, band_hash) — uniform by construction
@@ -32,10 +34,19 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+# A shingle in more docs than this is boilerplate, not signal: it cannot
+# separate near-duplicates, but it quadratically inflates the inverted-index
+# join. 100k keeps every plausible real shingle at sub-100TB corpus sizes
+# while capping a viral shingle's join contribution at 100k^2 rows.
+DEFAULT_MAX_SHINGLE_FREQ = 100_000
 
 from data_diff_spark.functions.text import (
     P31,
@@ -109,7 +120,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_freq: Optional[int] = None,
+    max_shingle_freq: Optional[int] = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """All unordered doc pairs with n-gram Jaccard >= threshold, computed
     exactly via the inverted-index pattern: explode distinct shingles, self-
@@ -117,10 +128,14 @@ def jaccard_pairs(
     J = inter / (|A| + |B| - inter). Only pairs sharing at least one shingle
     are ever formed; with threshold > 0 that is also every qualifying pair.
 
-    `max_shingle_freq` (off by default) drops shingles occurring in more
-    than that many docs *before* both the sizes and the intersection are
-    counted — consistent pruning, so the returned value is true Jaccard
-    over the pruned shingle space.
+    `max_shingle_freq` (DEFAULT_MAX_SHINGLE_FREQ by default; None disables)
+    drops shingles occurring in more than that many docs *before* both the
+    sizes and the intersection are counted — consistent pruning, so the
+    returned value is true Jaccard over the pruned shingle space. The
+    number of dropped shingles is computed up front (one small
+    map-side-combined frequency aggregation) and LOGGED — never silent —
+    and when nothing exceeds the cap the plan is byte-identical to the
+    uncapped one (no anti-join, set sizes straight off the arrays).
 
     The shingle frame is persisted (MEMORY_AND_DISK): it feeds three plan
     subtrees (both self-join sides + set sizes), and broadcast joins can't
@@ -129,16 +144,31 @@ def jaccard_pairs(
     table."""
     s = shingle_sets(df, n, text_col, id_col).persist()
     ex = s.select("id", F.explode("shingles").alias("sh"))
+    pruned = False
     if max_shingle_freq is not None:
-        freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        ex = (
-            ex.join(F.broadcast(freq.filter(F.col("df_") > max_shingle_freq)
-                                .select("sh", F.lit(True).alias("drop_"))),
-                    "sh", "left")
-            .filter(F.col("drop_").isNull())
-            .select("id", "sh")
+        viral = (
+            ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_freq)
+            .select("sh")
+            .persist()
         )
-    if max_shingle_freq is not None:
+        n_viral = viral.count()
+        if n_viral:
+            logger.warning(
+                "jaccard_pairs: dropping %d shingle(s) occurring in more than "
+                "%d docs; jaccard values are exact over the pruned shingle "
+                "space (pass max_shingle_freq=None to disable)",
+                n_viral, max_shingle_freq,
+            )
+            ex = ex.join(F.broadcast(viral), "sh", "left_anti")
+            pruned = True
+        else:
+            logger.info(
+                "jaccard_pairs: no shingle exceeds max_shingle_freq=%d; "
+                "result is exact", max_shingle_freq,
+            )
+            viral.unpersist()
+    if pruned:
         sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
         # unpruned: set sizes come straight off the shingle arrays — one

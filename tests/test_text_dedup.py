@@ -106,6 +106,30 @@ def test_jaccard_pairs_threshold_and_symmetry(docs):
     assert all(0.5 <= r.jaccard <= 1.0 for r in pairs)
 
 
+def test_jaccard_viral_shingle_cap_fires_and_logs(spark, caplog):
+    """A boilerplate shingle shared by more docs than max_shingle_freq is
+    dropped BEFORE the inverted-index join (the 100 TB skew guard), the
+    drop is logged, and jaccard stays exact over the pruned space."""
+    import logging
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"common boiler plate u{i} v{i} w{i}") for i in range(6)]
+    )
+    # every pair shares exactly the one viral trigram: J = 1/7 without cap
+    with caplog.at_level(logging.INFO, logger="data_diff_spark.operators.dedup"):
+        uncapped = DD.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=None).collect()
+        capped = DD.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=3).collect()
+        default = DD.jaccard_pairs(docs, threshold=0.1).collect()
+    assert len(uncapped) == 15
+    assert capped == []  # viral shingle pruned -> nothing shared
+    assert sorted((r.id_a, r.id_b) for r in default) == sorted(
+        (r.id_a, r.id_b) for r in uncapped
+    )  # default cap (100k) untriggered on 6 docs
+    msgs = [r.message for r in caplog.records]
+    assert any("dropping 1 shingle" in m for m in msgs), msgs
+    assert any("no shingle exceeds" in m for m in msgs), msgs
+
+
 def test_minhash_lsh_matches_exact(docs):
     exact = sorted((r.id_a, r.id_b) for r in DD.jaccard_pairs(docs, threshold=0.8).collect())
     lsh = sorted((r.id_a, r.id_b) for r in DD.minhash_lsh_dedup(docs, threshold=0.8).collect())
