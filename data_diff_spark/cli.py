@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hashdiff checksum buckets (default: auto-sized "
                         "two-level digest scheme; an explicit value forces "
                         "a single fixed level)")
+    p.add_argument("--persist-strategy", default="wide", choices=["wide", "narrow"],
+                   help="hashdiff cache strategy: wide caches annotated rows "
+                        "(one scan total); narrow caches only keys+checksums "
+                        "and re-reads emitted keys (for very wide tables)")
     p.add_argument("-m", "--materialize", default=None,
                    help="write diff to this parquet path (or table:NAME) instead of stdout")
     p.add_argument("--materialize-limit", type=int, default=1000)
@@ -215,6 +219,7 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
             t2,
             algorithm=Algorithm(args.algorithm),
             n_buckets=args.n_buckets,
+            hashdiff_persist=args.persist_strategy,
             # AUTO resolves to joindiff (diff.py), so the duplicate-key
             # guard the reference always runs for joindiff applies there too
             validate_unique_key=not args.assume_unique_key

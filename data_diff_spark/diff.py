@@ -122,6 +122,7 @@ def diff_tables(
     n_buckets: Optional[int] = None,
     validate_unique_key: bool = False,
     skip_null_keys: bool = False,
+    hashdiff_persist: str = "wide",
 ) -> DiffResult:
     """Diff two table segments; returns DiffResult wrapping the diff DataFrame.
 
@@ -149,5 +150,5 @@ def diff_tables(
     if algorithm in (Algorithm.AUTO, Algorithm.JOINDIFF):
         df = joindiff.join_diff(table1, table2)
     else:
-        df = hashdiff.hash_diff(table1, table2, n_buckets=n_buckets)
+        df = hashdiff.hash_diff(table1, table2, n_buckets=n_buckets, persist=hashdiff_persist)
     return DiffResult(df=df, table1=table1, table2=table2)

@@ -56,6 +56,42 @@ def _knorm(i: int) -> str:
     return f"__knorm{i}__"
 
 
+def _annotated_narrow(t: TableSegment, cols: List[str]) -> DataFrame:
+    """Normalized key strings + per-row checksum + key hash ONLY — no raw
+    columns. The persist="narrow" cache: a handful of strings and two
+    numbers per row no matter how wide the table, at the cost of a final
+    semi-join re-read of the emitted keys (see hash_diff)."""
+    nkeys = len(t.key_columns)
+    df = t.make_select()
+    normd = normalized_columns(t.schema, cols, t.precision_overrides, t.kind_overrides)
+    cks = md5_as_int(row_fingerprint(normd))
+    key_norm = [
+        F.coalesce(c, F.lit("<null>")) for c in
+        normalized_columns(t.schema, cols[:nkeys], t.precision_overrides, t.kind_overrides)
+    ]
+    knorm_cols = [k.alias(_knorm(i)) for i, k in enumerate(key_norm)]
+    return df.select(cks.alias(_CKS), *knorm_cols, F.xxhash64(*key_norm).alias(_H))
+
+
+def _narrow_emit(
+    t: TableSegment, cols: List[str], out_names: List[str], sign: str, bad_keys: DataFrame
+) -> DataFrame:
+    """Re-read a side restricted (left-semi on normalized keys) to the PKs
+    the narrow phase decided differ; all rows of a differing PK come back,
+    preserving the duplicate-PK multiset emission of the wide path."""
+    nkeys = len(t.key_columns)
+    df = t.make_select()
+    key_norm = [
+        F.coalesce(c, F.lit("<null>")) for c in
+        normalized_columns(t.schema, cols[:nkeys], t.precision_overrides, t.kind_overrides)
+    ]
+    renamed = [F.col(c).alias(o) for c, o in zip(cols, out_names)]
+    knorm_cols = [k.alias(_knorm(i)) for i, k in enumerate(key_norm)]
+    annotated = df.select(*renamed, *knorm_cols)
+    joined = annotated.join(bad_keys, [_knorm(i) for i in range(nkeys)], "left_semi")
+    return joined.select(F.lit(sign).alias(SIGN_COL), *out_names)
+
+
 def _annotated(t: TableSegment, cols: List[str], out_names: List[str]) -> DataFrame:
     """Rows + per-row checksum + normalized key strings + key hash, columns
     renamed to the shared output names. The hash covers the *normalized key
@@ -105,6 +141,7 @@ def hash_diff(
     t2: TableSegment,
     n_buckets: Optional[int] = None,
     emit_equal_duplicates: bool = False,
+    persist: str = "wide",
 ) -> DataFrame:
     """Diff DataFrame (sign, *columns-of-table-1's-names), duplicate-PK-aware.
 
@@ -116,21 +153,30 @@ def hash_diff(
     "regardless of values" — but only when its segment was downloaded, i.e.
     here, when its bucket digest mismatched. Like the reference, that output
     then depends on how the key space was segmented.
+
+    persist picks the cache strategy the digest levels + phase 2 read:
+      "wide"   (default) full rows + checksum + key hash cached — one
+               normalization+md5 scan total; right when the cache fits.
+      "narrow" only (normalized keys, checksum, key hash) cached — a few
+               strings + two numbers per row no matter how wide the table
+               (at 100 TB the wide cache IS the table); the emitted PKs are
+               then re-read from the sources with a left-semi join, so the
+               sources are scanned twice but the second scan is pruned to
+               differing keys. Measured equal to wide at 6M rows.
     """
+    if persist not in ("wide", "narrow"):
+        raise ValueError(f"persist must be 'wide' or 'narrow', got {persist!r}")
     cols1, cols2 = _check_consistent(t1, t2)
     out_names = cols1
     keys = list(t1.key_columns)
     nkeys = len(keys)
 
-    # Persisted wide (full rows + checksum + keyhash): every digest level
-    # and the phase-2 output read the cache, so the normalization+md5 scan
-    # and any derived-source subtrees run exactly once. For EXTREMELY wide
-    # rows where the cache itself is the problem, the alternative is a
-    # narrow (keys, cks, keyhash) persist plus a final null-safe semi-join
-    # re-read of only the emitted keys — measured equal at 6M rows but
-    # slower on small/derived inputs, so wide is the default.
-    a = _annotated(t1, cols1, out_names).persist()
-    b = _annotated(t2, cols2, out_names).persist()
+    if persist == "narrow":
+        a = _annotated_narrow(t1, cols1).persist()
+        b = _annotated_narrow(t2, cols2).persist()
+    else:
+        a = _annotated(t1, cols1, out_names).persist()
+        b = _annotated(t2, cols2, out_names).persist()
 
     # --- level 1: coarse digests (DEFAULT_N_BUCKETS) ------------------------
     # The reference recursively bisects because remote round-trips dominate;
@@ -201,9 +247,18 @@ def hash_diff(
     else:
         pk_differs = multiset_differs
 
-    out = u.withColumn("__emit__", pk_differs).filter(F.col("__emit__")).select(
-        SIGN_COL, *out_names
-    )
+    emitted = u.withColumn("__emit__", pk_differs).filter(F.col("__emit__"))
+    if persist == "narrow":
+        # the narrow frames carry no raw columns: decide PKs here, then
+        # re-read each side pruned to those keys (all rows of a differing
+        # PK match the semi-join, preserving multiset emission)
+        knorm_names = [_knorm(i) for i in range(nkeys)]
+        bad_keys = emitted.select(*knorm_names).distinct()
+        out = _narrow_emit(t1, cols1, out_names, "-", bad_keys).unionAll(
+            _narrow_emit(t2, cols2, out_names, "+", bad_keys)
+        )
+    else:
+        out = emitted.select(SIGN_COL, *out_names)
     # Caller-managed cache lifecycle: the result is lazy, so the persisted
     # sides must outlive it. DiffResult.unpersist() (and the CLI) release
     # them once the diff is materialized; long-lived sessions doing many

@@ -13,9 +13,24 @@ using the exact checksum formula of the reference's dialects (bit-identical
 to our normalize.py — that equivalence is what the golden tests pin), and
 ships only n_buckets digest rows plus the rows of mismatched buckets.
 
-`RemoteSide` is the adapter contract (digest query + row download);
-`DuckDBSide` implements it for DuckDB as the stand-in engine available in
-this environment — a PostgresSide via JDBC follows the same two methods.
+Three layers, mirroring the reference's dialect/adapter split
+(data_diff/databases/base.py + the 13 per-database files):
+
+  RemoteDialect   per-engine SQL rendering (normalization strings, the
+                  md5->int48 checksum, the bucket hash). DuckDBDialect and
+                  PostgresDialect ship; adding an engine = the reference's
+                  md5_as_int/normalize_* recipe for it (~10 lines).
+  RemoteSide      the adapter contract hash_diff_remote consumes:
+                  bucket_digests() + fetch_bucket_rows().
+  DuckDBSide      in-process DB-API adapter (DuckDB stands in for any
+                  reference dialect available as a local connection).
+  JdbcSide        any JDBC database: both the digest query and the
+                  mismatched-row fetch are pushed down as JDBC source
+                  queries (spark.read.jdbc query=...), so the remote
+                  engine does the hashing and only digests + differing
+                  rows cross the wire. No live DB exists in this sandbox;
+                  tests drive JdbcSide end-to-end by injecting a reader
+                  that routes the generated SQL to DuckDB.
 
 Scale notes: network transfer is O(n_buckets + differing rows), same as the
 reference's checksum-then-download model; the Spark side stays fully
@@ -26,7 +41,7 @@ distributed. Bucket alignment uses a cross-engine-stable key hash
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Sequence, Tuple
+from typing import Callable, List, Mapping, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,42 +56,159 @@ from data_diff_spark.table import TableSegment
 _BUCKET = "__bucket__"
 _CKS = "__cks__"
 
+_DECIMAL_RE = re.compile(r"(?:DECIMAL|NUMERIC)\s*\(\s*\d+\s*,\s*(\d+)\s*\)")
+
 
 def _spark_bucket(key_norm: List, n_buckets: int):
     joined = F.concat_ws("|", *[F.coalesce(c, F.lit("<null>")) for c in key_norm])
     return F.pmod(F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long"), F.lit(n_buckets))
 
 
-_DECIMAL_RE = re.compile(r"DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)")
+# --- dialects ---------------------------------------------------------------
 
 
-def _duckdb_norm_sql(col: str, duck_type: str) -> str:
-    """DuckDB rendering of normalize.py's canonical strings (the reference's
-    DuckDB dialect, databases/duckdb.py:105-116)."""
-    t = duck_type.upper()
-    if t.startswith("DECIMAL"):
-        # Normalize at the column's OWN scale, exactly like the Spark side
-        # (normalize.py normalize_as_string: DecimalType -> scale digits) and
-        # the reference's duckdb.py normalize_number. A fixed scale here
-        # (e.g. 6) renders DECIMAL(15,2) as '1234.500000' while Spark says
-        # '1234.50' — every bucket digest would mismatch.
-        m = _DECIMAL_RE.match(t)
-        scale = int(m.group(1)) if m else 6
-        return f"cast(cast({col} as decimal(38,{scale})) as varchar)"
-    if t in ("DOUBLE", "FLOAT", "REAL"):
-        return f"cast(cast({col} as decimal(38,6)) as varchar)"
-    if "TIMESTAMP" in t:
+class RemoteDialect:
+    """Per-engine SQL renderings of the canonical normalization + checksum
+    (reference BaseDialect.md5_as_int/normalize_*, databases/base.py:799-896).
+    Subclasses override the engine-specific pieces only."""
+
+    name = "generic"
+
+    def norm_sql(self, col: str, sql_type: str) -> str:
+        """Render a column to the canonical comparison string of
+        normalize.py (reference NormalizeAsString)."""
+        t = sql_type.upper()
+        if t.startswith(("DECIMAL", "NUMERIC")):
+            # the column's OWN scale, like Spark normalize_as_string
+            m = _DECIMAL_RE.match(t)
+            scale = int(m.group(1)) if m else 6
+            return f"cast(cast({col} as decimal(38,{scale})) as varchar)"
+        if t in ("DOUBLE", "FLOAT", "REAL", "DOUBLE PRECISION", "FLOAT8", "FLOAT4"):
+            return f"cast(cast({col} as decimal(38,6)) as varchar)"
+        if "TIMESTAMP" in t:
+            return self.norm_timestamp_sql(col)
+        if t == "DATE":
+            return self.norm_date_sql(col)
+        if t in ("BOOLEAN", "BOOL"):
+            return f"cast(cast({col} as int) as varchar)"
+        if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+                 "UBIGINT", "UINTEGER", "INT", "INT2", "INT4", "INT8"):
+            return f"cast({col} as varchar)"
+        return col  # VARCHAR/TEXT
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        raise NotImplementedError
+
+    def norm_date_sql(self, col: str) -> str:
+        raise NotImplementedError
+
+    def md5_as_int_sql(self, s: str) -> str:
+        """Low 12 hex digits of md5 as a bigint, centered (reference
+        md5_as_int per dialect)."""
+        raise NotImplementedError
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        """First 8 md5 hex digits of the key fingerprint, mod n_buckets —
+        must match _spark_bucket bit-for-bit."""
+        raise NotImplementedError
+
+
+class DuckDBDialect(RemoteDialect):
+    """Reference duckdb.py:105-116 renderings."""
+
+    name = "duckdb"
+
+    def norm_timestamp_sql(self, col: str) -> str:
         return f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
-    if t == "DATE":
+
+    def norm_date_sql(self, col: str) -> str:
         return f"strftime({col}, '%Y-%m-%d')"
-    if t == "BOOLEAN":
-        return f"cast(cast({col} as int) as varchar)"
-    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT", "UBIGINT", "UINTEGER"):
-        return f"cast({col} as varchar)"
-    return col  # VARCHAR
+
+    def md5_as_int_sql(self, s: str) -> str:
+        return f"(('0x' || substring(md5({s}), 21, 12))::BIGINT - {CHECKSUM_OFFSET})"
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        return f"(('0x' || substring(md5({key_fp}), 1, 8))::BIGINT % {n_buckets})"
 
 
-class DuckDBSide:
+class PostgresDialect(RemoteDialect):
+    """Reference postgresql.py:107-173 renderings (the ::bit(48) checksum)."""
+
+    name = "postgresql"
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        return f"to_char({col}::timestamp(6), 'YYYY-MM-DD HH24:MI:SS.US')"
+
+    def norm_date_sql(self, col: str) -> str:
+        return f"to_char({col}, 'YYYY-MM-DD')"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        return f"('x' || substring(md5({s}), 21))::bit(48)::bigint - {CHECKSUM_OFFSET}"
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        return f"mod(('x' || substring(md5({key_fp}), 1, 8))::bit(32)::bigint, {n_buckets})"
+
+
+# --- shared SQL assembly ----------------------------------------------------
+
+
+def _fingerprint_sql(dialect: RemoteDialect, columns: Sequence[str],
+                     types: Mapping[str, str]) -> str:
+    parts = ", ".join(
+        f"coalesce({dialect.norm_sql(c, types[c])}, '<null>')" for c in columns
+    )
+    return f"concat_ws('|', {parts})"
+
+
+def digest_query_sql(dialect: RemoteDialect, relation_sql: str,
+                     key_columns: Sequence[str], columns: Sequence[str],
+                     types: Mapping[str, str], n_buckets: int) -> str:
+    """The ONE remote aggregation query: (bucket, count, checksum-sum)."""
+    cks = dialect.md5_as_int_sql(_fingerprint_sql(dialect, columns, types))
+    bucket = dialect.bucket_sql(_fingerprint_sql(dialect, key_columns, types), n_buckets)
+    return (
+        f"select {bucket} as bucket, count(*) as cnt, "
+        f"cast(sum({cks}) as bigint) as cks "
+        f"from {relation_sql} group by 1"
+    )
+
+
+def fetch_query_sql(dialect: RemoteDialect, relation_sql: str,
+                    key_columns: Sequence[str], columns: Sequence[str],
+                    types: Mapping[str, str], n_buckets: int,
+                    bucket_ids: Sequence[int]) -> str:
+    """Rows (plus per-row checksum + bucket) of the given buckets — the only
+    row download, proportional to differing data."""
+    cks = dialect.md5_as_int_sql(_fingerprint_sql(dialect, columns, types))
+    bucket = dialect.bucket_sql(_fingerprint_sql(dialect, key_columns, types), n_buckets)
+    ids = ", ".join(str(int(b)) for b in bucket_ids)
+    return (
+        f"select {', '.join(columns)}, {cks} as {_CKS}, {bucket} as {_BUCKET} "
+        f"from {relation_sql} where {bucket} in ({ids})"
+    )
+
+
+# --- adapters ---------------------------------------------------------------
+
+
+class RemoteSide:
+    """Adapter contract consumed by hash_diff_remote."""
+
+    key_columns: List[str]
+    columns: List[str]
+
+    def bucket_digests(self, n_buckets: int) -> List[Tuple[int, int, Optional[int]]]:
+        """[(bucket, count, checksum_sum)] — ONE remote aggregation query."""
+        raise NotImplementedError
+
+    def fetch_bucket_rows(self, spark: SparkSession, schema, n_buckets: int,
+                          bucket_ids: Sequence[int]) -> DataFrame:
+        """Spark DataFrame (schema = the annotated Spark side: columns +
+        __cks__ + __bucket__) holding the remote rows of the given buckets."""
+        raise NotImplementedError
+
+
+class DuckDBSide(RemoteSide):
     """Remote adapter: a DuckDB relation (parquet path or table name) with
     declared key columns. Stands in for any reference dialect."""
 
@@ -88,54 +220,104 @@ class DuckDBSide:
         self.key_columns = list(key_columns)
         self.columns = list(columns)  # keys first, reference column order
         self.con = con or duckdb.connect()
+        self.dialect = DuckDBDialect()
         desc = self.con.execute(f"describe select * from {relation_sql}").fetchall()
         self.types = {r[0]: r[1] for r in desc}
 
-    def _fingerprint_sql(self) -> str:
-        parts = ", ".join(
-            f"coalesce({_duckdb_norm_sql(c, self.types[c])}, '<null>')" for c in self.columns
-        )
-        return f"concat_ws('|', {parts})"
-
-    def _cks_sql(self) -> str:
-        return f"(('0x' || substring(md5({self._fingerprint_sql()}), 21, 12))::BIGINT - {CHECKSUM_OFFSET})"
-
-    def _bucket_sql(self, n_buckets: int) -> str:
-        key_parts = ", ".join(
-            f"coalesce({_duckdb_norm_sql(k, self.types[k])}, '<null>')" for k in self.key_columns
-        )
-        key_fp = f"concat_ws('|', {key_parts})"
-        return f"(('0x' || substring(md5({key_fp}), 1, 8))::BIGINT % {n_buckets})"
-
     def bucket_digests(self, n_buckets: int):
-        """[(bucket, count, checksum_sum)] — ONE remote aggregation query."""
-        q = f"""
-        select {self._bucket_sql(n_buckets)} as bucket, count(*) as cnt,
-               sum({self._cks_sql()})::BIGINT as cks
-        from {self.relation_sql} group by 1
-        """
+        q = digest_query_sql(self.dialect, self.relation_sql, self.key_columns,
+                             self.columns, self.types, n_buckets)
         return self.con.execute(q).fetchall()
 
-    def fetch_buckets(self, n_buckets: int, bucket_ids: Sequence[int]):
-        """Rows (plus per-row checksum) of the given buckets — the only row
-        download, proportional to differing data."""
+    def fetch_bucket_rows(self, spark, schema, n_buckets, bucket_ids):
         if not bucket_ids:
-            import pandas as pd
+            return spark.createDataFrame([], schema)
+        q = fetch_query_sql(self.dialect, self.relation_sql, self.key_columns,
+                            self.columns, self.types, n_buckets, bucket_ids)
+        pdf = self.con.execute(q).fetch_df()
+        # align remote column names to the Spark side's (positional match,
+        # like the reference's differing-column-name support)
+        spark_names = [f.name for f in schema.fields]
+        pdf = pdf.rename(columns=dict(zip(pdf.columns, spark_names)))
+        # DuckDB's fetch_df renders DECIMAL as float64; Spark's DecimalType
+        # rejects floats, so quantize back (driver-side, dirty rows only).
+        from decimal import Decimal
 
-            return pd.DataFrame(columns=self.columns + [_CKS, _BUCKET])
-        ids = ", ".join(str(int(b)) for b in bucket_ids)
-        q = f"""
-        select {", ".join(self.columns)}, {self._cks_sql()} as {_CKS},
-               {self._bucket_sql(n_buckets)} as {_BUCKET}
-        from {self.relation_sql}
-        where {self._bucket_sql(n_buckets)} in ({ids})
-        """
-        return self.con.execute(q).fetch_df()
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        for f in schema.fields:
+            if isinstance(f.dataType, T.DecimalType) and f.name in pdf.columns:
+                q_ = Decimal(1).scaleb(-f.dataType.scale)
+                pdf[f.name] = pdf[f.name].map(
+                    lambda v, q_=q_: None if pd.isna(v) else Decimal(str(v)).quantize(q_)
+                )
+        return spark.createDataFrame(pdf, schema=schema)
+
+
+class JdbcSide(RemoteSide):
+    """Remote adapter over spark.read.jdbc: the digest and fetch SQL are
+    pushed as JDBC source *queries*, so the remote engine computes its own
+    hashes and only digests + mismatched-bucket rows travel.
+
+    types maps each remote column to its SQL type string (as the engine's
+    information_schema reports it) — the reference fetches this with
+    select_table_schema (base.py:1031-1039); callers with a live connection
+    can do the same via a `select * ... where 1=0` probe.
+
+    reader: injectable `sql -> DataFrame` (defaults to spark.read.jdbc with
+    the given url/properties). Tests inject a DuckDB-backed reader; against
+    a real database pass e.g. numPartitions/partitionColumn options through
+    `properties` for a parallel fetch of large dirty-bucket sets.
+    """
+
+    def __init__(self, spark: SparkSession, url: str, relation_sql: str,
+                 key_columns: Sequence[str], columns: Sequence[str],
+                 types: Mapping[str, str],
+                 dialect: Optional[RemoteDialect] = None,
+                 properties: Optional[Mapping[str, str]] = None,
+                 reader: Optional[Callable[[str], DataFrame]] = None):
+        self.spark = spark
+        self.url = url
+        self.relation_sql = relation_sql
+        self.key_columns = list(key_columns)
+        self.columns = list(columns)
+        self.types = dict(types)
+        self.dialect = dialect or PostgresDialect()
+        self.properties = dict(properties or {})
+        self._reader = reader or self._jdbc_reader
+
+    def _jdbc_reader(self, sql: str) -> DataFrame:
+        r = self.spark.read.format("jdbc").option("url", self.url).option("query", sql)
+        for k, v in self.properties.items():
+            r = r.option(k, v)
+        return r.load()
+
+    def bucket_digests(self, n_buckets: int):
+        q = digest_query_sql(self.dialect, self.relation_sql, self.key_columns,
+                             self.columns, self.types, n_buckets)
+        return [(r["bucket"], r["cnt"], r["cks"]) for r in self._reader(q).collect()]
+
+    def fetch_bucket_rows(self, spark, schema, n_buckets, bucket_ids):
+        if not bucket_ids:
+            return spark.createDataFrame([], schema)
+        q = fetch_query_sql(self.dialect, self.relation_sql, self.key_columns,
+                            self.columns, self.types, n_buckets, bucket_ids)
+        df = self._reader(q)
+        # positional rename + cast to the annotated Spark-side schema
+        casted = [
+            F.col(src).cast(f.dataType).alias(f.name)
+            for src, f in zip(df.columns, schema.fields)
+        ]
+        return df.select(*casted)
+
+
+# --- the cross-engine diff --------------------------------------------------
 
 
 def hash_diff_remote(
     t1: TableSegment,
-    remote: DuckDBSide,
+    remote: RemoteSide,
     n_buckets: int = 1024,
 ) -> DataFrame:
     """Diff a Spark-side segment against a remote-engine side.
@@ -180,24 +362,7 @@ def hash_diff_remote(
     )
 
     a_bad = a.filter(F.col(_BUCKET).isin([int(b) for b in bad]))
-    b_pdf = remote.fetch_buckets(n_buckets, bad)
-    # align remote column names to the Spark side's
-    b_pdf = b_pdf.rename(columns=dict(zip(remote.columns, cols)))
-    if len(b_pdf):
-        # DuckDB's fetch_df renders DECIMAL as float64; Spark's DecimalType
-        # rejects floats, so quantize back (driver-side, dirty rows only).
-        from decimal import Decimal
-
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        for f in a.schema.fields:
-            if isinstance(f.dataType, T.DecimalType) and f.name in b_pdf.columns:
-                q = Decimal(1).scaleb(-f.dataType.scale)
-                b_pdf[f.name] = b_pdf[f.name].map(
-                    lambda v, q=q: None if pd.isna(v) else Decimal(str(v)).quantize(q)
-                )
-    b_df = spark.createDataFrame(b_pdf, schema=a.schema) if len(b_pdf) else spark.createDataFrame([], a.schema)
+    b_df = remote.fetch_bucket_rows(spark, a.schema, n_buckets, bad)
 
     from pyspark.sql import Window
 

@@ -215,6 +215,21 @@ def test_per_column_diff_counts(spark):
     assert row["exclusive_a"] == 0 and row["exclusive_b"] == 0
 
 
+def test_hashdiff_narrow_persist_equals_wide(spark, sf_dir):
+    """persist='narrow' (keys+checksums cached, emitted keys re-read via
+    semi-join) must emit the exact multiset the wide path emits — exercised
+    on the dup-key compound-key lineitem workload."""
+    from data_diff_spark.workload import _lineitem_segments
+
+    t1, t2 = _lineitem_segments(spark, sf_dir)
+    wide = hash_diff(t1, t2, n_buckets=256, persist="wide")
+    narrow = hash_diff(t1, t2, n_buckets=256, persist="narrow")
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, wide.collect())) == sorted(map(key, narrow.collect()))
+    with pytest.raises(ValueError, match="persist"):
+        hash_diff(t1, t2, persist="bogus")
+
+
 def test_stats_dict(spark):
     a = make_ratings(spark, BASE)
     b = make_ratings(spark, BASE[1:] + [(4, 4, 4, 8.5)][:0] + [(9, 9, 9, 1.0)])

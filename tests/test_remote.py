@@ -1,11 +1,21 @@
-"""Cross-engine hashdiff: Spark side vs DuckDB side (digests-only wire)."""
+"""Cross-engine hashdiff: Spark side vs DuckDB side (digests-only wire),
+plus the JdbcSide adapter driven end-to-end by routing its generated SQL
+into DuckDB (no live JDBC database exists in this sandbox)."""
 
 import duckdb
 import pytest
 from pyspark.sql import functions as F
 
 from data_diff_spark import table_segment
-from data_diff_spark.operators.remote import DuckDBSide, hash_diff_remote
+from data_diff_spark.operators.remote import (
+    DuckDBDialect,
+    DuckDBSide,
+    JdbcSide,
+    PostgresDialect,
+    digest_query_sql,
+    fetch_query_sql,
+    hash_diff_remote,
+)
 
 COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
 
@@ -23,11 +33,14 @@ def con(sf_dir):
     return c
 
 
-def test_identical_sides_zero_diff_zero_download(t1, con):
+def test_identical_sides_zero_diff_zero_download(spark, t1, con):
     remote = DuckDBSide("orders", ["o_orderkey"], COLS, con=con)
-    assert hash_diff_remote(t1, remote).count() == 0
-    # and the digest phase alone suffices: fetch_buckets([]) is empty
-    assert len(remote.fetch_buckets(1024, [])) == 0
+    diff = hash_diff_remote(t1, remote)
+    assert diff.count() == 0
+    # and the digest phase alone suffices: an empty bucket list downloads
+    # zero rows
+    assert remote.fetch_bucket_rows(spark, diff.sparkSession.createDataFrame(
+        [], "o_orderkey long").schema, 1024, []).count() == 0
 
 
 def test_cross_engine_detects_changes(t1, con):
@@ -72,6 +85,67 @@ def test_decimal_scale_normalization(spark, sf_dir, con):
     changed = hash_diff_remote(t, remote_mod)
     assert changed.filter("o_orderkey % 500 = 7").count() > 0
     assert changed.filter("o_orderkey % 500 <> 7").count() == 0
+
+
+def _duck_types(con, relation):
+    return {r[0]: r[1] for r in con.execute(f"describe select * from {relation}").fetchall()}
+
+
+def _duck_reader(spark, con, captured):
+    """A JdbcSide reader that executes the adapter's generated SQL in DuckDB
+    — stands in for spark.read.jdbc(query=...) against a live database."""
+    def read(sql):
+        captured.append(sql)
+        return spark.createDataFrame(con.execute(sql).fetch_df())
+    return read
+
+
+def test_jdbc_side_zero_diff_single_digest_query(spark, t1, con):
+    captured = []
+    side = JdbcSide(spark, "jdbc:duckdb://mem", "orders", ["o_orderkey"], COLS,
+                    _duck_types(con, "orders"), dialect=DuckDBDialect(),
+                    reader=_duck_reader(spark, con, captured))
+    assert hash_diff_remote(t1, side, n_buckets=64).count() == 0
+    # clean tables cost exactly ONE remote query (the digest aggregation);
+    # no rows ever crossed
+    assert len(captured) == 1
+    assert "group by 1" in captured[0]
+
+
+def test_jdbc_side_matches_duckdb_side(spark, t1, con):
+    """JdbcSide and DuckDBSide implement the same contract: identical diffs
+    on the same modified remote relation."""
+    con.execute("""create or replace view jmod as
+      select o_orderkey, o_custkey, o_orderstatus,
+             case when o_orderkey % 100 = 2 then o_totalprice + 100.0 else o_totalprice end as o_totalprice,
+             o_orderdate, o_orderpriority
+      from orders where o_orderkey % 100 <> 1""")
+    captured = []
+    jdbc = JdbcSide(spark, "jdbc:duckdb://mem", "jmod", ["o_orderkey"], COLS,
+                    _duck_types(con, "jmod"), dialect=DuckDBDialect(),
+                    reader=_duck_reader(spark, con, captured))
+    duck = DuckDBSide("jmod", ["o_orderkey"], COLS, con=con)
+    key = lambda r: (r[0], r["o_orderkey"])
+    a = sorted(map(key, hash_diff_remote(t1, jdbc, n_buckets=64).collect()))
+    b = sorted(map(key, hash_diff_remote(t1, duck, n_buckets=64).collect()))
+    assert a == b and len(a) > 0
+    # second remote query fetched only mismatched buckets
+    assert len(captured) == 2 and "where" in captured[1]
+
+
+def test_postgres_dialect_digest_sql_golden():
+    """Pin the PostgresDialect SQL to the reference's formulas
+    (postgresql.py:107-111 md5_as_int; base.py:1271-1286 constants)."""
+    d = PostgresDialect()
+    types = {"id": "bigint", "v": "numeric(15,2)", "t": "timestamp without time zone"}
+    q = digest_query_sql(d, "public.tbl", ["id"], ["id", "v", "t"], types, 256)
+    assert "('x' || substring(md5(" in q
+    assert "::bit(48)::bigint - 140737488355327" in q
+    assert "cast(cast(v as decimal(38,2)) as varchar)" in q
+    assert "to_char(t::timestamp(6), 'YYYY-MM-DD HH24:MI:SS.US')" in q
+    assert q.strip().startswith("select") and "group by 1" in q
+    f = fetch_query_sql(d, "public.tbl", ["id"], ["id", "v", "t"], types, 256, [3, 7])
+    assert "in (3, 7)" in f
 
 
 def test_differing_remote_column_names(t1, con):
