@@ -109,6 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--materialize", default=None,
                    help="write diff to this parquet path (or table:NAME) instead of stdout")
     p.add_argument("--materialize-limit", type=int, default=1000)
+    p.add_argument("--no-refine", action="store_true",
+                   help="skip the 64-row sampling refinement of string "
+                        "columns (uuid/json/alphanum kind detection)")
     p.add_argument("--assume-unique-key", action="store_true",
                    help="skip the duplicate-key validation query")
     p.add_argument("--skip-null-keys", action="store_true")
@@ -205,6 +208,18 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
             compare = [c for c in shared if c not in keys]
         t1 = t1.with_(extra_columns=tuple(compare))
         t2 = t2.with_(extra_columns=tuple(compare))
+
+        if not args.no_refine:
+            # sampling refinement of string columns (reference
+            # _refine_coltypes runs on every connect): uuid -> trimmed
+            # compare, json -> structural compare, alphanum -> flagged
+            from data_diff_spark.refine import refined
+
+            t1, t2 = refined(t1), refined(t2)
+            for side, seg in (("A", t1), ("B", t2)):
+                for col, kind in sorted(seg.kind_overrides.items()):
+                    print(f"refined: table {side} column {col!r} detected as {kind}",
+                          file=sys.stderr)
 
         if args.update_column and (args.min_age or args.max_age):
             upd = F.col(args.update_column)

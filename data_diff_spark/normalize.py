@@ -135,7 +135,9 @@ def normalized_columns(
 
     kind_overrides marks string columns with refined semantic kinds
     (refine.py / the reference's _refine_coltypes): 'uuid' → trim,
-    'json' → structural canonicalization.
+    'json' → structural canonicalization, 'alphanum' → comparison-neutral
+    (detection parity only; the reference uses it for key-space
+    arithmetic Spark doesn't need).
     """
     by_name = {f.name: f for f in schema.fields}
     overrides = precision_overrides or {}

@@ -1,4 +1,5 @@
-"""Sampling-based schema refinement (UUID/JSON-in-string detection)."""
+"""Sampling-based schema refinement (UUID/JSON/alphanum-in-string
+detection, reference _refine_coltypes base.py:1113-1160)."""
 
 import pytest
 from pyspark.sql import Row
@@ -32,13 +33,43 @@ def frames(spark):
 def test_detects_kinds(spark, frames):
     a, _ = frames
     kinds = refine_string_kinds(a)
-    assert kinds == {"uid": "uuid", "props": "json"}
+    # 'note' values ("plain 0") live in the reference's base-66 alphabet
+    # (letters, digits, space) -> String_Alphanum parity
+    assert kinds == {"uid": "uuid", "props": "json", "note": "alphanum"}
 
 
 def test_null_only_column_unrefined(spark):
     df = spark.createDataFrame([Row(id=1, s=None), Row(id=2, s=None)],
                                "id int, s string")
     assert refine_string_kinds(df) == {}
+
+
+def test_alphanum_detection_rules(spark):
+    """Alphabet = space/dash/digits/letters/underscore (utils.py:122);
+    uuid wins over alphanum; punctuation outside the alphabet disables;
+    mixed uuid/non-uuid warns and stays unrefined."""
+    df = spark.createDataFrame(
+        [
+            Row(id=1, key="ABC-123 x_y", text="hello, world!", u=UUIDS[0]),
+            Row(id=2, key="zz 9", text="plain", u=UUIDS[1]),
+        ]
+    )
+    kinds = refine_string_kinds(df)
+    assert kinds == {"key": "alphanum", "u": "uuid"}  # text has a comma
+
+    mixed = spark.createDataFrame(
+        [Row(id=1, u=UUIDS[0]), Row(id=2, u="not-a-uuid")]
+    )
+    assert refine_string_kinds(mixed) == {}  # mixed uuid -> disabled
+
+
+def test_alphanum_kind_is_comparison_neutral(spark):
+    a = spark.createDataFrame([Row(id=1, k="AB 1"), Row(id=2, k="CD_2")])
+    b = spark.createDataFrame([Row(id=1, k="AB 1"), Row(id=2, k="CD_3")])
+    t1, t2 = refined(table_segment(a, ["id"])), refined(table_segment(b, ["id"]))
+    assert t1.kind_overrides.get("k") == "alphanum"
+    d = join_diff(t1, t2)
+    assert d.count() == 2  # the real change still diffs; id=1 doesn't
 
 
 def test_refined_diff_ignores_physical_encoding(spark, frames):
