@@ -109,6 +109,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--materialize", default=None,
                    help="write diff to this parquet path (or table:NAME) instead of stdout")
     p.add_argument("--materialize-limit", type=int, default=1000)
+    p.add_argument("--dbt-manifest", default=None, metavar="MANIFEST_JSON",
+                   help="dbt mode (reference data-diff --dbt, minus the "
+                        "cloud API): diff every model in this manifest "
+                        "against production; use --prod-database/"
+                        "--prod-schema for the prod mapping and positional "
+                        "model names to select")
+    p.add_argument("--prod-database", default=None)
+    p.add_argument("--prod-schema", default=None)
     p.add_argument("--no-refine", action="store_true",
                    help="skip the 64-row sampling refinement of string "
                         "columns (uuid/json/alphanum kind detection)")
@@ -175,9 +183,10 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
 
     args = build_parser().parse_args(argv)
     _apply_config(args)
-    if not args.uri1 or not args.uri2 or not args.key_columns:
+    if not args.dbt_manifest and (not args.uri1 or not args.uri2 or not args.key_columns):
         raise SystemExit("error: uri1, uri2 and -k/--key-columns are required "
-                         "(on the command line or via --config)")
+                         "(on the command line or via --config), unless "
+                         "--dbt-manifest is used")
     own_session = spark is None
     if own_session:
         spark = (
@@ -190,6 +199,29 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
         spark.sparkContext.setLogLevel("ERROR")
 
     try:
+        if args.dbt_manifest:
+            from data_diff_spark.dbt import dbt_diff
+
+            selection = [s for s in (args.uri1, args.uri2) if s] or None
+            results = dbt_diff(
+                spark, manifest_path=args.dbt_manifest, selection=selection,
+                prod_database=args.prod_database, prod_schema=args.prod_schema,
+            )
+            for r in results:
+                head = f"{'.'.join(r.dev_path)} <> {'.'.join(r.prod_path)}"
+                if r.skipped:
+                    print(f"{head}: skipped ({r.skipped})")
+                elif args.json_output:
+                    print(json.dumps({"model": r.model, "pks": r.primary_keys,
+                                      **(r.stats or {})}))
+                else:
+                    print(f"{head} (keys: {', '.join(r.primary_keys)})")
+                    for k, v in (r.stats or {}).items():
+                        print(f"  {k}: {v}")
+                if r.result:
+                    r.result.unpersist()
+            return 0
+
         keys = args.key_columns
         t1 = connect_to_table(spark, args.uri1, keys, args.update_column, None, args.where)
         t2 = connect_to_table(spark, args.uri2, keys, args.update_column, None, args.where)
