@@ -124,8 +124,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the duplicate-key validation query")
     p.add_argument("--skip-null-keys", action="store_true")
     p.add_argument("--explain", action="store_true",
-                   help="print the physical plan of the diff instead of executing it "
-                        "(reference interactive EXPLAIN mode, base.py:984-994)")
+                   help="print the physical plan of the diff instead of executing it")
+    p.add_argument("-i", "--interactive", action="store_true",
+                   help="print the physical plan and ask for confirmation "
+                        "before executing (reference interactive EXPLAIN "
+                        "mode, base.py:984-994)")
     p.add_argument("--threads", type=int, default=None, help="ignored (Spark schedules tasks)")
     p.add_argument("--master", default="local[*]", help="Spark master (default local[*])")
     return p
@@ -274,11 +277,17 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
             skip_null_keys=args.skip_null_keys,
         )
 
-        if args.explain:
-            print(result.df._jdf.queryExecution().explainString(
+        if args.explain or args.interactive:
+            plan = result.df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-            ))
-            return 0
+            )
+            print(plan, file=sys.stderr if args.interactive else sys.stdout)
+            if not args.interactive:
+                return 0
+            answer = input("Execute this plan? [y/N] ")
+            if answer.strip().lower() not in ("y", "yes"):
+                print("aborted", file=sys.stderr)
+                return 1
 
         if args.materialize:
             df = result.df

@@ -73,15 +73,22 @@ def _read_table(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
     return spark.table(rest)
 
 
+# driver-side materialization guard for the duckdb:// scheme: above this,
+# refuse and point at the digest path (operators/remote.py). Override per
+# call with max_rows=N.
+DUCKDB_MAX_ROWS = 5_000_000
+
+
 @register_scheme("duckdb")
 def _read_duckdb(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
     """duckdb://<db-path>#<table-or-query>  (duckdb://#<query> for :memory:).
 
     The reference ships a DuckDB adapter (databases/duckdb.py); here the
     relation is materialized through Arrow on the driver — appropriate for
-    small/reference-side tables. For digest-only cross-engine diffs of BIG
-    DuckDB tables use operators/remote.py, which ships bucket digests
-    instead of rows.
+    small/reference-side tables ONLY, so relations above DUCKDB_MAX_ROWS
+    (or the max_rows option) raise instead of silently flooding the driver.
+    For digest-only cross-engine diffs of BIG DuckDB tables use
+    operators/remote.py, which ships bucket digests instead of rows.
     """
     import duckdb
 
@@ -91,6 +98,14 @@ def _read_duckdb(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
     if not rel:
         raise ValueError("duckdb URI needs '#<table-or-query>'")
     q = rel if rel.lstrip().lower().startswith("select") else f"select * from {rel}"
+    max_rows = int(opts.get("max_rows", DUCKDB_MAX_ROWS))
+    n = con.execute(f"select count(*) from ({q}) t").fetchone()[0]
+    if n > max_rows:
+        raise ValueError(
+            f"duckdb relation has {n} rows (> max_rows={max_rows}); the "
+            "duckdb:// scheme materializes through the driver — use "
+            "operators.remote.hash_diff_remote (digests-only) for big "
+            "tables, or pass max_rows=N to override")
     tbl = con.execute(q).fetch_arrow_table()
     return spark.createDataFrame(tbl.to_pandas())
 

@@ -95,6 +95,36 @@ def test_duckdb_scheme(spark, sf_dir):
     assert df2.count() == spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
 
+def test_duckdb_scheme_row_guard(spark, sf_dir):
+    """duckdb:// materializes through the driver, so big relations must
+    refuse with a pointer at the digests-only remote path."""
+    import pytest
+
+    from data_diff_spark.sources.connect import read_uri
+
+    with pytest.raises(ValueError, match="hash_diff_remote"):
+        read_uri(spark, f"duckdb://#read_parquet('{sf_dir}/orders.parquet')",
+                 max_rows=10)
+    # explicit override admits it
+    df = read_uri(spark, f"duckdb://#select 1 as a", max_rows=10)
+    assert df.count() == 1
+
+
+def test_cli_interactive_explain_gate(spark, sf_dir, mod_orders_path, capsys, monkeypatch):
+    """-i prints the plan and aborts unless confirmed (reference
+    interactive EXPLAIN mode, base.py:984-994)."""
+    from data_diff_spark.cli import main
+
+    args = [f"parquet://{sf_dir}/orders.parquet", f"parquet://{mod_orders_path}",
+            "-k", "o_orderkey", "-i"]
+    monkeypatch.setattr("builtins.input", lambda *_: "n")
+    assert main(args, spark=spark) == 1
+    monkeypatch.setattr("builtins.input", lambda *_: "y")
+    assert main(args + ["--stats"], spark=spark) == 0
+    out = capsys.readouterr()
+    assert "total:" in out.out
+
+
 def test_toml_config_overlay(spark, sf_dir, mod_orders_path, capsys):
     cfg = os.path.join(SCRATCH, "test_conf.toml")
     with open(cfg, "w") as f:
