@@ -146,11 +146,23 @@ class TableSegment:
         cks = row["cks"]
         return row["cnt"], (int(cks) if cks is not None else None)
 
-    def query_key_range(self) -> Tuple[Tuple[Any, ...], Tuple[Any, ...]]:
-        """min/max per key column (table_segment.py:260-275)."""
+    def query_key_range(self, normalized: bool = False) -> Tuple[Tuple[Any, ...], Tuple[Any, ...]]:
+        """min/max per key column (table_segment.py:260-275).
+
+        normalized=True applies min/max FIRST and then renders the bounds
+        as canonical strings — the reference's ApplyFuncAndNormalizeAsString
+        (queries/extras.py:22-25 / base.py:392-409), used when key bounds
+        must be compared across engines."""
+        by_name = {f.name: f for f in self.schema.fields}
         aggs = []
         for k in self.key_columns:
-            aggs += [F.min(k).alias(f"min_{k}"), F.max(k).alias(f"max_{k}")]
+            lo, hi = F.min(k), F.max(k)
+            if normalized:
+                from data_diff_spark.normalize import normalize_as_string
+
+                dt, p = by_name[k].dataType, self.precision_overrides.get(k)
+                lo, hi = normalize_as_string(lo, dt, p), normalize_as_string(hi, dt, p)
+            aggs += [lo.alias(f"min_{k}"), hi.alias(f"max_{k}")]
         row = self.make_select().agg(*aggs).collect()[0]
         mins = tuple(row[f"min_{k}"] for k in self.key_columns)
         maxs = tuple(row[f"max_{k}"] for k in self.key_columns)
