@@ -84,7 +84,18 @@ class RemoteDialect:
             scale = int(m.group(1)) if m else 6
             return f"cast(cast({col} as decimal(38,{scale})) as varchar)"
         if t in ("DOUBLE", "FLOAT", "REAL", "DOUBLE PRECISION", "FLOAT8", "FLOAT4"):
-            return f"cast(cast({col} as decimal(38,6)) as varchar)"
+            # via varchar: engines convert double->decimal through float
+            # multiplication, which is inexact beyond 2^53/10^scale
+            # (DuckDB renders 576460752305.0 as ...304.999936); the
+            # shortest-repr string round-trip matches Spark's
+            # BigDecimal.valueOf(double) semantics for all doubles
+            # (property-fuzzed in tests/test_properties.py).
+            # Sub-half-ulp guard: varchar->decimal parsers round on the
+            # first SIGNIFICANT dropped digit regardless of position
+            # (DuckDB: 5e-324 -> 0.000001); Spark rounds those to zero.
+            via = f"cast(cast(cast({col} as varchar) as decimal(38,6)) as varchar)"
+            zero = "cast(cast(0 as decimal(38,6)) as varchar)"
+            return f"(case when abs({col}) < 5e-7 then {zero} else {via} end)"
         if "TIMESTAMP" in t:
             return self.norm_timestamp_sql(col)
         if t == "DATE":

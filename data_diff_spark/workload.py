@@ -165,7 +165,15 @@ def duckdb_norm(col: str, kind: str, precision: int = 6) -> str:
     if kind == "int":
         return f"cast({col} as varchar)"
     if kind == "float":
-        return f"cast(cast({col} as decimal(38,{precision})) as varchar)"
+        # via varchar: DuckDB's direct double->decimal goes through float
+        # multiplication, inexact beyond 2^53/10^precision; the string
+        # round-trip matches Spark's exact conversion for all doubles.
+        # Sub-half-ulp guard: DuckDB's varchar->decimal rounds on the first
+        # SIGNIFICANT dropped digit regardless of position (5e-324 ->
+        # 0.000001); Spark renders everything below half-ulp as zero.
+        via = f"cast(cast(cast({col} as varchar) as decimal(38,{precision})) as varchar)"
+        zero = f"cast(cast(0 as decimal(38,{precision})) as varchar)"
+        return f"(case when abs({col}) < 5e-{precision + 1} then {zero} else {via} end)"
     if kind == "str":
         return col
     if kind == "ts":

@@ -100,3 +100,103 @@ def test_md5_as_int_matches_python_golden(spark, s):
 
     got = spark.range(1).select(md5_as_int(F.lit(s)).alias("c")).collect()[0]["c"]
     assert int(got) == str_to_checksum(s)
+
+
+# --- cross-engine normalization fuzz ---------------------------------------
+# The normalize layer is the crown jewel (SURVEY §1.3): Spark's canonical
+# strings must match the remote dialect's rendering bit-for-bit, else every
+# cross-engine digest mismatches. Fuzz it directly against DuckDB.
+
+
+def _duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+@settings(**COMMON)
+@given(
+    vals=st.lists(
+        st.decimals(allow_nan=False, allow_infinity=False, places=2,
+                    min_value=-10**12, max_value=10**12),
+        min_size=1, max_size=5),
+    scale=st.integers(min_value=0, max_value=6),
+)
+def test_decimal_normalization_matches_duckdb(spark, vals, scale):
+    from pyspark.sql import functions as F
+
+    from data_diff_spark.normalize import normalize_as_string
+    from data_diff_spark.operators.remote import DuckDBDialect
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(str(v),) for v in vals], "v string")
+    got = [
+        r["n"] for r in df.select(
+            normalize_as_string(
+                F.col("v").cast(T.DecimalType(24, scale)), T.DecimalType(24, scale)
+            ).alias("n")
+        ).collect()
+    ]
+    con = _duck()
+    sql = DuckDBDialect().norm_sql("v", f"DECIMAL(24,{scale})")
+    want = [
+        con.execute(f"select {sql} from (select cast(? as decimal(24,{scale})) as v)",
+                    [str(v)]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+@settings(**COMMON)
+@given(
+    ts=st.lists(
+        st.datetimes(min_value=__import__("datetime").datetime(1970, 1, 2),
+                     max_value=__import__("datetime").datetime(2261, 1, 1)),
+        min_size=1, max_size=5),
+)
+def test_timestamp_normalization_matches_duckdb(spark, ts):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_diff_spark.normalize import normalize_as_string
+    from data_diff_spark.operators.remote import DuckDBDialect
+
+    df = spark.createDataFrame([(t,) for t in ts], "v timestamp_ntz")
+    got = [
+        r["n"] for r in df.select(
+            normalize_as_string(F.col("v"), T.TimestampNTZType()).alias("n")
+        ).collect()
+    ]
+    con = _duck()
+    sql = DuckDBDialect().norm_sql("v", "TIMESTAMP")
+    want = [
+        con.execute(f"select {sql} from (select cast(? as timestamp) as v)", [t]).fetchone()[0]
+        for t in ts
+    ]
+    assert got == want
+
+
+@settings(**COMMON)
+@given(vals=st.lists(
+    st.floats(allow_nan=False, allow_infinity=False, min_value=-1e15, max_value=1e15),
+    min_size=1, max_size=5))
+def test_double_normalization_matches_duckdb(spark, vals):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_diff_spark.normalize import normalize_as_string
+    from data_diff_spark.operators.remote import DuckDBDialect
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r["n"] for r in df.select(
+            normalize_as_string(F.col("v"), T.DoubleType()).alias("n")
+        ).collect()
+    ]
+    con = _duck()
+    sql = DuckDBDialect().norm_sql("v", "DOUBLE")
+    want = [
+        con.execute(f"select {sql} from (select cast(? as double) as v)", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
