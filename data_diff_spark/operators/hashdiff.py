@@ -125,6 +125,40 @@ def _bucket_digest(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def _paired_digest(a: DataFrame, b: DataFrame, n_buckets: int):
+    """BOTH sides' digests in ONE job: tagged union -> per-bucket per-side
+    (count, checksum-sum) -> driver. One union scan materializes both
+    persisted sides in the same stage (parallel across the cluster) and one
+    shuffle of <= 2*n_buckets partial rows replaces two sequential
+    digest-collect jobs — at small SF the saved job/stage latency dominates,
+    at scale it halves the number of scans in flight.
+
+    Returns ({bucket: (ca, sa)}, {bucket: (cb, sb)}, rows_total_a)."""
+    side = "__side__"
+    u = a.select(
+        F.pmod(F.col(_H), F.lit(n_buckets)).alias(_BUCKET), _CKS, F.lit(0).alias(side)
+    ).unionAll(
+        b.select(
+            F.pmod(F.col(_H), F.lit(n_buckets)).alias(_BUCKET), _CKS, F.lit(1).alias(side)
+        )
+    )
+    is_a = (F.col(side) == 0).cast("long")
+    rows = (
+        u.groupBy(_BUCKET)
+        .agg(
+            F.sum(is_a).alias("ca"),
+            F.sum(1 - is_a).alias("cb"),
+            F.sum(F.when(F.col(side) == 0, F.col(_CKS))).alias("sa"),
+            F.sum(F.when(F.col(side) == 1, F.col(_CKS))).alias("sb"),
+        )
+        .collect()
+    )
+    da = {r[_BUCKET]: (r["ca"], r["sa"]) for r in rows if r["ca"]}
+    db = {r[_BUCKET]: (r["cb"], r["sb"]) for r in rows if r["cb"]}
+    rows_total = sum(c for c, _ in da.values())
+    return da, db, rows_total
+
+
 def mismatched_buckets(da: DataFrame, db: DataFrame) -> DataFrame:
     """Bucket ids whose (count, checksum-sum) digests differ between sides."""
     a = da.select(F.col(_BUCKET), F.col(_CNT).alias("ca"), F.col(_SUM).alias("sa"))
@@ -188,12 +222,10 @@ def hash_diff(
     # 4096-bucket level 80s -> two-level narrow-persist design 36s; the
     # zero-diff case pays only the coarse level (7.9s -> 5.3s).
     coarse_n = n_buckets or DEFAULT_N_BUCKETS
-    # coarse digest tables are <= coarse_n rows: collect both and compare on
-    # the driver (one job per side, no digest join), which also yields the
-    # exact row count for fine-level sizing for free.
-    da = {r[_BUCKET]: (r[_CNT], r[_SUM]) for r in _bucket_digest(a, coarse_n).collect()}
-    db = {r[_BUCKET]: (r[_CNT], r[_SUM]) for r in _bucket_digest(b, coarse_n).collect()}
-    rows_total = sum(c for c, _ in da.values())
+    # coarse digest tables are <= coarse_n rows: collect and compare on the
+    # driver (ONE fused job for both sides, no digest join), which also
+    # yields the exact row count for fine-level sizing for free.
+    da, db, rows_total = _paired_digest(a, b, coarse_n)
     bad_ids = [k for k in set(da) | set(db) if da.get(k) != db.get(k)]
 
     def _restrict(df: DataFrame, ids: List, n: int) -> DataFrame:

@@ -187,15 +187,20 @@ def digest_query_sql(dialect: RemoteDialect, relation_sql: str,
 def fetch_query_sql(dialect: RemoteDialect, relation_sql: str,
                     key_columns: Sequence[str], columns: Sequence[str],
                     types: Mapping[str, str], n_buckets: int,
-                    bucket_ids: Sequence[int]) -> str:
+                    bucket_ids: Optional[Sequence[int]]) -> str:
     """Rows (plus per-row checksum + bucket) of the given buckets — the only
-    row download, proportional to differing data."""
+    row download, proportional to differing data. bucket_ids=None fetches
+    every row (the most-buckets-dirty degenerate case, where a per-row
+    bucket filter costs more than it saves)."""
     cks = dialect.md5_as_int_sql(_fingerprint_sql(dialect, columns, types))
     bucket = dialect.bucket_sql(_fingerprint_sql(dialect, key_columns, types), n_buckets)
-    ids = ", ".join(str(int(b)) for b in bucket_ids)
+    where = ""
+    if bucket_ids is not None:
+        ids = ", ".join(str(int(b)) for b in bucket_ids)
+        where = f" where {bucket} in ({ids})"
     return (
         f"select {', '.join(columns)}, {cks} as {_CKS}, {bucket} as {_BUCKET} "
-        f"from {relation_sql} where {bucket} in ({ids})"
+        f"from {relation_sql}{where}"
     )
 
 
@@ -241,29 +246,34 @@ class DuckDBSide(RemoteSide):
         return self.con.execute(q).fetchall()
 
     def fetch_bucket_rows(self, spark, schema, n_buckets, bucket_ids):
-        if not bucket_ids:
+        if bucket_ids is not None and not bucket_ids:
             return spark.createDataFrame([], schema)
         q = fetch_query_sql(self.dialect, self.relation_sql, self.key_columns,
                             self.columns, self.types, n_buckets, bucket_ids)
-        pdf = self.con.execute(q).fetch_df()
+        # Arrow transfer: decimals stay decimal128 (exact), timestamps stay
+        # us-precision, and no per-row Python objects are built — an order of
+        # magnitude faster than the pandas path for large dirty-bucket sets.
+        tbl = self.con.execute(q).fetch_arrow_table()
         # align remote column names to the Spark side's (positional match,
         # like the reference's differing-column-name support)
-        spark_names = [f.name for f in schema.fields]
-        pdf = pdf.rename(columns=dict(zip(pdf.columns, spark_names)))
-        # DuckDB's fetch_df renders DECIMAL as float64; Spark's DecimalType
-        # rejects floats, so quantize back (driver-side, dirty rows only).
-        from decimal import Decimal
+        tbl = tbl.rename_columns([f.name for f in schema.fields])
+        try:
+            return spark.createDataFrame(tbl, schema=schema)
+        except Exception:
+            # fallback: pandas with exact decimal re-quantization
+            from decimal import Decimal
 
-        import pandas as pd
-        from pyspark.sql import types as T
+            import pandas as pd
+            from pyspark.sql import types as T
 
-        for f in schema.fields:
-            if isinstance(f.dataType, T.DecimalType) and f.name in pdf.columns:
-                q_ = Decimal(1).scaleb(-f.dataType.scale)
-                pdf[f.name] = pdf[f.name].map(
-                    lambda v, q_=q_: None if pd.isna(v) else Decimal(str(v)).quantize(q_)
-                )
-        return spark.createDataFrame(pdf, schema=schema)
+            pdf = tbl.to_pandas()
+            for f in schema.fields:
+                if isinstance(f.dataType, T.DecimalType) and f.name in pdf.columns:
+                    q_ = Decimal(1).scaleb(-f.dataType.scale)
+                    pdf[f.name] = pdf[f.name].map(
+                        lambda v, q_=q_: None if pd.isna(v) else Decimal(str(v)).quantize(q_)
+                    )
+            return spark.createDataFrame(pdf, schema=schema)
 
 
 class JdbcSide(RemoteSide):
@@ -310,7 +320,7 @@ class JdbcSide(RemoteSide):
         return [(r["bucket"], r["cnt"], r["cks"]) for r in self._reader(q).collect()]
 
     def fetch_bucket_rows(self, spark, schema, n_buckets, bucket_ids):
-        if not bucket_ids:
+        if bucket_ids is not None and not bucket_ids:
             return spark.createDataFrame([], schema)
         q = fetch_query_sql(self.dialect, self.relation_sql, self.key_columns,
                             self.columns, self.types, n_buckets, bucket_ids)
@@ -329,7 +339,7 @@ class JdbcSide(RemoteSide):
 def hash_diff_remote(
     t1: TableSegment,
     remote: RemoteSide,
-    n_buckets: int = 1024,
+    n_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Diff a Spark-side segment against a remote-engine side.
 
@@ -337,12 +347,29 @@ def hash_diff_remote(
     only digests cross the wire. Phase 2: rows of mismatched buckets are
     fetched from the remote and diffed against the Spark rows of those
     buckets with the multiset-per-PK semantics of hashdiff phase 2.
+
+    n_buckets=None (default) auto-sizes to ~TARGET_ROWS_PER_BUCKET rows per
+    bucket from a Spark-side count (parquet metadata makes it near-free).
+    Too few buckets is the classic trap: at a 0.4% diff rate and 1k rows per
+    bucket, nearly EVERY bucket contains a diff and phase 2 degenerates into
+    downloading the whole remote table. Small buckets keep the download
+    proportional to the diff count; the digest rows themselves stay cheap
+    (24 bytes each). If most buckets end up dirty anyway, the per-row bucket
+    filter is dropped and the remote side streams the relation once without
+    re-hashing every row against a giant IN list.
     """
     spark = t1.df.sparkSession
     cols = list(t1.relevant_columns)
     keys = list(t1.key_columns)
     if len(cols) != len(remote.columns):
         raise ValueError(f"column arity mismatch: {cols} vs {remote.columns}")
+
+    if n_buckets is None:
+        TARGET_ROWS_PER_BUCKET = 16
+        cnt = t1.make_select().count()
+        n_buckets = 1024
+        while n_buckets * TARGET_ROWS_PER_BUCKET < cnt and n_buckets < (1 << 20):
+            n_buckets <<= 1
 
     normd = normalized_columns(t1.schema, cols, t1.precision_overrides, t1.kind_overrides)
     key_norm = normalized_columns(t1.schema, cols[:len(keys)], t1.precision_overrides, t1.kind_overrides)
@@ -358,11 +385,18 @@ def hash_diff_remote(
         .persist()
     )
 
-    local = {
-        r[_BUCKET]: (r["cnt"], r["cks"])
-        for r in a.groupBy(_BUCKET)
+    digests = (
+        a.groupBy(_BUCKET)
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum(_CKS).cast("long").alias("cks"))
-        .collect()
+        .toArrow()  # columnar driver transfer: no per-row Row objects
+    )
+    local = {
+        b: (c, k)
+        for b, c, k in zip(
+            digests.column(_BUCKET).to_pylist(),
+            digests.column("cnt").to_pylist(),
+            digests.column("cks").to_pylist(),
+        )
     }
     remote_digests = {int(b): (int(c), int(s) if s is not None else None)
                       for b, c, s in remote.bucket_digests(n_buckets)}
@@ -372,8 +406,20 @@ def hash_diff_remote(
         if local.get(b) != remote_digests.get(b)
     )
 
-    a_bad = a.filter(F.col(_BUCKET).isin([int(b) for b in bad]))
-    b_df = remote.fetch_bucket_rows(spark, a.schema, n_buckets, bad)
+    # Degenerate case: most buckets dirty -> a giant IN list makes the
+    # remote re-hash every row just to keep rows it would keep anyway.
+    fetch_ids: Optional[List[int]] = [int(b) for b in bad]
+    if len(bad) > max(1024, n_buckets // 4):
+        fetch_ids = None
+
+    # Broadcast semi-join, not .isin(literal list): the dirty-bucket set is
+    # proportional to the diff count, and a million-literal IN expression
+    # melts the driver/codegen long before the executors see it.
+    bad_df = spark.createDataFrame([(int(b),) for b in bad], f"{_BUCKET} long")
+    a_bad = a.join(F.broadcast(bad_df), _BUCKET, "left_semi")
+    b_df = remote.fetch_bucket_rows(spark, a.schema, n_buckets, fetch_ids)
+    if fetch_ids is None:
+        b_df = b_df.join(F.broadcast(bad_df), _BUCKET, "left_semi")
 
     from pyspark.sql import Window
 
@@ -386,8 +432,16 @@ def hash_diff_remote(
     # coercions) into separate windows and emit spurious -/+ pairs. Both
     # union legs share a.schema (b_df is coerced to it), so t1's
     # normalization applies to both.
+    # The keys are MATERIALIZED as columns first: four window aggregates over
+    # expression-valued partition specs don't collapse — Catalyst re-projects
+    # the partition expression per aggregate and plans four Window nodes with
+    # four identical shuffles. AttributeReference specs collapse to ONE.
     key_norm_u = normalized_columns(t1.schema, keys, t1.precision_overrides, t1.kind_overrides)
-    w = Window.partitionBy(*[F.coalesce(c, F.lit("<null>")) for c in key_norm_u])
+    knames = [f"__knorm{i}__" for i in range(len(keys))]
+    u = u.select(
+        "*", *[F.coalesce(c, F.lit("<null>")).alias(n) for c, n in zip(key_norm_u, knames)]
+    )
+    w = Window.partitionBy(*knames)
     is_a = (F.col(SIGN_COL) == "-").cast("long")
     ca = F.sum(is_a).over(w)
     cb = F.sum(1 - is_a).over(w)

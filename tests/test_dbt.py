@@ -55,6 +55,14 @@ def test_dbt_cli_mode(spark, tmp_path, capsys):
 
     spark.sql("create database if not exists dd_devns")
     spark.sql("create database if not exists dd_prodns")
+    # a fresh metastore with a leftover warehouse dir from a prior session
+    # makes saveAsTable fail with LOCATION_ALREADY_EXISTS; clear the paths
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for ns in ("dd_prodns", "dd_devns"):
+        spark.sql(f"drop table if exists {ns}.items")
+        shutil.rmtree(f"{wh}/{ns}.db/items", ignore_errors=True)
     rows = [Row(id=i, v=float(i)) for i in range(10)]
     spark.createDataFrame(rows).write.mode("overwrite").saveAsTable("dd_prodns.items")
     spark.createDataFrame(rows[1:]).write.mode("overwrite").saveAsTable("dd_devns.items")
