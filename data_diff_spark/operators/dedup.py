@@ -353,6 +353,130 @@ def duckdb_simhash(col: str, bits: int = SIMHASH_BITS) -> str:
     return "(" + "::BIGINT + ".join(terms) + "::BIGINT)"
 
 
+# --- connected components / cluster resolution ------------------------------
+
+
+def components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list: (id, component)
+    where component = the MINIMUM id reachable from `id` — deterministic
+    regardless of iteration order, so the output is oracle-able.
+
+    Min-label propagation with pointer jumping, all DataFrame ops:
+      1. neighbor-min:  l(v) <- min(l(v), min_{(v,u) in E} l(u))
+      2. pointer-jump:  l(v) <- l(l(v))   (path doubling)
+    Step 1 alone converges in O(diameter) rounds; the jump makes it
+    O(log diameter) (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — same contraction idea as their large-star). Each
+    round is two shuffles on `id`; frames are localCheckpoint'ed so lineage
+    stays flat (an iterative plan otherwise doubles every round and the
+    optimizer chokes long before the cluster does). Near-dup graphs have
+    tiny diameters (clusters are quasi-cliques: every member shares most
+    shingles), so 2-4 rounds is typical at any corpus size.
+
+    Convergence is detected by an exact changed-label count (join old vs
+    new), not a fancy monotone proxy — one extra co-partitioned join per
+    round on frames that are already cached.
+
+    Only ids that appear in `pairs` are returned; use assign_clusters() to
+    extend the mapping to singleton documents."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for it in range(max_iter):
+        # 1. neighbor-min: messages flow dst-label -> src, min with own label
+        msgs = edges.join(
+            labels.select(F.col("id").alias("dst"), "lbl"), "dst"
+        ).select(F.col("src").alias("id"), "lbl")
+        nm = (
+            msgs.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # 2. pointer jump: l(v) <- l(l(v)).  Invariant l(v) <= v holds under
+        # min-propagation, so the jump only ever decreases labels.
+        j = nm.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
+        new = nm.join(j, "lbl", "left").select(
+            "id", F.coalesce(F.least("lbl", "lbl2"), F.col("lbl")).alias("lbl")
+        ).localCheckpoint()
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components: no convergence after {max_iter} iterations")
+    logger.info("components: converged after %d round(s)", it + 1)
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def assign_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every row of `df` tagged with its near-dup cluster id: the component
+    min-id for paired docs, the doc's own id for singletons. The component
+    map is tiny relative to the corpus (only docs that had a candidate
+    pair), so the join is broadcast — the full corpus is never shuffled."""
+    comp = components(pairs)
+    return df.join(
+        F.broadcast(comp.withColumnRenamed("id", id_col)), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("component", F.col(id_col))).drop("component")
+
+
+def dedup_resolve(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score: Optional[Column] = None,
+) -> DataFrame:
+    """Cluster near-duplicates and keep ONE canonical doc per cluster:
+    highest `score` (default: functions.text.quality_score on `text`),
+    ties broken by maximum id — fully deterministic. Returns one row per
+    cluster: (cluster_id, kept_id, n_members, kept_score).
+
+    This is the end of the dedup pipeline: pairs (LSH) -> clusters
+    (components) -> survivors. Scoring is map-only over the corpus; the
+    per-cluster argmax is ONE map-side-combinable aggregation —
+    max(struct(score, id)) compares lexicographically, so no window, no
+    join-back, no sort of the full corpus; the shuffle carries one struct
+    per (cluster, map partition)."""
+    from data_diff_spark.functions.text import quality_score
+
+    sc = score if score is not None else quality_score(F.col("text"))
+    scored = assign_clusters(df, pairs, id_col).select(
+        "cluster_id", F.col(id_col).alias("id"), sc.alias("score")
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(F.struct("score", "id")).alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("best.id").alias("kept_id"),
+            "n_members",
+            F.col("best.score").alias("kept_score"),
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,

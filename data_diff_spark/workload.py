@@ -715,6 +715,73 @@ from p where inter::double / (sa + sb - inter) >= {threshold}
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering end-to-end: LSH pairs -> connected components
+    (min-label + pointer jumping, operators/dedup.py:components) -> every
+    document tagged with its cluster id (own id for singletons)."""
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = DD.minhash_lsh_dedup(docs, threshold=0.8)
+    return DD.assign_clusters(docs, pairs).select("doc_id", "cluster_id")
+
+
+def q_dedup_resolve(spark, sf_dir):
+    """The full dedup pipeline's last stage: one surviving document per
+    near-dup cluster (highest quality_score, ties -> max doc_id), plus
+    cluster size. Singleton docs survive trivially (n_members=1)."""
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = DD.minhash_lsh_dedup(docs, threshold=0.8)
+    return DD.dedup_resolve(docs, pairs)
+
+
+def _components_cte(threshold: float = 0.8) -> str:
+    """DuckDB CTE chain replaying pairs -> connected components: transitive
+    closure by recursive CTE (UNION dedups visited (src,node) rows), then
+    component = min reachable node. Must be spliced into a WITH RECURSIVE."""
+    ng = TX.duckdb_word_ngrams("text", 3)
+    return f"""
+t as (select doc_id, list_distinct({ng}) as s from documents),
+p as (select a.doc_id as id_a, b.doc_id as id_b
+      from t a join t b on a.doc_id < b.doc_id
+      where len(list_intersect(a.s, b.s))::double
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}),
+e as (select id_a as a, id_b as b from p union select id_b, id_a from p),
+walk(src, node) as (
+  select a, a from e
+  union
+  select w.src, e.b from walk w join e on w.node = e.a
+),
+comp as (select src as doc_id, min(node) as cluster_id from walk group by src)
+"""
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+with recursive {_components_cte()}
+select d.doc_id, coalesce(c.cluster_id, d.doc_id) as cluster_id
+from documents d left join comp c using (doc_id)
+"""
+
+
+def _dedup_resolve_oracle() -> str:
+    q = TX.duckdb_quality_score("text")
+    return f"""
+with recursive {_components_cte()},
+scored as (
+  select coalesce(c.cluster_id, d.doc_id) as cluster_id, d.doc_id as id, {q} as score
+  from documents d left join comp c using (doc_id)
+),
+ranked as (
+  select *, row_number() over (partition by cluster_id order by score desc, id desc) as rn,
+         count(*) over (partition by cluster_id) as n_members
+  from scored
+)
+select cluster_id, id as kept_id, n_members, score as kept_score
+from ranked where rn = 1
+"""
+
+
 def q_simhash_neardup_pairs(spark, sf_dir):
     load_views(spark, sf_dir)
     return DD.simhash_pairs(spark.table("documents"), max_hamming=3).withColumn(
@@ -1124,6 +1191,8 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _jaccard_pairs_oracle()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _jaccard_pairs_oracle()),
+    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
+    "dedup_resolve": (q_dedup_resolve, _dedup_resolve_oracle()),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, _simhash_pairs_oracle()),
     "cosine_topk_exact": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_neardup_lsh": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),

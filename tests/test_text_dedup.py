@@ -222,3 +222,73 @@ def test_simhash_pair_completeness_vs_bruteforce(docs):
     )
     fast = sorted((r.id_a, r.id_b) for r in DD.simhash_pairs(docs, max_hamming=3).collect())
     assert fast == brute
+
+
+# --- connected components / cluster resolution -------------------------------
+
+
+def test_components_chain_and_clique(spark):
+    # chain 1-2-3-4-5 (diameter 4, forces >1 round) + clique {10,11,12} +
+    # isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a int, id_b int",
+    )
+    got = {r["id"]: r["component"] for r in DD.components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_components_long_path_pointer_jumping(spark):
+    # a 64-node path: naive min-propagation needs 63 rounds; pointer jumping
+    # must converge well under the max_iter=50 guard (O(log d) ~ 7)
+    n = 64
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a int, id_b int")
+    got = DD.components(pairs)
+    assert got.select("component").distinct().count() == 1
+    assert got.count() == n + 1
+
+
+def test_components_string_ids_and_reversed_edges(spark):
+    # min is lexicographic for string ids; edges may arrive in either order
+    pairs = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_c", "doc_b"), ("zz", "yy")],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["component"] for r in DD.components(pairs).collect()}
+    assert got == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+        "yy": "yy", "zz": "yy",
+    }
+
+
+def test_assign_clusters_covers_singletons(edge):
+    pairs = edge.sparkSession.createDataFrame([(1, 2)], "id_a int, id_b int")
+    out = DD.assign_clusters(edge, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got[1] == 1 and got[2] == 1
+    for singleton in (3, 4, 5, 6, 7):
+        assert got[singleton] == singleton
+    assert out.count() == edge.count()  # no rows lost or duplicated
+
+
+def test_dedup_resolve_keeps_best_per_cluster(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs far away"),
+            (2, "#### $$$$ 1234 !!!! ...."),  # same cluster, junk -> lower quality
+            (3, "zzz"),                   # singleton
+        ],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    out = {r["cluster_id"]: r for r in DD.dedup_resolve(df, pairs).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["kept_id"] == 1 and out[1]["n_members"] == 2
+    assert out[3]["kept_id"] == 3 and out[3]["n_members"] == 1
+    # deterministic tie-break: equal scores -> max id wins
+    tie = spark.createDataFrame(
+        [(5, "same text"), (6, "same text")], "doc_id int, text string"
+    )
+    tie_pairs = spark.createDataFrame([(5, 6)], "id_a int, id_b int")
+    (row,) = DD.dedup_resolve(tie, tie_pairs).collect()
+    assert row["kept_id"] == 6 and row["n_members"] == 2
