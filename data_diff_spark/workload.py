@@ -715,6 +715,53 @@ from p where inter::double / (sa + sb - inter) >= {threshold}
 """
 
 
+def q_docs_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-hash ranges —
+    reproducible on any cluster layout and replayable in any engine with
+    md5 (functions/sampling.py)."""
+    from data_diff_spark.functions import sampling as SMP
+
+    load_views(spark, sf_dir)
+    return SMP.split_assign(
+        spark.table("documents"), {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"]
+    ).select("doc_id", "split")
+
+
+def _docs_split_oracle() -> str:
+    from data_diff_spark.functions import sampling as SMP
+
+    expr = SMP.duckdb_split_assign_expr({"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"])
+    return f"select doc_id, {expr} as split from documents"
+
+
+def q_docs_stratified_sample(spark, sf_dir):
+    """Deterministic 20-per-language sample: hash-ranked row_number within
+    each stratum, map-side pruned via WindowGroupLimit[Partial]."""
+    from data_diff_spark.functions import sampling as SMP
+
+    load_views(spark, sf_dir)
+    return SMP.stratified_sample(
+        spark.table("documents"), ["lang"], 20, ["doc_id"]
+    ).select("doc_id", "lang")
+
+
+def _docs_stratified_oracle() -> str:
+    from data_diff_spark.functions.sampling import duckdb_hash60
+
+    h = duckdb_hash60("concat_ws(chr(31), '', doc_id::varchar)")
+    return f"""
+with ranked as (
+  select doc_id, lang,
+         row_number() over (
+           partition by lang
+           order by {h} asc, concat_ws(chr(31), '', doc_id::varchar) asc
+         ) as rn
+  from documents
+)
+select doc_id, lang from ranked where rn <= 20
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering end-to-end: LSH pairs -> connected components
     (min-label + pointer jumping, operators/dedup.py:components) -> every
@@ -1191,6 +1238,8 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _jaccard_pairs_oracle()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _jaccard_pairs_oracle()),
+    "docs_split_assign": (q_docs_split_assign, _docs_split_oracle()),
+    "docs_stratified_sample": (q_docs_stratified_sample, _docs_stratified_oracle()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_resolve": (q_dedup_resolve, _dedup_resolve_oracle()),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, _simhash_pairs_oracle()),

@@ -1,0 +1,84 @@
+"""Deterministic sampling invariants: stability under repartitioning,
+split disjointness/completeness, stratified exactness, salt decorrelation.
+Cross-engine value parity is covered by the oracle gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_diff_spark.functions import sampling as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_sample_stable_under_repartition(docs):
+    a = sorted(r["doc_id"] for r in S.hash_sample(docs, 0.2, ["doc_id"]).select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in S.hash_sample(docs.repartition(13), 0.2, ["doc_id"]).select("doc_id").collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_hash_sample_fraction_roughly_holds(docs):
+    n = docs.count()
+    got = S.hash_sample(docs, 0.5, ["doc_id"]).count()
+    assert 0.35 * n < got < 0.65 * n  # binomial tolerance at n=50..500
+
+
+def test_hash_sample_nested_fractions(docs):
+    # same salt: a 10% sample is a subset of a 30% sample (threshold nesting)
+    small = {r["doc_id"] for r in S.hash_sample(docs, 0.1, ["doc_id"]).collect()}
+    big = {r["doc_id"] for r in S.hash_sample(docs, 0.3, ["doc_id"]).collect()}
+    assert small <= big
+
+
+def test_salt_decorrelates(docs):
+    a = {r["doc_id"] for r in S.hash_sample(docs, 0.3, ["doc_id"], salt="a").collect()}
+    b = {r["doc_id"] for r in S.hash_sample(docs, 0.3, ["doc_id"], salt="b").collect()}
+    assert a != b
+
+
+def test_split_assign_disjoint_complete(docs):
+    out = S.split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"])
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+
+
+def test_split_assign_degenerate_single(docs):
+    out = S.split_assign(docs, {"all": 1.0}, ["doc_id"])
+    assert out.filter(F.col("split") != "all").count() == 0
+
+
+def test_split_weights_validation(docs):
+    with pytest.raises(ValueError):
+        S.split_assign(docs, {}, ["doc_id"])
+    with pytest.raises(ValueError):
+        S.hash_sample(docs, 1.5, ["doc_id"])
+
+
+def test_stratified_exact_n_and_deterministic(docs):
+    out = S.stratified_sample(docs, ["lang"], 5, ["doc_id"])
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(5, avail[lang])
+    again = S.stratified_sample(docs.repartition(7), ["lang"], 5, ["doc_id"])
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_stratified_plan_has_partial_group_limit(docs):
+    # the rank must prune map-side: WindowGroupLimit[Partial] below the
+    # exchange (SPARK-37099) so the shuffle carries <= n rows per stratum
+    # per map partition
+    plan = (
+        S.stratified_sample(docs, ["lang"], 5, ["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
