@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--assume-unique-key", action="store_true",
                    help="skip the duplicate-key validation query")
     p.add_argument("--skip-null-keys", action="store_true")
+    p.add_argument("--no-null-safe-keys", action="store_true",
+                   help="join keys with = instead of <=> so tables bucketed on "
+                        "the key diff with zero shuffle (keys must be non-null)")
     p.add_argument("--explain", action="store_true",
                    help="print the physical plan of the diff instead of executing it")
     p.add_argument("-i", "--interactive", action="store_true",
@@ -275,6 +278,7 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
             validate_unique_key=not args.assume_unique_key
             and args.algorithm in ("joindiff", "auto"),
             skip_null_keys=args.skip_null_keys,
+            null_safe_keys=not args.no_null_safe_keys,
         )
 
         if args.explain or args.interactive:

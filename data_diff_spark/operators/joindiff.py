@@ -65,10 +65,23 @@ def _value_eq(a: Column, b: Column, dt1, dt2, p1, p2, k1=None, k2=None) -> Colum
     return normalize_as_string(a, dt1, p1).eqNullSafe(normalize_as_string(b, dt2, p2))
 
 
-def joined_frame(t1: TableSegment, t2: TableSegment) -> Tuple[DataFrame, List[str], List[str]]:
+def joined_frame(
+    t1: TableSegment, t2: TableSegment, null_safe_keys: bool = True
+) -> Tuple[DataFrame, List[str], List[str]]:
     """The annotated full-outer join (reference _outerjoin,
     joindiff_tables.py:74-95): per-column __diff_<col> flags plus
-    is_exclusive_a / is_exclusive_b presence flags."""
+    is_exclusive_a / is_exclusive_b presence flags.
+
+    null_safe_keys=False joins with plain `=` instead of `<=>`. Spark
+    rewrites a null-safe join key to (coalesce(k, default), isnull(k))
+    pairs, whose hash partitioning can never match a bucketed table's
+    HashPartitioning(k) — so `<=>` forces a full shuffle of both sides
+    even when both are bucketed on the key (measured: 2 exchanges vs 0).
+    With plain `=`, diffing two tables bucketed on the key is a
+    ZERO-SHUFFLE sort-merge join — the 100 TB repeated-diff path. Safe
+    whenever keys are non-null (the reference raises on null PKs by
+    default; run check_null_keys first). Null-keyed rows, if any survive,
+    surface as exclusive rows on both sides instead of matching."""
     cols1, cols2 = _check_consistent(t1, t2)
     dt1 = {f.name: f.dataType for f in t1.schema.fields}
     dt2 = {f.name: f.dataType for f in t2.schema.fields}
@@ -88,7 +101,7 @@ def joined_frame(t1: TableSegment, t2: TableSegment) -> Tuple[DataFrame, List[st
             # refined key kinds (e.g. uuid-in-string): join on canonical form
             ca = _norm_kind(ca, dt1[k1], t1.precision_overrides.get(k1), ka)
             cb = _norm_kind(cb, dt2[k2], t2.precision_overrides.get(k2), kb)
-        cond = ca.eqNullSafe(cb)
+        cond = ca.eqNullSafe(cb) if null_safe_keys else (ca == cb)
         on = cond if on is None else on & cond
     j = a.join(b, on=on, how="full_outer")
 
@@ -118,14 +131,17 @@ def joined_frame(t1: TableSegment, t2: TableSegment) -> Tuple[DataFrame, List[st
     return j, cols1, cols2
 
 
-def join_diff(t1: TableSegment, t2: TableSegment) -> DataFrame:
+def join_diff(
+    t1: TableSegment, t2: TableSegment, null_safe_keys: bool = True
+) -> DataFrame:
     """The diff DataFrame: (sign, *columns-of-table-1's-names).
 
     Single join, single pass: each joined row explodes into 0, 1 or 2 output
     rows (array_compact drops the non-applicable side), so the join is never
-    recomputed for a union of branches.
+    recomputed for a union of branches. See joined_frame for null_safe_keys
+    (the bucketed zero-shuffle path).
     """
-    j, cols1, cols2 = joined_frame(t1, t2)
+    j, cols1, cols2 = joined_frame(t1, t2, null_safe_keys=null_safe_keys)
     nkeys = len(t1.key_columns)
     diff_cols = [f"__diff_{c}" for c in cols1[nkeys:]]
 

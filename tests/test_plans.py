@@ -142,3 +142,42 @@ def test_hashdiff_zero_diff_reads_no_phase2(spark, sf_dir):
     t2 = table_segment(orders, ["o_orderkey"])
     d = hash_diff(t1, t2, n_buckets=64)
     assert d.count() == 0
+
+
+def test_bucketed_joindiff_zero_shuffle(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed on the diff key + null_safe_keys=False must
+    full-outer sort-merge join with NO Exchange and NO Sort (bucketed scan
+    is already hash-partitioned and sorted) — the repeated-diff-at-100TB
+    path. A null-safe key (`<=>`) would reintroduce both exchanges."""
+    from data_diff_spark.diff import diff_tables
+    from data_diff_spark.sources.connect import write_bucketed
+    from data_diff_spark.table import table_segment
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    modified = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 50 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    for name, df in (("_bk_a", orders), ("_bk_b", modified)):
+        spark.sql(f"drop table if exists {name}")
+        write_bucketed(df, name, ["o_orderkey"], 8)
+    t1 = table_segment(spark.table("_bk_a"), ["o_orderkey"])
+    t2 = table_segment(spark.table("_bk_b"), ["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = diff_tables(t1, t2, null_safe_keys=False)
+        plan = plan_of(res.df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and the result is still the right diff: 2 rows per modified key
+        assert res.df.count() == 2 * orders.filter(F.col("o_orderkey") % 50 == 0).count()
+        # control: the null-safe default DOES shuffle both sides
+        ctrl = diff_tables(t1, t2, null_safe_keys=True)
+        assert "Exchange" in plan_of(ctrl.df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("_bk_a", "_bk_b"):
+            spark.sql(f"drop table if exists {name}")
