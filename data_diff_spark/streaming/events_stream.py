@@ -97,3 +97,24 @@ def hourly_rollup_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFram
     table — used by the workload registry and oracle-checked against the
     batch SQL."""
     return run_to_completion(hourly_rollup(events_stream(spark, sf_dir)))
+
+
+def streaming_dedup(stream: DataFrame, keys, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once projection of an at-least-once stream: stateful
+    dropDuplicatesWithinWatermark keeps one row per key, with state BOUNDED
+    by the watermark horizon (a plain dropDuplicates would keep every key
+    forever — unusable on an unbounded stream). This is the standard
+    Kafka-redelivery / retry-storm guard in front of every downstream agg."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def streaming_dedup_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline run to completion on bounded input with every
+    event delivered TWICE (the stream unioned with itself): 2N rows in,
+    N out, equal to the batch DISTINCT — which the driver's oracle checks."""
+    s = events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    return run_to_completion(
+        streaming_dedup(doubled, ["event_id"]).select("event_id", "event_type", "value"),
+        mode="append",
+    )

@@ -1179,6 +1179,21 @@ def q_events_hourly_stream(spark, sf_dir):
     return hourly_rollup_batch_equivalent(spark, sf_dir)
 
 
+def q_events_dedup_stream(spark, sf_dir):
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark): every
+    event delivered twice, exactly one survives — the at-least-once ->
+    exactly-once guard, with state bounded by the watermark horizon."""
+    from data_diff_spark.streaming.events_stream import streaming_dedup_batch_equivalent
+
+    load_views(spark, sf_dir)
+    return streaming_dedup_batch_equivalent(spark, sf_dir)
+
+
+ORACLE_EVENTS_DEDUP_STREAM = """
+select event_id, event_type, value from events
+"""
+
+
 def q_joindiff_mixed_precision(spark, sf_dir):
     """Automatic precision unification (unify.py; reference
     _validate_and_adjust_columns, hashdiff_tables.py:118-167): side B holds
@@ -1259,5 +1274,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "checksum_orders_keyrange": (q_checksum_orders_keyrange, ORACLE_CHECKSUM_KEYRANGE),
     "get_values_orders": (q_get_values_orders, _get_values_oracle()),
     "events_sessionize_stream": (q_events_sessionize_stream, SESSIONIZE_ORACLE),
+    "events_dedup_stream": (q_events_dedup_stream, ORACLE_EVENTS_DEDUP_STREAM),
     "joindiff_mixed_precision": (q_joindiff_mixed_precision, ORACLE_MIXED_PRECISION),
 }

@@ -69,3 +69,40 @@ def test_late_data_dropped_and_append_emits_closed_windows(spark, staged_dir):
     row = got[0]
     assert str(row.hour) == "2024-01-01 10:00:00"
     assert row.n == 2 and row.sv == 3.0  # the 05:00 late event (8.0) dropped
+
+
+def test_streaming_dedup_across_batches(spark):
+    """A key redelivered in a LATER micro-batch (within the watermark
+    horizon) must still be dropped — state carries across batches."""
+    from data_diff_spark.streaming.events_stream import run_to_completion, streaming_dedup
+
+    out = os.path.join(SCRATCH, "dedup_events")
+    os.makedirs(out, exist_ok=True)
+    for old in os.listdir(out):
+        os.remove(os.path.join(out, old))
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 10:05:00", 2.0)],
+        [(1, "2024-01-01 10:10:00", 99.0), (3, "2024-01-01 10:20:00", 3.0)],  # 1 redelivered
+    ]
+    for i, rows in enumerate(batches):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "value": [r[2] for r in rows],
+            }
+        ).to_parquet(os.path.join(out, f"b{i}.parquet"), coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+        os.utime(os.path.join(out, f"b{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+    schema = spark.read.parquet(out).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(out)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = run_to_completion(
+        streaming_dedup(stream, ["event_id"], watermark="1 hour").select("event_id", "value"),
+        mode="append",
+    )
+    rows = {r["event_id"]: r["value"] for r in got.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == 1.0  # the FIRST delivery wins; the batch-2 copy was dropped
