@@ -22,10 +22,36 @@ from __future__ import annotations
 from typing import Callable, Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_diff_spark.table import TableSegment, table_segment
 
 Reader = Callable[[SparkSession, str, dict], DataFrame]
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Schema-adaptive timestamp ingestion for the driver's events table.
+
+    The testdata generator has shipped `ts` two ways across rounds:
+    TIMESTAMP(NANOS) (which Spark only reads via
+    spark.sql.legacy.parquet.nanosAsLong=true, surfacing a long of epoch
+    nanos) and plain timestamp[us] (surfacing TIMESTAMP_NTZ). Adapt to
+    whichever we got instead of hard-coding one: longs are truncated
+    ns -> us with integer division (ns values exceed 2^53, float division
+    would lose microseconds); TIMESTAMP_NTZ is cast to TIMESTAMP (sessions
+    pin spark.sql.session.timeZone=UTC, so the cast is value-identical and
+    keeps watermarks legal — Spark requires TIMESTAMP event time). DuckDB
+    reads the same file to the same µs values, so the oracle sides stay
+    bit-identical either way.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 _REGISTRY: Dict[str, Reader] = {}
 

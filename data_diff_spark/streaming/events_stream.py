@@ -40,8 +40,10 @@ def _as_stream_dir(sf_dir: str, table: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same nanos->micros
+    """readStream over the events parquet with the same schema-adaptive ts
     normalization as the batch path (workload.load_views)."""
+    from data_diff_spark.sources.connect import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
@@ -49,7 +51,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_as_stream_dir(sf_dir, "events"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def hourly_rollup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_diff_spark import diff_tables, table_segment
+from data_diff_spark.sources.connect import normalize_event_ts
 from data_diff_spark.operators import joindiff as jd
 from data_diff_spark.operators import hashdiff as hd
 
@@ -36,23 +37,19 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     oracle side, where DuckDB pre-registers the same names). Memoized per
     (session, sf_dir).
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; we read nanos as long (legacy conf) and truncate to microseconds
-    — exactly what DuckDB does when it reads the same file, so the two
-    engines see identical values.
+    events.parquet has shipped `ts` as both TIMESTAMP(NANOS) and
+    timestamp[us] across driver rounds; normalize_event_ts adapts to
+    whichever schema this round's files carry.
     """
     key = (id(spark), sf_dir)
     if key in _LOADED_VIEWS:
         return
-    _LOADED_VIEWS.add(key)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cores = spark.sparkContext.defaultParallelism
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t == "events":
-            # integer division — ns values exceed 2^53, float division would
-            # lose microseconds
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = normalize_event_ts(df)
         # The driver's testdata is single-row-group parquet: the scan is ONE
         # task no matter how many cores exist, so every per-row pipeline
         # (md5 checksums, normalization) would run single-threaded. Rebalance
@@ -63,6 +60,9 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         ):
             df = df.repartition(cores * 2)
         df.createOrReplaceTempView(t)
+    # memoize only after every view registered — a partial failure must not
+    # poison later calls with missing views
+    _LOADED_VIEWS.add(key)
 
 
 # --- deterministic "modified" tables for diff queries ----------------------

@@ -56,10 +56,10 @@ def test_streaming_rollup_equals_batch(spark, sf_dir):
     from data_diff_spark.streaming.events_stream import hourly_rollup_batch_equivalent
 
     got = hourly_rollup_batch_equivalent(spark, sf_dir)
+    from data_diff_spark.sources.connect import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     want = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(

@@ -60,10 +60,10 @@ def test_state_carries_across_batches(spark, sf_dir, split_events_dir):
     )
 
     # batch truth via window functions over the same (micros-truncated) data
+    from data_diff_spark.sources.connect import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)
