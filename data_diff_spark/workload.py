@@ -1223,6 +1223,73 @@ from events where event_id % 100 = 7
 """
 
 
+# --- temporal joins (operators/temporal.py; no reference counterpart — the
+# sqeleton AST stops at equi/theta joins, ast_classes.py) --------------------
+
+
+def q_asof_purchase(spark, sf_dir):
+    """As-of join: every event tagged with the user's most recent purchase
+    at-or-before it (backward, ties match). Spark side is the zero-join
+    union+window design — ONE shuffle on user_id; the oracle is DuckDB's
+    native ASOF LEFT JOIN, so the semantics are pinned against an
+    independent implementation, not our own brute force."""
+    from data_diff_spark.operators.temporal import asof_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "ts", "event_type", "value")
+    purchases = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    return asof_join(ev, purchases, on="ts", by=["user_id"], prefix="purchase_")
+
+
+ORACLE_ASOF_PURCHASE = """
+select e.event_id, e.user_id, e.ts, e.event_type, e.value,
+       p.ts as purchase_ts, p.value as purchase_value
+from events e
+asof left join (select user_id, ts, value from events where event_type = 'purchase') p
+  on e.user_id = p.user_id and e.ts >= p.ts
+"""
+
+
+def q_range_join_attribution(spark, sf_dir):
+    """Interval-overlap join: events attributed to the 30-minute window
+    after each same-user purchase (the classic ad-attribution shape).
+    Executes as a bucketed-bin EQUI-join (intervals exploded to 30-min
+    bins), not the BroadcastNestedLoop Catalyst would pick for the raw
+    inequality join; test_plans pins that."""
+    from data_diff_spark.operators.temporal import interval_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "ts", "event_type")
+    intervals = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
+        )
+    )
+    return interval_join(
+        ev, intervals, by=["user_id"], bin_width="30 minutes", closed="left"
+    ).select("purchase_id", "event_id", "user_id", "ts", "event_type")
+
+
+ORACLE_RANGE_JOIN = """
+select p.event_id as purchase_id, e.event_id, e.user_id, e.ts, e.event_type
+from events e
+join events p
+  on e.user_id = p.user_id
+ and p.event_type = 'purchase'
+ and e.ts >= p.ts
+ and e.ts < p.ts + interval 30 minute
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1276,4 +1343,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_sessionize_stream": (q_events_sessionize_stream, SESSIONIZE_ORACLE),
     "events_dedup_stream": (q_events_dedup_stream, ORACLE_EVENTS_DEDUP_STREAM),
     "joindiff_mixed_precision": (q_joindiff_mixed_precision, ORACLE_MIXED_PRECISION),
+    "asof_join_purchase": (q_asof_purchase, ORACLE_ASOF_PURCHASE),
+    "range_join_attribution": (q_range_join_attribution, ORACLE_RANGE_JOIN),
 }

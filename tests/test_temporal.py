@@ -1,0 +1,188 @@
+"""Temporal joins: as-of (backward/forward/tolerance) and interval join.
+
+Each case is pinned against a brute-force inequality-join argmax on the
+same data, and the workload query against DuckDB's native ASOF JOIN —
+an independent implementation of the same semantics (the reference engine
+has no temporal joins; /root/reference/data_diff/queries/ast_classes.py
+stops at equi/theta joins).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_diff_spark.operators.temporal import asof_join, interval_join
+
+
+@pytest.fixture(scope="module")
+def ev(spark, sf_dir):
+    from data_diff_spark.sources.connect import normalize_event_ts
+
+    return normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def purchases(ev):
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+
+
+def _brute_backward(ev, purchases):
+    return (
+        ev.alias("e")
+        .join(
+            purchases.alias("p"),
+            (F.col("e.user_id") == F.col("p.user_id")) & (F.col("e.ts") >= F.col("p.ts")),
+            "left",
+        )
+        .groupBy("e.event_id")
+        .agg(F.max(F.struct(F.col("p.ts").alias("mts"), F.col("p.purchase_value").alias("mv"))).alias("b"))
+        .select("event_id", F.col("b.mts").alias("mts"), F.col("b.mv").alias("mv"))
+    )
+
+
+def test_asof_backward_matches_bruteforce(ev, purchases):
+    got = asof_join(
+        ev.select("event_id", "user_id", "ts"), purchases, on="ts", by=["user_id"], prefix="purchase_"
+    )
+    a = {r["event_id"]: (r["purchase_ts"], r["purchase_value"]) for r in got.collect()}
+    b = {r["event_id"]: (r["mts"], r["mv"]) for r in _brute_backward(ev, purchases).collect()}
+    assert a == b
+    # sanity: some matched, some not (first events of a user precede any purchase)
+    assert any(v[0] is not None for v in a.values())
+    assert any(v[0] is None for v in a.values())
+
+
+def test_asof_forward_matches_bruteforce(ev, purchases):
+    got = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by=["user_id"],
+        direction="forward",
+        prefix="purchase_",
+    )
+    brute = (
+        ev.alias("e")
+        .join(
+            purchases.alias("p"),
+            (F.col("e.user_id") == F.col("p.user_id")) & (F.col("e.ts") <= F.col("p.ts")),
+            "left",
+        )
+        .groupBy("e.event_id")
+        .agg(F.min("p.ts").alias("mts"))
+    )
+    a = {r["event_id"]: r["purchase_ts"] for r in got.collect()}
+    b = {r["event_id"]: r["mts"] for r in brute.collect()}
+    assert a == b
+
+
+def test_asof_tolerance_nulls_out_stale_matches(ev, purchases):
+    tol = datetime.timedelta(minutes=30)
+    got = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by=["user_id"],
+        tolerance="30 minutes",
+        prefix="purchase_",
+    )
+    ts_of = {r["event_id"]: r["ts"] for r in ev.select("event_id", "ts").collect()}
+    brute = {r["event_id"]: r["mts"] for r in _brute_backward(ev, purchases).collect()}
+    want = {
+        k: (v if v is not None and ts_of[k] - v <= tol else None) for k, v in brute.items()
+    }
+    a = {r["event_id"]: r["purchase_ts"] for r in got.collect()}
+    assert a == want
+    assert a != brute  # the tolerance actually fired on this data
+
+
+def test_asof_tie_at_equal_ts_matches(spark):
+    left = spark.createDataFrame([(1, 100, "L")], "k int, t int, v string")
+    right = spark.createDataFrame([(1, 100, 7.0)], "k int, t int, rv double")
+    # requires integer `on` to also work (no interval arithmetic involved)
+    out = asof_join(left, right, on="t", by=["k"]).collect()
+    assert out[0]["rv"] == 7.0  # right row at equal ts matches backward
+
+
+def test_asof_rejects_empty_by(spark):
+    df = spark.range(1).select(F.col("id").alias("t"))
+    with pytest.raises(ValueError, match="by"):
+        asof_join(df, df, on="t", by=[])
+
+
+def test_asof_single_shuffle_no_join(ev, purchases):
+    from tests.test_plans import plan_of
+
+    got = asof_join(
+        ev.select("event_id", "user_id", "ts"), purchases, on="ts", by=["user_id"]
+    )
+    plan = plan_of(got)
+    # zero-join design: a window over the union, never a join operator
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2  # one per union leg
+
+
+def test_interval_join_matches_inequality_join(ev, purchases):
+    intervals = purchases.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    got = interval_join(pts, intervals, by=["user_id"], bin_width="30 minutes", closed="left")
+    want = pts.alias("e").join(
+        intervals.alias("i"),
+        (F.col("e.user_id") == F.col("i.user_id"))
+        & (F.col("e.ts") >= F.col("i.start_ts"))
+        & (F.col("e.ts") < F.col("i.end_ts")),
+    )
+    g = sorted((r["event_id"], r["start_ts"]) for r in got.collect())
+    w = sorted((r["event_id"], r["start_ts"]) for r in want.collect())
+    assert g == w and len(g) > 0
+
+
+def test_interval_join_closed_both_includes_end(spark):
+    pts = spark.createDataFrame(
+        [(1, 1, datetime.datetime(2024, 1, 1, 1, 0, 0))], "pid int, k int, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 0, 0), datetime.datetime(2024, 1, 1, 1, 0, 0))],
+        "k int, start_ts timestamp, end_ts timestamp",
+    )
+    both = interval_join(pts, iv, by=["k"], bin_width="15 minutes", closed="both")
+    left = interval_join(pts, iv, by=["k"], bin_width="15 minutes", closed="left")
+    assert both.count() == 1 and left.count() == 0
+
+
+def test_interval_join_no_nested_loop(ev, purchases):
+    from tests.test_plans import plan_of
+
+    intervals = purchases.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
+    )
+    plan = plan_of(
+        interval_join(ev.select("event_id", "user_id", "ts"), intervals, by=["user_id"])
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_max_bins_guard(spark):
+    from py4j.protocol import Py4JJavaError
+
+    pts = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "k int, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(1, datetime.datetime(2020, 1, 1), datetime.datetime(2025, 1, 1))],
+        "k int, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(Exception, match="interval_join|USER_RAISED"):
+        interval_join(pts, iv, by=["k"], bin_width="1 minute", max_bins=1000).count()
