@@ -357,6 +357,47 @@ def duckdb_quality_filter(
     return "(case " + " ".join(whens) + " else null end)"
 
 
+# --- PII redaction ----------------------------------------------------------
+
+# Patterns deliberately restricted to syntax Java regex and RE2 evaluate
+# identically (no lookaround, no backrefs). Order matters and is part of the
+# contract: SSN before phone, because an SSN body ("123-45-6789") also
+# matches the looser phone shape — each stage counts/replaces on the OUTPUT
+# of the previous stage.
+PII_PATTERNS: List[tuple] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """struct(text: redacted string, n_email, n_ssn, n_phone: match counts).
+    Pure Column pipeline — map-only, zero shuffle, JVM-side regex (no UDF);
+    at 100 TB this runs at scan speed inside WholeStageCodegen."""
+    cur = col
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return F.struct(cur.alias("text"), *counts)
+
+
+def duckdb_redact_pii(col: str) -> Dict[str, str]:
+    """DuckDB expressions replaying redact_pii stage-for-stage: dict with
+    'text' (redacted) and one 'n_<kind>' count per pattern. DuckDB's
+    regexp_replace is first-match-only by default — the 'g' flag is load-
+    bearing."""
+    cur = col
+    out: Dict[str, str] = {}
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        out[f"n_{name}"] = f"len(regexp_extract_all({cur}, '{p}'))::BIGINT"
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    out["text"] = cur
+    return out
+
+
 # --- minhash coefficients (shared with operators/dedup.py) ------------------
 
 

@@ -353,6 +353,92 @@ def duckdb_simhash(col: str, bits: int = SIMHASH_BITS) -> str:
     return "(" + "::BIGINT + ".join(terms) + "::BIGINT)"
 
 
+# --- benchmark decontamination ----------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag training documents that share word n-grams with an evaluation
+    benchmark — the standard pre-training decontamination pass (GPT-3
+    App. C / Llama-style 'n-gram overlap with eval sets'). Returns one row
+    per CONTAMINATED corpus doc: (id, n_grams, n_hits, n_bench_docs);
+    clean docs are absent (anti-join against this result to scrub).
+
+    Spark-first shape: both sides explode to distinct 60-bit n-gram hashes
+    (hash60, cross-engine reproducible) — an inverted-index equi-join, the
+    same never-all-pairs contract as jaccard_pairs. The benchmark side is
+    tiny by nature (eval sets are KBs-MBs vs a 100 TB corpus), so it is
+    broadcast by default: the corpus gram stream is filtered map-side and
+    ONLY hitting grams ever shuffle into the per-doc aggregation. Set
+    broadcast_benchmark=False if the benchmark is genuinely large (falls
+    back to a shuffled equi-join on the gram hash).
+    """
+    cg = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
+    ).withColumn("__g", hash60(F.col("__g")))
+    bg = (
+        benchmark.select(
+            F.col(bench_id_col).alias("__bid"),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
+        )
+        .withColumn("__g", hash60(F.col("__g")))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    n_grams = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("n_grams"),
+    )
+    hits = (
+        cg.join(bg, "__g")
+        .groupBy("__id")
+        .agg(
+            F.countDistinct("__g").alias("n_hits"),
+            F.countDistinct("__bid").alias("n_bench_docs"),
+        )
+    )
+    return (
+        hits.join(n_grams, "__id")
+        .select(F.col("__id").alias(id_col), "n_grams", "n_hits", "n_bench_docs")
+    )
+
+
+def duckdb_decontaminate(
+    bench_where: str,
+    text_col: str = "text",
+    n: int = 5,
+) -> str:
+    """DuckDB replica of decontaminate() over the documents view, with the
+    benchmark defined by a WHERE predicate on the same table."""
+    from data_diff_spark.functions.text import duckdb_hash60, duckdb_word_ngrams
+
+    ng = f"list_distinct({duckdb_word_ngrams(text_col, n)})"
+    return f"""
+with cg as (
+  select doc_id as id, {duckdb_hash60('g.g')} as g
+  from (select doc_id, unnest({ng}) as g from documents) g(doc_id, g)
+),
+bg as (
+  select distinct {duckdb_hash60('g.g')} as g, doc_id as bid
+  from (select doc_id, unnest({ng}) as g from documents where {bench_where}) g(doc_id, g)
+),
+ngr as (select doc_id as id, len({ng})::BIGINT as n_grams from documents)
+select cg.id as doc_id, any_value(ngr.n_grams) as n_grams,
+       count(distinct cg.g) as n_hits, count(distinct bg.bid) as n_bench_docs
+from cg join bg using (g) join ngr using (id)
+group by cg.id
+"""
+
+
 # --- connected components / cluster resolution ------------------------------
 
 

@@ -1290,6 +1290,80 @@ join events p
 """
 
 
+# --- training-pipeline ops round 3: decontamination, packing, PII ----------
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any 5-gram with the
+    'benchmark' subset (doc_id % 97 = 0 stands in for an eval set). The
+    benchmark gram set is broadcast — corpus grams are filtered map-side,
+    only hits shuffle (operators/dedup.py:decontaminate)."""
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = DD.decontaminate(docs, bench, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_bench_docs").cast("long").alias("n_bench_docs"),
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (concat-then-chunk, 512-token packs,
+    8 hash shards): every doc gets its (pack_id, pack_offset). Integer-only
+    and hash-sharded, so the oracle replays it bit-for-bit
+    (functions/packing.py)."""
+    from data_diff_spark.functions import packing as PK
+
+    load_views(spark, sf_dir)
+    return PK.pack_sequences(spark.table("documents"), budget=512, n_shards=8)
+
+
+def _pack_sequences_oracle() -> str:
+    from data_diff_spark.functions import packing as PK
+
+    return PK.duckdb_pack_sequences(budget=512, n_shards=8)
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction over documents with deterministically planted PII
+    (emails/SSN/phone derived from doc_id — the raw corpus is synthetic and
+    clean, planting makes every row exercise every pattern). Output carries
+    per-kind counts and the md5 of the redacted text, not the text itself."""
+    load_views(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 555-000-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789."),
+    )
+    r = TX.redact_pii(planted)
+    return spark.table("documents").select(
+        "doc_id",
+        r["n_email"].cast("long").alias("n_email"),
+        r["n_ssn"].cast("long").alias("n_ssn"),
+        r["n_phone"].cast("long").alias("n_phone"),
+        F.md5(r["text"]).alias("redacted_md5"),
+    )
+
+
+def _redact_pii_oracle() -> str:
+    planted = (
+        "text || ' contact user' || doc_id::VARCHAR || '@mail.example.com or +1 555-000-' "
+        "|| lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ssn 123-45-6789.'"
+    )
+    e = TX.duckdb_redact_pii(planted)
+    return f"""
+select doc_id, {e['n_email']} as n_email, {e['n_ssn']} as n_ssn,
+       {e['n_phone']} as n_phone, md5({e['text']}) as redacted_md5
+from documents
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1345,4 +1419,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "joindiff_mixed_precision": (q_joindiff_mixed_precision, ORACLE_MIXED_PRECISION),
     "asof_join_purchase": (q_asof_purchase, ORACLE_ASOF_PURCHASE),
     "range_join_attribution": (q_range_join_attribution, ORACLE_RANGE_JOIN),
+    "decontaminate_docs": (q_decontaminate, DD.duckdb_decontaminate("doc_id % 97 = 0", n=5)),
+    "pack_sequences_docs": (q_pack_sequences, _pack_sequences_oracle()),
+    "redact_pii_docs": (q_redact_pii, _redact_pii_oracle()),
 }
