@@ -464,9 +464,13 @@ def components(
     tiny diameters (clusters are quasi-cliques: every member shares most
     shingles), so 2-4 rounds is typical at any corpus size.
 
-    Convergence is detected by an exact changed-label count (join old vs
-    new), not a fancy monotone proxy — one extra co-partitioned join per
-    round on frames that are already cached.
+    Convergence: labels are monotonically non-increasing under min-
+    propagation, so for numeric ids sum(lbl) strictly decreases until the
+    fixed point and sum-unchanged ⟺ no label changed. The sum is exact
+    (decimal(38,0) — int64 ids over 10^10 rows overflow a bigint sum) and
+    costs ONE aggregate per round instead of an old/new join + count.
+    Non-numeric ids (no order-preserving exact sum) keep the join-based
+    changed-count.
 
     Only ids that appear in `pairs` are returned; use assign_clusters() to
     extend the mapping to singleton documents."""
@@ -480,6 +484,16 @@ def components(
         .select("id", F.col("id").alias("lbl"))
         .localCheckpoint()
     )
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["lbl"].dataType, NumericType)
+
+    def _lblsum(frame: DataFrame) -> object:
+        return frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = None  # first round always runs; no upfront sum job
     for it in range(max_iter):
         # 1. neighbor-min: messages flow dst-label -> src, min with own label
         msgs = edges.join(
@@ -496,13 +510,19 @@ def components(
         new = nm.join(j, "lbl", "left").select(
             "id", F.coalesce(F.least("lbl", "lbl2"), F.col("lbl")).alias("lbl")
         ).localCheckpoint()
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "id")
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
+        if numeric_ids:
+            new_sum = _lblsum(new)
+            changed = new_sum != prev_sum
+            prev_sum = new_sum
+        else:
+            changed = (
+                new.join(labels.withColumnRenamed("lbl", "old"), "id")
+                .filter(F.col("lbl") != F.col("old"))
+                .count()
+                > 0
+            )
         labels = new
-        if changed == 0:
+        if not changed:
             break
     else:
         raise RuntimeError(f"components: no convergence after {max_iter} iterations")
