@@ -166,6 +166,20 @@ def test_csv_json_schemes_roundtrip(spark, sf_dir):
     assert diff_tables(t_parquet, t_json).df.count() == 0
 
 
+def test_orc_scheme_roundtrip(spark, sf_dir):
+    from data_diff_spark import diff_tables
+    from data_diff_spark.sources.connect import connect_to_table
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orc_path = os.path.join(SCRATCH, "nation_orc")
+    base.write.mode("overwrite").orc(orc_path)
+
+    t_parquet = connect_to_table(spark, f"parquet://{sf_dir}/nation.parquet", ["n_nationkey"])
+    t_orc = connect_to_table(spark, f"orc://{orc_path}", ["n_nationkey"])
+    assert diff_tables(t_parquet, t_orc).df.count() == 0
+
+
 def test_cli_materialize(spark, sf_dir, mod_orders_path, tmp_path):
     out = os.path.join(SCRATCH, "cli_diff_out.parquet")
     rc = main(
