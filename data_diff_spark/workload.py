@@ -1290,6 +1290,18 @@ join events p
 """
 
 
+def q_range_join_stream(spark, sf_dir):
+    """Stream-stream interval join (watermarked, state-evicting) run to
+    completion on bounded input — same result, and same oracle, as the
+    batch range_join_attribution (streaming/temporal_stream.py)."""
+    from data_diff_spark.streaming.temporal_stream import (
+        attribution_stream_batch_equivalent,
+    )
+
+    load_views(spark, sf_dir)
+    return attribution_stream_batch_equivalent(spark, sf_dir)
+
+
 # --- training-pipeline ops round 3: decontamination, packing, PII ----------
 
 
@@ -1419,6 +1431,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "joindiff_mixed_precision": (q_joindiff_mixed_precision, ORACLE_MIXED_PRECISION),
     "asof_join_purchase": (q_asof_purchase, ORACLE_ASOF_PURCHASE),
     "range_join_attribution": (q_range_join_attribution, ORACLE_RANGE_JOIN),
+    "range_join_stream": (q_range_join_stream, ORACLE_RANGE_JOIN),
     "decontaminate_docs": (q_decontaminate, DD.duckdb_decontaminate("doc_id % 97 = 0", n=5)),
     "pack_sequences_docs": (q_pack_sequences, _pack_sequences_oracle()),
     "redact_pii_docs": (q_redact_pii, _redact_pii_oracle()),

@@ -174,6 +174,55 @@ def test_interval_join_no_nested_loop(ev, purchases):
     assert "CartesianProduct" not in plan
 
 
+def test_stream_stream_attribution_multibatch_equals_batch(spark, sf_dir, ev, purchases):
+    """Stream-stream interval join across MULTIPLE micro-batches (the split
+    fixture forces maxFilesPerTrigger=1 over 4 event-time-ordered files):
+    purchases buffered in join state must still match events arriving in
+    later batches — the result must equal the batch interval join."""
+    from tests.test_sessionize_state import split_events_dir as _mk  # fixture fn
+    from data_diff_spark.streaming.events_stream import run_to_completion
+    from data_diff_spark.streaming.temporal_stream import attribution_join
+
+    split_dir = _mk.__wrapped__(sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+
+    from data_diff_spark.sources.connect import normalize_event_ts
+
+    def stream():
+        return normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(split_dir)
+        )
+
+    got = run_to_completion(
+        attribution_join(stream(), stream().filter(F.col("event_type") == "purchase")),
+        mode="append",
+    )
+    intervals = purchases.select(
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
+    )
+    want = interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        intervals,
+        by=["user_id"],
+        bin_width="30 minutes",
+        closed="left",
+    )
+    g = sorted((r["event_id"], r["purchase_id"]) for r in got.collect())
+    w = sorted(
+        (r["event_id"], r["start_ts"]) for r in want.collect()
+    )
+    assert len(g) == len(w) > 0
+    # same (event, interval-start) multiset: map purchase_id -> its ts
+    p_ts = {r["event_id"]: r["ts"] for r in purchases.join(
+        ev.select("event_id", "ts", "user_id"), ["user_id", "ts"]).select("event_id", "ts").collect()}
+    g_ts = sorted((e, p_ts[p]) for e, p in g)
+    assert g_ts == w
+
+
 def test_interval_join_max_bins_guard(spark):
     from py4j.protocol import Py4JJavaError
 
