@@ -508,6 +508,59 @@ where p_partkey = l_partkey
 """
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): 8-table join, year extraction,
+    conditional aggregation, share = double division of exact decimal sums
+    — identical IEEE result in both engines given identical inputs."""
+    load_views(spark, sf_dir)
+    return spark.sql(TPCH_Q8_SQL)
+
+
+TPCH_Q8_SQL = """
+select o_year,
+       cast(cast(sum(case when nation = 'NATION_0' then volume else cast(0 as decimal(38,4)) end) as double)
+            / cast(sum(volume) as double) as double) as mkt_share
+from (
+  select year(o.o_orderdate) as o_year,
+         cast(l.l_extendedprice * (1 - l.l_discount) as decimal(38,4)) as volume,
+         n2.n_name as nation
+  from part p
+  join lineitem l on p.p_partkey = l.l_partkey
+  join orders o on l.l_orderkey = o.o_orderkey
+  join customer c on o.o_custkey = c.c_custkey
+  join nation n1 on c.c_nationkey = n1.n_nationkey
+  join region r on n1.n_regionkey = r.r_regionkey
+  join supplier s on l.l_suppkey = s.s_suppkey
+  join nation n2 on s.s_nationkey = n2.n_nationkey
+  where r.r_name = 'AMERICA' and p.p_type = 'PROMO'
+) t
+group by o_year
+order by o_year
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item report): top-20 customers by revenue lost
+    to returns; deterministic tie-break on the key."""
+    load_views(spark, sf_dir)
+    return spark.sql(TPCH_Q10_SQL)
+
+
+TPCH_Q10_SQL = """
+select c.c_custkey, c.c_name,
+       cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(38,4))) as double) as revenue,
+       c.c_acctbal, n.n_name
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+join nation n on c.c_nationkey = n.n_nationkey
+where l.l_returnflag = 'R'
+group by c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+order by revenue desc, c_custkey
+limit 20
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """EXCEPT ALL / INTERSECT surface (reference TableOp, ast_classes.py:548-563)."""
     load_views(spark, sf_dir)
@@ -1396,6 +1449,8 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tpch_q3": (q_tpch_q3, TPCH_Q3_SQL),
     "tpch_q5": (q_tpch_q5, TPCH_Q5_SQL),
     "tpch_q17_subquery": (q_tpch_q17, TPCH_Q17_SQL),
+    "tpch_q8_market_share": (q_tpch_q8, TPCH_Q8_SQL),
+    "tpch_q10_returns": (q_tpch_q10, TPCH_Q10_SQL),
     "set_ops_except": (q_set_ops, ORACLE_SET_OPS),
     "events_hourly": (q_events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (q_events_sessionize, SESSIONIZE_ORACLE),
