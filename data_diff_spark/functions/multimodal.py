@@ -6,12 +6,14 @@ stores the bytes inline (or a reference), Spark never interprets them until
 an explicit decode/feature stage, and that stage runs as Arrow-batched
 `mapInPandas` so the bytes cross into Python once per batch, not per row.
 
-The actual codec work (image decode, resize, audio frame-sampling) requires
-libraries this container does not ship (PIL/cv2/librosa), so the decoders
-are STUBS behind `NotImplementedError` with a deterministic fake
-(`fake_decode`) that exercises the identical plumbing — schema, batch
-iteration, partitioning — and is what the tests and the oracle-checked
-workload entry run.
+Codecs: a REAL pure-numpy netpbm codec (P5 grayscale / P6 RGB: decode,
+encode, nearest-neighbor resize, frame sampling over concatenated-frame
+"video" streams) — no external imaging library needed, and every stage is
+deterministic so the DuckDB oracle can replay pixel statistics
+arithmetically. Compressed formats (png/jpeg/webp) genuinely need
+PIL/cv2, which this container does not ship; for those `decode_image`
+raises NotImplementedError with the swap-in point documented. `fake_decode`
+remains as the format-agnostic byte-stats path.
 
 MEDIA_SCHEMA:
     media:    binary                      raw encoded bytes
@@ -70,29 +72,98 @@ def attach_fake_media(
     )
 
 
-# --- decoders ---------------------------------------------------------------
+# --- netpbm codec (pure numpy — real decode/encode/resize/frame-sample) -----
 
 
-def decode_image(data: bytes):  # pragma: no cover - stub
-    """Real image decode. STUB: PIL/cv2 are not available in this
-    environment; swap in `PIL.Image.open(io.BytesIO(data))` on a cluster
-    that ships them."""
+def _parse_netpbm_header(data: bytes, offset: int = 0):
+    """Parse a P5/P6 header starting at `offset`: returns
+    (magic, width, height, maxval, data_offset). Whitespace- and
+    #-comment-tolerant, per the netpbm spec."""
+    if data[offset : offset + 2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm image at offset {offset}")
+    magic = data[offset : offset + 2].decode()
+    pos = offset + 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    return magic, w, h, maxval, pos
+
+
+def decode_image(data: bytes):
+    """Decode an image to a numpy array: (h, w) uint8 for P5 grayscale,
+    (h, w, 3) uint8 for P6 RGB. Compressed formats (png/jpeg/webp) require
+    PIL/cv2 — not in this container; swap in
+    `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that ships
+    them."""
+    import numpy as np
+
+    if data[:2] in (b"P5", b"P6"):
+        magic, w, h, _maxval, pos = _parse_netpbm_header(data)
+        ch = 3 if magic == "P6" else 1
+        raster = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos)
+        return raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w))
     raise NotImplementedError(
-        "image decoding requires PIL/cv2, not available in this environment; "
-        "use fake_decode for plumbing tests"
+        "only netpbm (P5/P6) decodes natively; png/jpeg/webp need PIL/cv2"
     )
 
 
-def sample_frames(data: bytes, every_n: int = 30):  # pragma: no cover - stub
-    """Real video frame sampling. STUB (needs pyav/cv2)."""
-    raise NotImplementedError("video frame sampling requires pyav/cv2")
+def encode_image(arr) -> bytes:
+    """Encode a uint8 array ((h,w) -> P5, (h,w,3) -> P6) to netpbm bytes."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic, h, w = b"P5", *a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic, h, w = b"P6", a.shape[0], a.shape[1]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
-def resize_image(data: bytes, width: int, height: int):  # pragma: no cover - stub
-    """Real image resize. STUB: swap in PIL's Image.resize on a cluster
-    shipping PIL; runs inside the same mapInPandas template as
-    extract_features (bytes in, bytes out, batch at a time)."""
-    raise NotImplementedError("image resize requires PIL/cv2")
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize, re-encoded in the same netpbm format. Pure
+    numpy index maps: rows[i] = i*h // height (the standard NN grid), so the
+    result is a deterministic pure function of the input — oracle-able."""
+    arr = decode_image(data)
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height, dtype=np.int64) * h) // height
+    cols = (np.arange(width, dtype=np.int64) * w) // width
+    return encode_image(arr[rows][:, cols])
+
+
+def sample_frames(data: bytes, every_n: int = 1):
+    """Frame sampling over a 'video' = concatenated netpbm frames (the
+    uncompressed analogue of y4m): parse frames sequentially, return every
+    `every_n`-th decoded frame (starting at frame 0). Real containers
+    (mp4/mkv) need pyav/cv2 — same swap-in point as decode_image."""
+    import numpy as np
+
+    frames, pos, idx = [], 0, 0
+    while pos < len(data):
+        magic, w, h, _maxval, dpos = _parse_netpbm_header(data, pos)
+        ch = 3 if magic == "P6" else 1
+        end = dpos + w * h * ch
+        if idx % every_n == 0:
+            raster = np.frombuffer(data[dpos:end], dtype=np.uint8)
+            frames.append(raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w)))
+        pos, idx = end, idx + 1
+    return frames
 
 
 def fake_decode(data: bytes) -> dict:
@@ -105,6 +176,97 @@ def fake_decode(data: bytes) -> dict:
         "content_md5": hashlib.md5(data).hexdigest(),
         "byte_mean": (sum(data) / n) if n else 0.0,
     }
+
+
+# --- synthetic PPM corpus + real decode features -----------------------------
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def _synth_ppm(doc_id: int) -> bytes:
+    """Deterministic P6 image for a doc: W=(id%4+1)*8, H=(id%3+1)*4, pixel
+    channel c at (x,y) = (x + y + id + c) % 256 — a pure integer function
+    the DuckDB oracle recomputes arithmetically (no codec on the oracle
+    side, which is the point: two independent routes to the same pixels)."""
+    import numpy as np
+
+    w, h = (doc_id % 4 + 1) * 8, (doc_id % 3 + 1) * 4
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return encode_image(((x + y + doc_id + c) % 256).astype("uint8"))
+
+
+def attach_ppm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, media: binary) with a real decodable P6 image per row. Runs as
+    mapInPandas — fixture generation shares the Arrow batch path the real
+    ingest would use (bytes enter the plan per batch, not per row)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [_synth_ppm(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(_gen, schema)
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode feature stage: netpbm-decode each media blob in an Arrow
+    batch, emit dimensions + per-channel means. Same mapInPandas shape as
+    extract_features — map-only, batch-bounded memory."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["media"]):
+                arr = decode_image(bytes(b))
+                h, w = arr.shape[0], arr.shape[1]
+                px = arr.reshape(h * w, -1).astype("int64")
+                n = h * w
+                means = px.sum(axis=0) / n  # exact ints, then one IEEE divide
+                if means.shape[0] == 1:
+                    means = [float(means[0])] * 3
+                rows.append(
+                    (int(i), w, h, float(means[0]), float(means[1]), float(means[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return df.select(id_col, "media").mapInPandas(_feat, IMAGE_FEATURE_SCHEMA)
+
+
+ORACLE_IMAGE_FEATURES = """
+with dims as (select doc_id, (doc_id % 4 + 1) * 8 as w, (doc_id % 3 + 1) * 4 as h from documents),
+px as (
+  select doc_id, w, h, xs.x as x, ys.y as y
+  from dims,
+       unnest(generate_series(0, w - 1)) as xs(x),
+       unnest(generate_series(0, h - 1)) as ys(y)
+)
+select doc_id, any_value(w)::INTEGER as width, any_value(h)::INTEGER as height,
+       sum((x + y + doc_id + 0) % 256)::DOUBLE / (any_value(w) * any_value(h)) as mean_r,
+       sum((x + y + doc_id + 1) % 256)::DOUBLE / (any_value(w) * any_value(h)) as mean_g,
+       sum((x + y + doc_id + 2) % 256)::DOUBLE / (any_value(w) * any_value(h)) as mean_b
+from px
+group by doc_id
+"""
 
 
 # --- Arrow-batched feature extraction ---------------------------------------

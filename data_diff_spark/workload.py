@@ -1081,6 +1081,17 @@ def q_multimodal_features(spark, sf_dir):
     return MM.extract_features(media)
 
 
+def q_image_decode_features(spark, sf_dir):
+    """REAL image decode path: deterministic P6 (netpbm) images generated
+    per doc, decoded by the pure-numpy codec inside mapInPandas, per-channel
+    pixel means emitted. The oracle recomputes the same pixels
+    arithmetically in SQL — two independent routes to identical doubles
+    (functions/multimodal.py)."""
+    load_views(spark, sf_dir)
+    media = MM.attach_ppm_media(spark.table("documents"))
+    return MM.extract_image_features(media)
+
+
 ORACLE_MULTIMODAL = """
 select doc_id, length(text)::BIGINT as n_bytes, md5(text) as content_md5,
        case when length(text) > 0 then
@@ -1471,6 +1482,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_lsh_oracle()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_ivf_oracle()),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    "image_decode_features": (q_image_decode_features, MM.ORACLE_IMAGE_FEATURES),
     "events_hourly_stream": (q_events_hourly_stream, EVENTS_HOURLY_SQL),
     "events_json_extract": (q_events_json_extract, ORACLE_EVENTS_JSON),
     "collect_stats_lineitem": (q_collect_stats_lineitem, ORACLE_COLLECT_STATS),

@@ -42,13 +42,70 @@ def test_extract_features_null_and_empty(spark):
     assert out[2].n_bytes == 0  # null media treated as empty bytes
 
 
-def test_real_decoder_is_explicit_stub():
+def test_compressed_formats_are_explicit_stubs():
+    # png/jpeg genuinely need PIL/cv2; only netpbm decodes natively
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+        MM.decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_netpbm_roundtrip_rgb_and_gray():
+    import numpy as np
+
+    rgb = (np.arange(4 * 6 * 3, dtype=np.uint8) % 251).reshape(4, 6, 3)
+    assert (MM.decode_image(MM.encode_image(rgb)) == rgb).all()
+    gray = (np.arange(5 * 7, dtype=np.uint8) * 3 % 256).astype("uint8").reshape(5, 7)
+    assert (MM.decode_image(MM.encode_image(gray)) == gray).all()
+
+
+def test_netpbm_header_comments_and_errors():
+    import numpy as np
+
+    img = MM.encode_image(np.zeros((2, 2), dtype=np.uint8))
+    with_comment = img.replace(b"P5\n", b"P5\n# a comment\n", 1)
+    assert MM.decode_image(with_comment).shape == (2, 2)
+    with pytest.raises((ValueError, NotImplementedError)):
+        MM.decode_image(b"")  # not a recognizable image at all
+    with pytest.raises(ValueError):
+        MM.decode_image(b"P6\nnot-a-number\n")
     with pytest.raises(NotImplementedError):
-        MM.sample_frames(b"", 10)
-    with pytest.raises(NotImplementedError):
-        MM.resize_image(b"", 64, 64)
+        # 16-bit maxval
+        MM.decode_image(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+
+def test_resize_nearest_neighbor_matches_index_formula():
+    import numpy as np
+
+    arr = (np.arange(8 * 8 * 3, dtype=np.int64) % 256).astype("uint8").reshape(8, 8, 3)
+    small = MM.decode_image(MM.resize_image(MM.encode_image(arr), 3, 5))
+    rows = (np.arange(5) * 8) // 5
+    cols = (np.arange(3) * 8) // 3
+    assert (small == arr[rows][:, cols]).all()
+    # upscale too
+    big = MM.decode_image(MM.resize_image(MM.encode_image(arr), 16, 16))
+    assert big.shape == (16, 16, 3)
+
+
+def test_sample_frames_concatenated_stream():
+    import numpy as np
+
+    frames = [np.full((2, 3, 3), i, dtype=np.uint8) for i in range(10)]
+    video = b"".join(MM.encode_image(f) for f in frames)
+    every3 = MM.sample_frames(video, every_n=3)
+    assert [int(f[0, 0, 0]) for f in every3] == [0, 3, 6, 9]
+    assert all(f.shape == (2, 3, 3) for f in every3)
+
+
+def test_extract_image_features_matches_local_decode(spark):
+    import numpy as np
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    media = MM.attach_ppm_media(df)
+    out = {r["doc_id"]: r for r in MM.extract_image_features(media).collect()}
+    for i in range(20):
+        arr = MM.decode_image(MM._synth_ppm(i))
+        h, w = arr.shape[:2]
+        assert (out[i]["width"], out[i]["height"]) == (w, h)
+        assert out[i]["mean_r"] == arr[:, :, 0].astype("int64").sum() / (h * w)
 
 
 def test_streaming_rollup_equals_batch(spark, sf_dir):
