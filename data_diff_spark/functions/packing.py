@@ -90,6 +90,69 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows: chunk i covers
+    tokens [i*step, i*step + chunk_tokens) with step = chunk_tokens -
+    overlap (the RAG/embedding-ingest chunking everybody runs). Map-side
+    explode — zero shuffle; output rows carry the chunk's token count and
+    the md5 of its joined text (not the text — at 100 TB the chunk stream
+    is written straight to the sink, the digest is for dedup/lineage).
+    Documents shorter than one step still yield their single partial chunk;
+    empty documents yield none."""
+    from data_diff_spark.functions.text import tokens
+
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = tokens(F.col(text_col))
+    d = docs.select(F.col(id_col), t.alias("__t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(step)
+    )
+    d = d.withColumn("__start", F.explode(starts)).filter(
+        F.col("__start") < F.size("__t")
+    )
+    chunk = F.slice("__t", F.col("__start") + 1, chunk_tokens)
+    return d.select(
+        id_col,
+        (F.col("__start") / F.lit(step)).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def duckdb_chunk_documents(
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of chunk_documents (1-based inclusive list slices ==
+    Spark's slice(start, length) on the same bounds)."""
+    from data_diff_spark.functions.text import duckdb_tokens
+
+    step = chunk_tokens - overlap
+    return f"""
+with t as (select {id_col}, {duckdb_tokens(text_col)} as toks from {table}),
+s as (
+  select {id_col}, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), {step})) as start
+  from t
+)
+select {id_col}, (start // {step})::BIGINT as chunk_idx,
+       len(toks[start + 1 : start + {chunk_tokens}])::BIGINT as n_tokens,
+       md5(array_to_string(toks[start + 1 : start + {chunk_tokens}], ' ')) as chunk_md5
+from s where start < len(toks)
+"""
+
+
 def duckdb_pack_sequences(
     budget: int,
     id_col: str = "doc_id",

@@ -19,7 +19,7 @@ from __future__ import annotations
 import hashlib
 from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: all rolling/minhash arithmetic stays < 2^36, far
@@ -355,6 +355,94 @@ def duckdb_quality_filter(
             f"when not list_contains([{langs}], {duckdb_lang_id(col)}) then 'disallowed_lang'"
         )
     return "(case " + " ".join(whens) + " else null end)"
+
+
+# --- repetition stats (Gopher/MassiveText-style hygiene signals) ------------
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", keep: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Append n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac —
+    the within-document repetition signals the Gopher/MassiveText filters
+    threshold on (duplicate-line fraction, characters inside duplicate
+    lines, most-frequent-2-gram share). Pure Column expressions: map-only,
+    no shuffle, no UDF. All ratios are int/int -> one IEEE divide, so the
+    SQL oracle reproduces them bit-for-bit.
+
+    Built as STAGED projections (split arrays -> distinct arrays -> ratios)
+    rather than one nested expression: each intermediate is referenced
+    several times, and CollapseProject keeps non-cheap multiply-used
+    expressions staged, so every array is computed once per row. A single
+    mega-expression re-evaluates the whole tokenize chain inside every
+    higher-order lambda — measured 20x slower. The per-doc bigram mode is
+    O(distinct x total) array work over attribute references — bounded by
+    document length, embarrassingly parallel."""
+    keep = list(keep) if keep is not None else [c for c in df.columns if c != text_col]
+    col = F.col(text_col)
+    staged = df.select(
+        *keep,
+        F.filter(F.split(col, "\n"), lambda x: F.trim(x) != "").alias("__lines"),
+        word_ngrams(col, 2).alias("__grams"),
+    ).select(
+        *keep,
+        "__lines",
+        "__grams",
+        F.array_distinct("__lines").alias("__dlines"),
+        F.array_distinct("__grams").alias("__dgrams"),
+    )
+
+    def chars_of(c: str) -> Column:
+        return F.aggregate(
+            F.transform(c, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        )
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    n, nd = F.size("__lines"), F.size("__dlines")
+    top = F.array_max(
+        F.transform(
+            F.col("__dgrams"),
+            lambda g: F.size(F.filter(F.col("__grams"), lambda x: x == g)),
+        )
+    )
+    return staged.select(
+        *keep,
+        n.cast("long").alias("n_lines"),
+        ratio(n - nd, n).alias("dup_line_frac"),
+        ratio(chars_of("__lines") - chars_of("__dlines"), chars_of("__lines")).alias(
+            "dup_line_char_frac"
+        ),
+        ratio(F.coalesce(top, F.lit(0)), F.size("__grams")).alias("top_bigram_frac"),
+    )
+
+
+def duckdb_repetition_stats(col: str) -> Dict[str, str]:
+    """DuckDB expressions replaying repetition_stats field-for-field."""
+    lines = f"list_filter(string_split({col}, chr(10)), x -> trim(x) <> '')"
+    n = f"len({lines})"
+    nd = f"len(list_distinct({lines}))"
+    chars = f"coalesce(list_sum(list_transform({lines}, x -> length(x))), 0)"
+    dchars = f"coalesce(list_sum(list_transform(list_distinct({lines}), x -> length(x))), 0)"
+    grams = duckdb_word_ngrams(col, 2)
+    ng = f"len({grams})"
+    top = (
+        f"coalesce(list_max(list_transform(list_distinct({grams}), "
+        f"g -> len(list_filter({grams}, x -> x = g)))), 0)"
+    )
+
+    def ratio(num: str, den: str) -> str:
+        return f"(case when {den} > 0 then ({num})::DOUBLE / ({den})::DOUBLE else 0.0 end)"
+
+    return {
+        "n_lines": f"{n}::BIGINT",
+        "dup_line_frac": ratio(f"{n} - {nd}", n),
+        "dup_line_char_frac": ratio(f"{chars} - {dchars}", chars),
+        "top_bigram_frac": ratio(top, ng),
+    }
 
 
 # --- PII redaction ----------------------------------------------------------

@@ -1403,6 +1403,77 @@ def _pack_sequences_oracle() -> str:
     return PK.duckdb_pack_sequences(budget=512, n_shards=8)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, 8 overlap) —
+    map-side explode, chunk digests instead of chunk text
+    (functions/packing.py:chunk_documents)."""
+    from data_diff_spark.functions import packing as PK
+
+    load_views(spark, sf_dir)
+    return PK.chunk_documents(spark.table("documents"), chunk_tokens=64, overlap=8)
+
+
+def _chunk_documents_oracle() -> str:
+    from data_diff_spark.functions import packing as PK
+
+    return PK.duckdb_chunk_documents(chunk_tokens=64, overlap=8)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText repetition signals over documents with planted
+    line structure: every 7th token boundary becomes a line break, and docs
+    with doc_id % 3 = 0 get their first pseudo-line appended twice — so
+    dup-line and top-bigram fractions take nontrivial, doc-dependent
+    values. Planting is replayed identically in the oracle."""
+    load_views(spark, sf_dir)
+    base = spark.table("documents").select("doc_id", _plant_lines_spark().alias("__lined"))
+    return TX.with_repetition_stats(base, text_col="__lined", keep=["doc_id"])
+
+
+def _plant_lines_spark():
+    toks = TX.tokens(F.col("text"))
+    # join tokens back with '\n' after every 7th token, ' ' otherwise —
+    # concat_ws over the transformed array (linear), never a fold (quadratic)
+    lined = F.concat_ws(
+        "",
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda w, i: F.when(F.pmod(i, F.lit(7)) == 0, F.concat(w, F.lit("\n"))).otherwise(
+                F.concat(w, F.lit(" "))
+            ),
+        ),
+    )
+    first_line = F.element_at(F.split(lined, "\n"), 1)
+    return F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(lined, F.lit("\n"), first_line, F.lit("\n"), first_line),
+    ).otherwise(lined)
+
+
+def _plant_lines_duckdb() -> str:
+    toks = TX.duckdb_tokens("text")
+    lined = (
+        f"list_aggregate(list_transform({toks}, (w, i) -> "
+        f"case when i % 7 = 0 then w || chr(10) else w || ' ' end), 'string_agg', '')"
+    )
+    first = f"string_split({lined}, chr(10))[1]"
+    return (
+        f"(case when doc_id % 3 = 0 then {lined} || chr(10) || {first} || chr(10) || {first} "
+        f"else {lined} end)"
+    )
+
+
+def _repetition_stats_oracle() -> str:
+    e = TX.duckdb_repetition_stats(_plant_lines_duckdb())
+    return f"""
+select doc_id, {e['n_lines']} as n_lines, {e['dup_line_frac']} as dup_line_frac,
+       {e['dup_line_char_frac']} as dup_line_char_frac,
+       {e['top_bigram_frac']} as top_bigram_frac
+from documents
+"""
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction over documents with deterministically planted PII
     (emails/SSN/phone derived from doc_id — the raw corpus is synthetic and
@@ -1502,4 +1573,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "decontaminate_docs": (q_decontaminate, DD.duckdb_decontaminate("doc_id % 97 = 0", n=5)),
     "pack_sequences_docs": (q_pack_sequences, _pack_sequences_oracle()),
     "redact_pii_docs": (q_redact_pii, _redact_pii_oracle()),
+    "chunk_documents": (q_chunk_documents, _chunk_documents_oracle()),
+    "repetition_stats_docs": (q_repetition_stats, _repetition_stats_oracle()),
 }

@@ -99,6 +99,66 @@ def test_pack_sequences_global_id_disjoint_across_shards(spark, sf_dir):
     assert bad == 0
 
 
+# --- chunk_documents --------------------------------------------------------
+
+
+def test_chunk_documents_windows(spark):
+    import hashlib
+
+    words = [f"w{i}" for i in range(150)]
+    docs = spark.createDataFrame([(1, " ".join(words)), (2, "a b"), (3, "")],
+                                 "doc_id long, text string")
+    from data_diff_spark.functions.packing import chunk_documents
+
+    out = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: 150 tokens, step 56 -> starts 0,56,112 -> 3 chunks of 64,64,38
+    assert [rows[(1, i)]["n_tokens"] for i in range(3)] == [64, 64, 38]
+    want = hashlib.md5(" ".join(words[56:120]).encode()).hexdigest()
+    assert rows[(1, 1)]["chunk_md5"] == want
+    # short doc: one partial chunk; empty doc: no chunks
+    assert rows[(2, 0)]["n_tokens"] == 2
+    assert not any(d == 3 for d, _ in rows)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    from data_diff_spark.functions.packing import chunk_documents
+    from data_diff_spark.functions.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    # sum of chunk tokens >= total tokens (overlap duplicates some)
+    got = out.groupBy("doc_id").agg(F.sum("n_tokens").alias("s"))
+    tot = docs.select("doc_id", token_count(F.col("text")).alias("t"))
+    bad = got.join(tot, "doc_id").filter(F.col("s") < F.col("t")).count()
+    assert bad == 0
+
+
+# --- repetition stats -------------------------------------------------------
+
+
+def test_repetition_stats_values(spark):
+    from data_diff_spark.functions.text import with_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb\naa bb\ncc dd"),       # 3 lines, one dup pair
+            (2, "x y z w"),                    # 1 line, no dups
+            (3, "t t t t t"),                  # bigram 't t' repeated 4x
+            (4, ""),                           # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_repetition_stats(docs).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["dup_line_frac"] == pytest.approx(1 / 3)
+    assert out[1]["dup_line_char_frac"] == pytest.approx(5 / 15)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 1.0  # all 4 bigrams are 't t'
+    assert out[4]["n_lines"] == 0 and out[4]["top_bigram_frac"] == 0.0
+
+
 # --- redact_pii -------------------------------------------------------------
 
 
