@@ -43,36 +43,53 @@ def main() -> None:
 
     from data_diff_spark.workload import WORKLOAD, load_views
 
-    # Warm the JVM + parquet footers once; not counted.
-    load_views(spark, sf_dir)
-    spark.table("lineitem").count()
+    # Warm the JVM + parquet footers once; not counted. A warm-up failure
+    # must not kill the run — each query re-attempts load_views itself and
+    # reports its own error.
+    try:
+        load_views(spark, sf_dir)
+        spark.table("lineitem").count()
+    except Exception:  # noqa: BLE001
+        pass
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings = {}
+    errors = {}
     for name, (fn, _oracle) in WORKLOAD.items():
         best = None
-        for _ in range(repeats):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            # One full execution of the plan, all columns materialized, no
-            # driver-side transfer: the noop sink.
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        # One failing query must degrade to an `errors` entry, never zero
+        # the whole benchmark (round 2 lost its entire BENCH to one
+        # ingest-time schema change).
+        try:
+            for _ in range(repeats):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                # One full execution of the plan, all columns materialized,
+                # no driver-side transfer: the noop sink.
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 - survey-style harness
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
         # Operators persist multi-use subtrees; drop them between queries so
         # accumulated cache memory doesn't distort later timings.
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "workload_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
