@@ -136,6 +136,18 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
     assert bad == 0
 
 
+def test_chunk_and_repetition_are_map_only(spark, sf_dir):
+    """Both hygiene ops must stay shuffle-free: at 100 TB an Exchange here
+    would be the whole job."""
+    from tests.test_plans import plan_of
+    from data_diff_spark.functions.packing import chunk_documents
+    from data_diff_spark.functions.text import with_repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Exchange" not in plan_of(chunk_documents(docs))
+    assert "Exchange" not in plan_of(with_repetition_stats(docs))
+
+
 # --- repetition stats -------------------------------------------------------
 
 
