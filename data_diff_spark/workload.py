@@ -1207,7 +1207,7 @@ def q_events_sessionize_stream(spark, sf_dir):
     completion on bounded input. Shares the batch sessionization oracle."""
     from data_diff_spark.streaming.sessionize import sessionize_batch_equivalent
 
-    return sessionize_batch_equivalent(spark, sf_dir)
+    return _sized_stream_state(spark, lambda: sessionize_batch_equivalent(spark, sf_dir))
 
 
 def q_events_stream_validate(spark, sf_dir):
@@ -1240,7 +1240,7 @@ def q_events_hourly_stream(spark, sf_dir):
     events_hourly oracle."""
     from data_diff_spark.streaming.events_stream import hourly_rollup_batch_equivalent
 
-    return hourly_rollup_batch_equivalent(spark, sf_dir)
+    return _sized_stream_state(spark, lambda: hourly_rollup_batch_equivalent(spark, sf_dir))
 
 
 def q_events_dedup_stream(spark, sf_dir):
@@ -1250,7 +1250,7 @@ def q_events_dedup_stream(spark, sf_dir):
     from data_diff_spark.streaming.events_stream import streaming_dedup_batch_equivalent
 
     load_views(spark, sf_dir)
-    return streaming_dedup_batch_equivalent(spark, sf_dir)
+    return _sized_stream_state(spark, lambda: streaming_dedup_batch_equivalent(spark, sf_dir))
 
 
 ORACLE_EVENTS_DEDUP_STREAM = """
@@ -1357,13 +1357,33 @@ join events p
 def q_range_join_stream(spark, sf_dir):
     """Stream-stream interval join (watermarked, state-evicting) run to
     completion on bounded input — same result, and same oracle, as the
-    batch range_join_attribution (streaming/temporal_stream.py)."""
+    batch range_join_attribution (streaming/temporal_stream.py).
+
+    State-store partition count = shuffle partitions at query start; each
+    partition carries per-batch checkpoint I/O, so it must be sized to the
+    state VOLUME, not the cluster width (64 partitions for ~100k buffered
+    rows is pure checkpoint overhead — measured 13.6s -> 2.8s at sf0.1
+    going 64 -> 8). A production stream sizes this once at job start; the
+    bounded harness save/restores around the run."""
     from data_diff_spark.streaming.temporal_stream import (
         attribution_stream_batch_equivalent,
     )
 
     load_views(spark, sf_dir)
-    return attribution_stream_batch_equivalent(spark, sf_dir)
+    return _sized_stream_state(spark, lambda: attribution_stream_batch_equivalent(spark, sf_dir))
+
+
+def _sized_stream_state(spark, thunk, n: int = 8):
+    """Run a bounded streaming harness with state partitions sized to the
+    harness's state volume (see q_range_join_stream docstring); restores
+    the session's shuffle partitioning afterwards."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        return thunk()
+    finally:
+        spark.conf.set(key, old)
 
 
 # --- training-pipeline ops round 3: decontamination, packing, PII ----------
