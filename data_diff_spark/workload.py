@@ -1423,6 +1423,39 @@ def _pack_sequences_oracle() -> str:
     return PK.duckdb_pack_sequences(budget=512, n_shards=8)
 
 
+def q_token_vocab(spark, sf_dir):
+    """Corpus vocabulary / heavy hitters: top-100 tokens by total count with
+    document frequency — the tokenizer-vocab / stopword-discovery pass.
+    One explode + one agg: partial (map-side) counts make the shuffle carry
+    one row per (token, map partition), so the plan scales with vocabulary,
+    not corpus size. Ties broken by token for determinism."""
+    load_views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+ORACLE_TOKEN_VOCAB = f"""
+with t as (
+  select doc_id, unnest({{toks}}) as token from documents
+)
+select token, count(*) as n, count(distinct doc_id) as doc_freq
+from t
+group by token
+order by n desc, token asc
+limit 100
+""".replace("{toks}", "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (64-token chunks, 8 overlap) —
     map-side explode, chunk digests instead of chunk text
@@ -1594,5 +1627,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pack_sequences_docs": (q_pack_sequences, _pack_sequences_oracle()),
     "redact_pii_docs": (q_redact_pii, _redact_pii_oracle()),
     "chunk_documents": (q_chunk_documents, _chunk_documents_oracle()),
+    "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "repetition_stats_docs": (q_repetition_stats, _repetition_stats_oracle()),
 }
