@@ -62,8 +62,8 @@ def asof_join(
     no join operator at all.
 
     `tolerance`: an INTERVAL string (e.g. '30 minutes') for timestamp
-    `on`, or a numeric literal string for numeric `on`; matches farther
-    than the tolerance are nulled out (row is kept, left-outer).
+    `on`, or an int/float for numeric `on`; matches farther than the
+    tolerance are nulled out (row is kept, left-outer).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -106,10 +106,15 @@ def asof_join(
     )
 
     if tolerance is not None:
+        tol = (
+            F.lit(tolerance)
+            if isinstance(tolerance, (int, float))
+            else F.expr(f"interval {tolerance}")
+        )
         gap_ok = (
-            F.col(on) - F.expr(f"interval {tolerance}") <= F.col(f"__m.{r_on}")
+            F.col(on) - tol <= F.col(f"__m.{r_on}")
             if direction == "backward"
-            else F.col(on) + F.expr(f"interval {tolerance}") >= F.col(f"__m.{r_on}")
+            else F.col(on) + tol >= F.col(f"__m.{r_on}")
         )
         matched = matched.withColumn("__m", F.when(gap_ok, F.col("__m")))
 

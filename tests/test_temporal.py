@@ -109,6 +109,17 @@ def test_asof_tie_at_equal_ts_matches(spark):
     assert out[0]["rv"] == 7.0  # right row at equal ts matches backward
 
 
+def test_asof_numeric_on_with_numeric_tolerance(spark):
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k int, t int")
+    right = spark.createDataFrame([(1, 95), (1, 120)], "k int, t int")
+    out = {
+        r["t"]: r["r_t"]
+        for r in asof_join(left, right, on="t", by=["k"], tolerance=10).collect()
+    }
+    assert out[100] == 95        # within 10
+    assert out[200] is None      # nearest is 120, 80 away -> nulled
+
+
 def test_asof_rejects_empty_by(spark):
     df = spark.range(1).select(F.col("id").alias("t"))
     with pytest.raises(ValueError, match="by"):
