@@ -1564,6 +1564,48 @@ from documents
 """
 
 
+# --- snapshot diff ----------------------------------------------------------
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Diff the 'modified' orders against a digest snapshot of the original
+    (operators/snapshot.py): snapshot = (keys, row checksum) only, so
+    yesterday's table need not exist at diff time. Signs match a plain
+    full-outer row compare — which is exactly what the oracle computes,
+    row-by-row, WITHOUT checksums: two independent routes to the same
+    change set."""
+    import os
+
+    from data_diff_spark.operators import snapshot as SN
+
+    load_views(spark, sf_dir)
+    t_orig, t_mod = _orders_segments(spark, sf_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
+        f"orders_snapshot_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    SN.write_snapshot(t_orig, path)
+    return SN.diff_against_snapshot(t_mod, SN.load_snapshot(spark, path)).select(
+        "sign", "o_orderkey"
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+with cur as (select * from ({MODIFIED_ORDERS_SQL})),
+old as (select * from orders)
+select case when o.o_orderkey is null then '+'
+            when c.o_orderkey is null then '-'
+            else '!' end as sign,
+       coalesce(c.o_orderkey, o.o_orderkey) as o_orderkey
+from cur c
+full outer join old o on c.o_orderkey = o.o_orderkey
+where o.o_orderkey is null or c.o_orderkey is null
+   or (c.o_custkey, c.o_orderstatus, c.o_totalprice, c.o_orderdate, c.o_orderpriority)
+      is distinct from
+      (o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority)
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1628,5 +1670,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "redact_pii_docs": (q_redact_pii, _redact_pii_oracle()),
     "chunk_documents": (q_chunk_documents, _chunk_documents_oracle()),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
+    "snapshot_diff_orders": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "repetition_stats_docs": (q_repetition_stats, _repetition_stats_oracle()),
 }
