@@ -1564,6 +1564,26 @@ from documents
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 symmetric embedding quantization (similarity.py:
+    quantize_embeddings); the vector is serialized to a comma string for
+    the value-hash compare (the same convention as hashed_doc_vectors)."""
+    load_views(spark, sf_dir)
+    q = SIM.quantize_embeddings(spark.table("embeddings"))
+    return q.select(
+        "vec_id", "scale", F.concat_ws(",", F.col("qvec")).alias("qvec_str")
+    )
+
+
+def _quantize_oracle() -> str:
+    e = SIM.duckdb_quantize()
+    return f"""
+select vec_id, {e['scale']} as scale,
+       array_to_string({e['qvec']}, ',') as qvec_str
+from embeddings
+"""
+
+
 # --- snapshot diff ----------------------------------------------------------
 
 
@@ -1671,5 +1691,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "chunk_documents": (q_chunk_documents, _chunk_documents_oracle()),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "snapshot_diff_orders": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
+    "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
     "repetition_stats_docs": (q_repetition_stats, _repetition_stats_oracle()),
 }

@@ -115,3 +115,31 @@ def test_quantized_dot_exactness(spark):
     }
     # identical vectors: exactly 1.0 (integer dot = norm product squared)
     assert out.get((1, 2)) == 1.0
+
+
+def test_quantize_embeddings_reconstruction_bound(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = SIM.quantize_embeddings(emb)
+    joined = emb.join(q, "vec_id").select(
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.col("qvec"),
+                lambda x, qi: F.abs(x - qi * F.col("scale")),
+            )
+        ).alias("max_err"),
+        "scale",
+    )
+    # symmetric rounding: per-element error <= scale/2 (+ fp slack)
+    bad = joined.filter(F.col("max_err") > F.col("scale") * 0.5 + 1e-12).count()
+    assert bad == 0
+    # int8 range respected
+    assert q.select(F.array_max(F.transform("qvec", F.abs)).alias("m")).agg(
+        F.max("m")
+    ).collect()[0][0] <= 127
+
+
+def test_quantize_embeddings_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    r = SIM.quantize_embeddings(df).collect()[0]
+    assert r["scale"] == 0.0 and list(r["qvec"]) == [0, 0, 0]
