@@ -132,6 +132,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the physical plan and ask for confirmation "
                         "before executing (reference interactive EXPLAIN "
                         "mode, base.py:984-994)")
+    p.add_argument("--snapshot-write", default=None, metavar="PATH",
+                   help="write a digest snapshot (keys + row checksum) of uri1 "
+                        "to PATH and exit; diff against it later with --snapshot")
+    p.add_argument("--snapshot", default=None, metavar="PATH",
+                   help="diff uri1 against the digest snapshot at PATH "
+                        "(uri2 not required): prints inserted/deleted/updated keys")
     p.add_argument("--threads", type=int, default=None, help="ignored (Spark schedules tasks)")
     p.add_argument("--master", default="local[*]", help="Spark master (default local[*])")
     return p
@@ -189,7 +195,11 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
 
     args = build_parser().parse_args(argv)
     _apply_config(args)
-    if not args.dbt_manifest and (not args.uri1 or not args.uri2 or not args.key_columns):
+    snapshot_mode = args.snapshot_write or args.snapshot
+    if snapshot_mode and (not args.uri1 or not args.key_columns):
+        raise SystemExit("error: --snapshot-write/--snapshot need uri1 and -k")
+    if not snapshot_mode and not args.dbt_manifest and (
+            not args.uri1 or not args.uri2 or not args.key_columns):
         raise SystemExit("error: uri1, uri2 and -k/--key-columns are required "
                          "(on the command line or via --config), unless "
                          "--dbt-manifest is used")
@@ -229,6 +239,28 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
             return 0
 
         keys = args.key_columns
+        if snapshot_mode:
+            from data_diff_spark.operators import snapshot as SN
+
+            t1 = connect_to_table(spark, args.uri1, keys, args.update_column, None, args.where)
+            if args.columns:
+                shared = [c for c in t1.df.columns]
+                t1 = t1.with_(extra_columns=tuple(expand_columns(args.columns, shared, keys)))
+            if args.snapshot_write:
+                SN.write_snapshot(t1, args.snapshot_write)
+                print(f"snapshot written to {args.snapshot_write}", file=sys.stderr)
+                return 0
+            diff = SN.diff_against_snapshot(t1, SN.load_snapshot(spark, args.snapshot))
+            if args.limit:
+                diff = diff.limit(args.limit)
+            for row in diff.toLocalIterator():
+                if args.json_output:
+                    print(json.dumps({"sign": row[0],
+                                      **{c: _jsonable(row[c]) for c in diff.columns[1:]}}))
+                else:
+                    print(f"{row[0]} {', '.join(repr(row[c]) for c in diff.columns[1:])}")
+            return 0
+
         t1 = connect_to_table(spark, args.uri1, keys, args.update_column, None, args.where)
         t2 = connect_to_table(spark, args.uri2, keys, args.update_column, None, args.where)
 

@@ -180,6 +180,24 @@ def test_orc_scheme_roundtrip(spark, sf_dir):
     assert diff_tables(t_parquet, t_orc).df.count() == 0
 
 
+def test_cli_snapshot_write_and_diff(spark, sf_dir, mod_orders_path, capsys):
+    snap = os.path.join(SCRATCH, "cli_snapshot")
+    rc = main([f"parquet://{sf_dir}/orders.parquet", "-k", "o_orderkey",
+               "--snapshot-write", snap], spark=spark)
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([f"parquet://{mod_orders_path}", "-k", "o_orderkey",
+               "--snapshot", snap, "-j"], spark=spark)
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    signs = {r["sign"] for r in rows}
+    # the fixture deletes (%100==1) and updates (%100==2); no inserts
+    assert signs == {"-", "!"} and len(rows) > 0
+    # snapshot flags require uri1 + keys
+    with pytest.raises(SystemExit, match="snapshot"):
+        main(["--snapshot", snap], spark=spark)
+
+
 def test_cli_materialize(spark, sf_dir, mod_orders_path, tmp_path):
     out = os.path.join(SCRATCH, "cli_diff_out.parquet")
     rc = main(
