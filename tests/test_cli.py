@@ -51,9 +51,10 @@ def test_cli_stats(spark, sf_dir, mod_orders_path, capsys):
     )
     assert rc == 0
     out = dict(line.split(": ") for line in capsys.readouterr().out.strip().splitlines())
-    assert int(out["rows_A"]) == 1500
-    assert int(out["exclusive_A"]) == 15
-    assert int(out["updated"]) == 15
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()  # SF-relative
+    assert int(out["rows_A"]) == n
+    assert int(out["exclusive_A"]) == n // 100
+    assert int(out["updated"]) == n // 100
 
 
 def test_cli_jsonl_hashdiff(spark, sf_dir, mod_orders_path, capsys):
@@ -68,7 +69,8 @@ def test_cli_jsonl_hashdiff(spark, sf_dir, mod_orders_path, capsys):
     signs = {}
     for r in rows:
         signs[r["sign"]] = signs.get(r["sign"], 0) + 1
-    assert signs == {"-": 30, "+": 15}
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert signs == {"-": 2 * (n // 100), "+": n // 100}
 
 
 def test_diff_schemas():
@@ -138,7 +140,8 @@ algorithm = "hashdiff"
     rc = main(["--config", f"{cfg}#orders", "--stats"], spark=spark)
     assert rc == 0
     out = dict(line.split(": ") for line in capsys.readouterr().out.strip().splitlines())
-    assert int(out["rows_A"]) == 1500 and int(out["updated"]) == 15
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert int(out["rows_A"]) == n and int(out["updated"]) == n // 100
 
     with pytest.raises(SystemExit, match="no \\[run.missing\\]"):
         main(["--config", f"{cfg}#missing"], spark=spark)
