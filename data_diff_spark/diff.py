@@ -159,3 +159,20 @@ def diff_tables(
     else:
         df = hashdiff.hash_diff(table1, table2, n_buckets=n_buckets, persist=hashdiff_persist)
     return DiffResult(df=df, table1=table1, table2=table2)
+
+
+def apply_diff(base: DataFrame, diff: DataFrame, keys) -> DataFrame:
+    """Patch `base` with a diff produced by diff_tables: remove every key
+    carrying a '-' row (deleted, or the old version of an update), then
+    append the '+' rows (inserted, or the new version). Closure property —
+    apply_diff(A, diff(A, B)) equals B as a multiset — is oracle-checked
+    by the apply_diff_roundtrip workload query.
+
+    Scale shape: one left_anti join on the keys (the '-' key set is
+    small when diffs are small — broadcast-eligible, AQE decides) plus a
+    union; no wide shuffle of `base` beyond the anti-join."""
+    keys = list(keys)
+    sign = F.col(joindiff.SIGN_COL)
+    minus = diff.filter(sign == "-").select(*keys)
+    plus = diff.filter(sign == "+").drop(joindiff.SIGN_COL).select(*base.columns)
+    return base.join(minus, on=keys, how="left_anti").unionByName(plus)

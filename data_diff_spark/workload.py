@@ -1584,6 +1584,32 @@ from embeddings
 """
 
 
+def q_apply_diff_roundtrip(spark, sf_dir):
+    """Closure of the diff algebra: apply_diff(orders, diff(orders,
+    modified)) must equal modified EXACTLY — verified by count + full
+    md5-checksum of the patched table against the oracle computing the
+    same over the modified table directly. diff -> patch -> verify is the
+    replication/repair loop a data-diff user closes by hand."""
+    from data_diff_spark.diff import apply_diff
+
+    load_views(spark, sf_dir)
+    t1, t2 = _orders_segments(spark, sf_dir)
+    d = diff_tables(t1, t2).df
+    applied = apply_diff(t1.make_select(), d, ["o_orderkey"])
+    seg = table_segment(applied, ["o_orderkey"], extra_columns=ORDERS_COLS[1:])
+    return seg.make_select().agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(seg.checksum_column()).cast("string").alias("cks"),
+    )
+
+
+def _apply_diff_oracle() -> str:
+    # ORACLE_CHECKSUM_ORDERS over the modified table instead of orders
+    return ORACLE_CHECKSUM_ORDERS.replace(
+        "from orders", f"from ({MODIFIED_ORDERS_SQL})"
+    )
+
+
 # --- snapshot diff ----------------------------------------------------------
 
 
@@ -1692,5 +1718,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "snapshot_diff_orders": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
+    "apply_diff_roundtrip": (q_apply_diff_roundtrip, _apply_diff_oracle()),
     "repetition_stats_docs": (q_repetition_stats, _repetition_stats_oracle()),
 }

@@ -275,3 +275,21 @@ def test_stats_dict_single_diff_aggregation(spark):
     ids = sc.statusTracker().getJobIdsForGroup("stats-path")
     assert 0 < len(ids) <= 3, f"stats ran {len(ids)} jobs"
     r.unpersist()
+
+
+def test_apply_diff_roundtrip_both_algorithms(spark, sf_dir):
+    """apply_diff(A, diff(A, B)) == B, for joindiff and hashdiff output."""
+    from data_diff_spark import diff_tables, table_segment
+    from data_diff_spark.diff import apply_diff
+    from data_diff_spark.workload import MODIFIED_ORDERS_SQL, ORDERS_COLS, load_views
+
+    load_views(spark, sf_dir)
+    a = spark.table("orders").select(*ORDERS_COLS)
+    b = spark.sql(MODIFIED_ORDERS_SQL)
+    for algo in ("joindiff", "hashdiff"):
+        t1 = table_segment(a, ["o_orderkey"], extra_columns=ORDERS_COLS[1:])
+        t2 = table_segment(b, ["o_orderkey"], extra_columns=ORDERS_COLS[1:])
+        d = diff_tables(t1, t2, algorithm=algo).df
+        applied = apply_diff(a, d, ["o_orderkey"])
+        assert applied.exceptAll(b).count() == 0
+        assert b.exceptAll(applied).count() == 0
