@@ -174,6 +174,63 @@ def connect_to_table(
     return seg.with_(where=where) if where else seg
 
 
+def morton_code(a, b, bits: int = 21) -> "F.Column":
+    """Interleave the low `bits` bits of two non-negative integer columns
+    into one Z-order key: bit i of `a` lands at position 2i, bit i of `b`
+    at 2i+1. Pure integer Column expression (exact, cross-engine
+    replayable); 21 bits per dimension keeps the key inside a signed
+    int64. Values are masked to `bits` bits — pre-scale real columns into
+    that range (rank, bucket, or truncate)."""
+    a = (F.col(a) if isinstance(a, str) else a).cast("long")
+    b = (F.col(b) if isinstance(b, str) else b).cast("long")
+    # statically unrolled (shift amounts must be Python ints): 2*bits terms
+    # of pure long arithmetic inside one codegen stage
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), i * 2)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * 2 + 1)
+        )
+    return out
+
+
+def duckdb_morton_code(a: str, b: str, bits: int = 21) -> str:
+    """DuckDB replica of morton_code (same bit interleave)."""
+    return (
+        f"list_sum(list_transform(generate_series(0, {bits - 1}, 1), i -> "
+        f"((({a}::BIGINT >> i) & 1) << (i * 2)) + ((({b}::BIGINT >> i) & 1) << (i * 2 + 1))"
+        f"))::BIGINT"
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 21,
+    num_files: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ordered on two columns: rows are range-partitioned
+    and sorted by their Morton key, so each output file covers a compact
+    rectangle in (a, b) space and parquet min/max stats prune files for
+    range predicates on EITHER column — the poor-engine's Delta OPTIMIZE
+    ZORDER, with no table format required. One range-exchange + in-task
+    sort; at 100 TB this is the standard layout pass before handing a
+    table to ad-hoc analytics."""
+    z = morton_code(col_a, col_b, bits).alias("__z")
+    (
+        df.select("*", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

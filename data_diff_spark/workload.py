@@ -1584,6 +1584,27 @@ from embeddings
 """
 
 
+def q_zorder_key_events(spark, sf_dir):
+    """Morton (Z-order) key over (user_id, event_id mod 2^21) — the exact
+    integer bit-interleave behind zorder_write's multi-column data-skipping
+    layout (sources/connect.py). The oracle replays the interleave
+    bit-for-bit."""
+    from data_diff_spark.sources.connect import morton_code
+
+    load_views(spark, sf_dir)
+    return spark.table("events").select(
+        "event_id",
+        morton_code(F.col("user_id"), F.pmod(F.col("event_id"), F.lit(1 << 21))).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from data_diff_spark.sources.connect import duckdb_morton_code
+
+    z = duckdb_morton_code("user_id", f"(event_id % {1 << 21})")
+    return f"select event_id, {z} as zkey from events"
+
+
 def q_apply_diff_roundtrip(spark, sf_dir):
     """Closure of the diff algebra: apply_diff(orders, diff(orders,
     modified)) must equal modified EXACTLY — verified by count + full
@@ -1719,5 +1740,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "snapshot_diff_orders": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
     "apply_diff_roundtrip": (q_apply_diff_roundtrip, _apply_diff_oracle()),
+    "zorder_key_events": (q_zorder_key_events, _zorder_oracle()),
     "repetition_stats_docs": (q_repetition_stats, _repetition_stats_oracle()),
 }

@@ -57,3 +57,49 @@ def test_snapshot_is_narrow(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     t = table_segment(orders, ["o_orderkey"])
     assert SN.snapshot_frame(t).columns == ["o_orderkey", SN.CKS_COL]
+
+
+# --- Z-order layout (sources/connect.py) ------------------------------------
+
+
+def _py_morton(a: int, b: int, bits: int = 21) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_code_matches_python(spark):
+    from data_diff_spark.sources.connect import morton_code
+
+    rows = [(3, 5), (0, 0), (2**21 - 1, 2**21 - 1), (123456, 654321)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", morton_code("a", "b").alias("z")).collect()
+    for r in got:
+        assert r["z"] == _py_morton(r["a"], r["b"])
+
+
+def test_zorder_write_files_cover_disjoint_ranges(spark, sf_dir):
+    """repartitionByRange + in-task sort => each output file owns a
+    contiguous, non-overlapping slice of the Z-curve — the property that
+    makes parquet min/max stats prune files on range predicates."""
+    from data_diff_spark.sources.connect import morton_code, zorder_write
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    out = os.path.join(SCRATCH, "zorder_events")
+    zorder_write(ev, out, "user_id", "event_id", num_files=8)
+
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"),
+        morton_code("user_id", "event_id").alias("z"),
+    )
+    ranges = sorted(
+        (r["lo"], r["hi"])
+        for r in back.groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()
+    )
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint slices of the curve
+    # and the rows themselves round-trip
+    assert spark.read.parquet(out).count() == ev.count()
