@@ -200,3 +200,61 @@ def test_double_normalization_matches_duckdb(spark, vals):
         for v in vals
     ]
     assert got == want
+
+
+# --- round-3 operators ------------------------------------------------------
+
+
+@settings(deadline=None, max_examples=200)
+@given(
+    a=st.integers(min_value=0, max_value=2**21 - 1),
+    b=st.integers(min_value=0, max_value=2**21 - 1),
+)
+def test_morton_bijective_and_monotone_per_axis(a, b):
+    """Pure-python replica of the Column arithmetic: the interleave is
+    injective (decodes back exactly) and stays inside 42 bits."""
+    from tests.test_snapshot import _py_morton
+
+    z = _py_morton(a, b)
+    da = sum(((z >> (2 * i)) & 1) << i for i in range(21))
+    db = sum(((z >> (2 * i + 1)) & 1) << i for i in range(21))
+    assert (da, db) == (a, b)
+    assert 0 <= z < 2**42
+
+
+@settings(**COMMON)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=20),
+    budget=st.integers(min_value=1, max_value=40),
+)
+def test_pack_sequences_invariants(spark, toks, budget):
+    """Offsets always inside the budget; starts are a prefix-sum chunking
+    of the shard stream; total tokens preserved."""
+    from data_diff_spark.functions.packing import PACKS_PER_SHARD, pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, ntok long")
+    out = pack_sequences(df, budget=budget, tokens_col="ntok", n_shards=1)
+    got = sorted((r["doc_id"], r["pack_id"], r["pack_offset"]) for r in out.collect())
+    cum = 0
+    for doc_id, pack_id, off in got:
+        assert pack_id == cum // budget
+        assert off == cum % budget
+        cum += toks[doc_id]
+
+
+@settings(**COMMON)
+@given(
+    left=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=10, unique=True),
+    right=st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=10, unique=True),
+)
+def test_asof_backward_is_floor_lookup(spark, left, right):
+    """asof backward == per-row floor search in the right timestamps."""
+    from data_diff_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame([(1, t) for t in left], "k int, t int")
+    r = spark.createDataFrame([(1, t, float(t)) for t in right], "k int, t int, v double")
+    got = {row["t"]: row["r_t"] for row in asof_join(l, r, on="t", by=["k"]).collect()}
+    for t in left:
+        floor = max((rt for rt in right if rt <= t), default=None)
+        assert got[t] == floor
