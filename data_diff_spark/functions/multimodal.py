@@ -178,6 +178,130 @@ def fake_decode(data: bytes) -> dict:
     }
 
 
+# --- WAV codec (pure stdlib/numpy — real audio decode) ----------------------
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode int16 mono PCM samples as a canonical RIFF/WAVE blob."""
+    import struct
+
+    import numpy as np
+
+    a = np.ascontiguousarray(samples, dtype=np.int16)
+    data = a.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(data: bytes):
+    """Decode a mono PCM16 RIFF/WAVE blob -> (sample_rate, int16 numpy
+    array). Walks the chunk list (tolerates extra chunks like LIST/fact).
+    Compressed audio (mp3/ogg/aac) needs librosa/ffmpeg — not in this
+    container; same swap-in contract as decode_image."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAVE decodes natively; compressed audio needs librosa/ffmpeg")
+    pos, rate, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError("only mono PCM16 WAV is supported")
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, np.frombuffer(raw, dtype=np.int16)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_zero_cross", T.LongType()),
+    ]
+)
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """Deterministic mono PCM16 clip: n=(id%4+1)*64 samples, sample i =
+    ((id+1)*(i+7)) % 2001 - 1000 — a pure integer function the DuckDB
+    oracle recomputes arithmetically (same two-independent-routes contract
+    as _synth_ppm)."""
+    import numpy as np
+
+    n = (doc_id % 4 + 1) * 64
+    i = np.arange(n, dtype=np.int64)
+    return encode_wav(((doc_id + 1) * (i + 7)) % 2001 - 1000)
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values,
+                 "media": [_synth_wav(int(i)) for i in pdf[id_col]]}
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(_gen, schema)
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode stage: WAV-parse each blob in an Arrow batch, emit
+    rate, length, RMS, zero crossings. Map-only, batch-bounded memory."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["media"]):
+                rate, s = decode_audio(bytes(b))
+                x = s.astype("int64")
+                n = len(x)
+                rms = float(np.sqrt((x * x).sum() / n)) if n else 0.0
+                zc = int(((x[:-1] * x[1:]) < 0).sum()) if n > 1 else 0
+                rows.append((int(i), rate, n, rms, zc))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "rms", "n_zero_cross"]
+            )
+
+    return df.select(id_col, "media").mapInPandas(_feat, AUDIO_FEATURE_SCHEMA)
+
+
+ORACLE_AUDIO_FEATURES = """
+with dims as (select doc_id, (doc_id % 4 + 1) * 64 as n from documents),
+s as (
+  select doc_id, n, i.i as i,
+         ((doc_id + 1) * (i.i + 7)) % 2001 - 1000 as v
+  from dims, unnest(generate_series(0, n - 1)) as i(i)
+),
+p as (
+  select doc_id, n, v,
+         lead(v) over (partition by doc_id order by i) as nv
+  from s
+)
+select doc_id, 16000 as sample_rate, any_value(n)::BIGINT as n_samples,
+       sqrt(sum(v * v)::DOUBLE / any_value(n)) as rms,
+       sum(case when nv is not null and v * nv < 0 then 1 else 0 end)::BIGINT as n_zero_cross
+from p
+group by doc_id
+"""
+
+
 # --- synthetic PPM corpus + real decode features -----------------------------
 
 IMAGE_FEATURE_SCHEMA = T.StructType(

@@ -1092,6 +1092,16 @@ def q_image_decode_features(spark, sf_dir):
     return MM.extract_image_features(media)
 
 
+def q_audio_decode_features(spark, sf_dir):
+    """REAL audio decode path: deterministic mono PCM16 WAV clips generated
+    per doc, RIFF-parsed by the pure-numpy codec inside mapInPandas; RMS
+    and zero-crossing counts hash-matched against the oracle's arithmetic
+    replay of the same samples (functions/multimodal.py)."""
+    load_views(spark, sf_dir)
+    media = MM.attach_wav_media(spark.table("documents"))
+    return MM.extract_audio_features(media)
+
+
 ORACLE_MULTIMODAL = """
 select doc_id, length(text)::BIGINT as n_bytes, md5(text) as content_md5,
        case when length(text) > 0 then
@@ -1716,6 +1726,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_ivf_oracle()),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
     "image_decode_features": (q_image_decode_features, MM.ORACLE_IMAGE_FEATURES),
+    "audio_decode_features": (q_audio_decode_features, MM.ORACLE_AUDIO_FEATURES),
     "events_hourly_stream": (q_events_hourly_stream, EVENTS_HOURLY_SQL),
     "events_json_extract": (q_events_json_extract, ORACLE_EVENTS_JSON),
     "collect_stats_lineitem": (q_collect_stats_lineitem, ORACLE_COLLECT_STATS),

@@ -125,3 +125,43 @@ def test_streaming_rollup_equals_batch(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    import numpy as np
+    import struct
+
+    s = (np.arange(300, dtype=np.int64) * 37 % 2001 - 1000).astype("int16")
+    blob = MM.encode_wav(s, 8000)
+    rate, back = MM.decode_audio(blob)
+    assert rate == 8000 and (back == s).all()
+    # an extra chunk between fmt and data must be skipped (word-aligned)
+    extra = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    rate2, back2 = MM.decode_audio(b"RIFF" + blob[4:8] + b"WAVE" + blob[12:36] + extra + blob[36:])
+    assert rate2 == 8000 and (back2 == s).all()
+
+
+def test_wav_rejects_compressed_and_stereo():
+    import numpy as np
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        MM.decode_audio(b"ID3\x04mp3data")
+    # stereo: patch channels=2 in the fmt chunk
+    blob = bytearray(MM.encode_wav(np.zeros(4, dtype=np.int16)))
+    blob[22] = 2
+    with _pt.raises(NotImplementedError):
+        MM.decode_audio(bytes(blob))
+
+
+def test_extract_audio_features_matches_local(spark):
+    import numpy as np
+
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = {r["doc_id"]: r for r in MM.extract_audio_features(MM.attach_wav_media(df)).collect()}
+    for i in range(12):
+        rate, s = MM.decode_audio(MM._synth_wav(i))
+        x = s.astype("int64")
+        assert out[i]["n_samples"] == len(x)
+        assert out[i]["rms"] == float(np.sqrt((x * x).sum() / len(x)))
+        assert out[i]["n_zero_cross"] == int(((x[:-1] * x[1:]) < 0).sum())
