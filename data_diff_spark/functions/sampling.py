@@ -138,3 +138,32 @@ def stratified_sample(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def mix_corpora(
+    sources: Mapping[str, tuple],
+    key_cols: Sequence[str],
+    salt: str = "mix",
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Build a training mixture from several corpora with per-source
+    sampling rates: sources = {name: (df, fraction)}; each source is
+    hash-sampled at its fraction (deterministic per (keys, salt, name) —
+    re-runs and engine changes select the same rows) and tagged with its
+    name. The data-mixing step of every pretraining recipe, as one
+    map-only union — no shuffle, sampling happens in each source's scan
+    stage. Sources must share a schema (unionByName); iteration order is
+    name-sorted so the plan is stable."""
+    parts = []
+    for name in sorted(sources):
+        df, fraction = sources[name]
+        if not (0.0 < fraction <= 1.0):
+            raise ValueError(f"fraction for {name!r} must be in (0, 1], got {fraction}")
+        s = df if fraction >= 1.0 else hash_sample(df, fraction, key_cols, salt=f"{salt}:{name}")
+        parts.append(s.withColumn(source_col, F.lit(name)))
+    if not parts:
+        raise ValueError("mix_corpora needs at least one source")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

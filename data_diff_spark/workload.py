@@ -1433,6 +1433,33 @@ def _pack_sequences_oracle() -> str:
     return PK.duckdb_pack_sequences(budget=512, n_shards=8)
 
 
+def q_mix_corpora(spark, sf_dir):
+    """Training-mixture construction: 'web' (all docs) at 30%, 'curated'
+    (en docs) at 100%, deterministically hash-sampled and source-tagged
+    (functions/sampling.py:mix_corpora). The oracle replays both sampling
+    predicates bit-identically."""
+    from data_diff_spark.functions.sampling import mix_corpora
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text", "lang")
+    out = mix_corpora(
+        {"web": (docs, 0.3), "curated": (docs.filter(F.col("lang") == "en"), 1.0)},
+        ["doc_id"],
+    )
+    return out.select("doc_id", "lang", "mix_source")
+
+
+def _mix_corpora_oracle() -> str:
+    from data_diff_spark.functions.sampling import duckdb_hash_sample_pred
+
+    web = duckdb_hash_sample_pred(0.3, ["doc_id"], salt="mix:web")
+    return f"""
+select doc_id, lang, 'curated' as mix_source from documents where lang = 'en'
+union all
+select doc_id, lang, 'web' as mix_source from documents where {web}
+"""
+
+
 def q_token_vocab(spark, sf_dir):
     """Corpus vocabulary / heavy hitters: top-100 tokens by total count with
     document frequency — the tokenizer-vocab / stopword-discovery pass.
@@ -1752,5 +1779,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
     "apply_diff_roundtrip": (q_apply_diff_roundtrip, _apply_diff_oracle()),
     "zorder_key_events": (q_zorder_key_events, _zorder_oracle()),
+    "mix_corpora_docs": (q_mix_corpora, _mix_corpora_oracle()),
     "repetition_stats_docs": (q_repetition_stats, _repetition_stats_oracle()),
 }

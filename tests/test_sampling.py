@@ -82,3 +82,24 @@ def test_stratified_plan_has_partial_group_limit(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_mix_corpora_deterministic_and_tagged(spark, sf_dir):
+    from data_diff_spark.functions.sampling import mix_corpora
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    mix = {"a": (docs, 0.5), "b": (docs.filter(F.col("lang") == "en"), 1.0)}
+    r1 = sorted(map(tuple, mix_corpora(mix, ["doc_id"]).collect()))
+    r2 = sorted(map(tuple, mix_corpora(
+        {"a": (docs.repartition(7), 0.5), "b": (docs.filter(F.col("lang") == "en"), 1.0)},
+        ["doc_id"]).collect()))
+    assert r1 == r2  # stable under repartitioning
+    srcs = {t[-1] for t in r1}
+    assert srcs == {"a", "b"}
+    n_a = sum(1 for t in r1 if t[-1] == "a")
+    n_docs = docs.count()
+    assert abs(n_a / n_docs - 0.5) < 0.15  # fraction roughly honored
+    with pytest.raises(ValueError):
+        mix_corpora({"x": (docs, 0.0)}, ["doc_id"])
+    with pytest.raises(ValueError):
+        mix_corpora({}, ["doc_id"])
