@@ -364,12 +364,17 @@ def decontaminate(
     bench_id_col: str = "doc_id",
     n: int = 5,
     broadcast_benchmark: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """Flag training documents that share word n-grams with an evaluation
     benchmark — the standard pre-training decontamination pass (GPT-3
     App. C / Llama-style 'n-gram overlap with eval sets'). Returns one row
     per CONTAMINATED corpus doc: (id, n_grams, n_hits, n_bench_docs);
     clean docs are absent (anti-join against this result to scrub).
+
+    normalize=True lowercases and strips non-alphanumerics (to spaces)
+    before shingling on BOTH sides — the usual hardening against trivial
+    case/punctuation evasion of the overlap check.
 
     Spark-first shape: both sides explode to distinct 60-bit n-gram hashes
     (hash60, cross-engine reproducible) — an inverted-index equi-join, the
@@ -380,14 +385,19 @@ def decontaminate(
     broadcast_benchmark=False if the benchmark is genuinely large (falls
     back to a shuffled equi-join on the gram hash).
     """
+    def prep(col):
+        if normalize:
+            col = F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
+        return col
+
     cg = corpus.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
+        F.explode(F.array_distinct(word_ngrams(prep(F.col(text_col)), n))).alias("__g"),
     ).withColumn("__g", hash60(F.col("__g")))
     bg = (
         benchmark.select(
             F.col(bench_id_col).alias("__bid"),
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
+            F.explode(F.array_distinct(word_ngrams(prep(F.col(text_col)), n))).alias("__g"),
         )
         .withColumn("__g", hash60(F.col("__g")))
         .distinct()
@@ -396,7 +406,7 @@ def decontaminate(
         bg = F.broadcast(bg)
     n_grams = corpus.select(
         F.col(id_col).alias("__id"),
-        F.size(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("n_grams"),
+        F.size(F.array_distinct(word_ngrams(prep(F.col(text_col)), n))).alias("n_grams"),
     )
     hits = (
         cg.join(bg, "__g")

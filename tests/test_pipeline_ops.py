@@ -198,3 +198,17 @@ def test_redact_pii_clean_text_untouched(spark):
     r = df.select(redact_pii(F.col("text")).alias("r")).select("r.*").collect()[0]
     assert r["text"] == "no pii in this sentence at all"
     assert r["n_email"] == r["n_ssn"] == r["n_phone"] == 0
+
+
+def test_decontaminate_normalize_catches_case_evasion(spark):
+    corpus = spark.createDataFrame(
+        [(1, "The QUICK brown FOX jumps over the lazy dog!")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    plain = decontaminate(corpus, bench, n=5).count()
+    normed = decontaminate(corpus, bench, n=5, normalize=True).count()
+    assert plain == 0 and normed == 1
