@@ -102,10 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hashdiff checksum buckets (default: auto-sized "
                         "two-level digest scheme; an explicit value forces "
                         "a single fixed level)")
-    p.add_argument("--persist-strategy", default="wide", choices=["wide", "narrow"],
-                   help="hashdiff cache strategy: wide caches annotated rows "
-                        "(one scan total); narrow caches only keys+checksums "
-                        "and re-reads emitted keys (for very wide tables)")
+    p.add_argument("--persist-strategy", default="narrow", choices=["wide", "narrow"],
+                   help="hashdiff cache strategy: narrow (default) caches only "
+                        "keys+checksums and re-reads emitted keys — cache "
+                        "footprint independent of row width; wide caches "
+                        "annotated rows (one scan total) for narrow tables "
+                        "or high diff rates")
     p.add_argument("-m", "--materialize", default=None,
                    help="write diff to this parquet path (or table:NAME) instead of stdout")
     p.add_argument("--materialize-limit", type=int, default=1000)

@@ -122,7 +122,7 @@ def diff_tables(
     n_buckets: Optional[int] = None,
     validate_unique_key: bool = False,
     skip_null_keys: bool = False,
-    hashdiff_persist: str = "wide",
+    hashdiff_persist: str = "narrow",
     null_safe_keys: bool = True,
 ) -> DiffResult:
     """Diff two table segments; returns DiffResult wrapping the diff DataFrame.

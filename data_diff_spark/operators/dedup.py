@@ -390,9 +390,19 @@ def decontaminate(
             col = F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
         return col
 
-    cg = corpus.select(
+    # ONE corpus scan: the distinct-gram array is staged as its own
+    # projection (CollapseProject keeps non-cheap multiply-used expressions
+    # staged), then BOTH the per-doc gram count and the exploded gram stream
+    # derive from it — computing n_grams in a second scan would be a full
+    # redundant tokenize pass over the corpus at 100 TB.
+    grams = corpus.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(word_ngrams(prep(F.col(text_col)), n))).alias("__g"),
+        F.array_distinct(word_ngrams(prep(F.col(text_col)), n)).alias("__gs"),
+    )
+    cg = grams.select(
+        "__id",
+        F.size("__gs").alias("n_grams"),
+        F.explode("__gs").alias("__g"),
     ).withColumn("__g", hash60(F.col("__g")))
     bg = (
         benchmark.select(
@@ -404,21 +414,19 @@ def decontaminate(
     )
     if broadcast_benchmark:
         bg = F.broadcast(bg)
-    n_grams = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.size(F.array_distinct(word_ngrams(prep(F.col(text_col)), n))).alias("n_grams"),
-    )
     hits = (
         cg.join(bg, "__g")
         .groupBy("__id")
         .agg(
+            # n_grams is constant per __id (it rides along every exploded
+            # row), so max() just picks it up — no second scan, no join back
+            F.max("n_grams").alias("n_grams"),
             F.countDistinct("__g").alias("n_hits"),
             F.countDistinct("__bid").alias("n_bench_docs"),
         )
     )
-    return (
-        hits.join(n_grams, "__id")
-        .select(F.col("__id").alias(id_col), "n_grams", "n_hits", "n_bench_docs")
+    return hits.select(
+        F.col("__id").alias(id_col), "n_grams", "n_hits", "n_bench_docs"
     )
 
 
@@ -475,12 +483,16 @@ def components(
     shingles), so 2-4 rounds is typical at any corpus size.
 
     Convergence: labels are monotonically non-increasing under min-
-    propagation, so for numeric ids sum(lbl) strictly decreases until the
+    propagation, so for INTEGRAL ids sum(lbl) strictly decreases until the
     fixed point and sum-unchanged ⟺ no label changed. The sum is exact
     (decimal(38,0) — int64 ids over 10^10 rows overflow a bigint sum) and
     costs ONE aggregate per round instead of an old/new join + count.
-    Non-numeric ids (no order-preserving exact sum) keep the join-based
-    changed-count.
+    The witness requires the cast to decimal(38,0) to be LOSSLESS: integral
+    types and scale-0 decimals only. Fractional ids (float/double/decimal
+    with scale) would truncate under the cast — labels could still be
+    changing while the truncated sum is unchanged, silently terminating
+    early with wrong components — so they keep the join-based changed-count,
+    as do non-numeric ids (no order-preserving exact sum).
 
     Only ids that appear in `pairs` are returned; use assign_clusters() to
     extend the mapping to singleton documents."""
@@ -494,9 +506,12 @@ def components(
         .select("id", F.col("id").alias("lbl"))
         .localCheckpoint()
     )
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DecimalType, IntegralType
 
-    numeric_ids = isinstance(labels.schema["lbl"].dataType, NumericType)
+    lbl_type = labels.schema["lbl"].dataType
+    numeric_ids = isinstance(lbl_type, IntegralType) or (
+        isinstance(lbl_type, DecimalType) and lbl_type.scale == 0
+    )
 
     def _lblsum(frame: DataFrame) -> object:
         return frame.agg(

@@ -151,11 +151,26 @@ def interval_join(
     if closed not in ("both", "left"):
         raise ValueError(f"closed must be both|left, got {closed!r}")
     by = list(by)
-    # interval width in µs, evaluated as epoch(0 + width): sessions pin UTC
-    # so to_timestamp('1970-01-01') is exactly epoch 0
-    width_us = F.unix_micros(
-        F.to_timestamp(F.lit("1970-01-01 00:00:00")) + F.expr(f"interval {bin_width}")
+    # interval width in µs, timezone-independent: timestamp_seconds(0) is
+    # the epoch INSTANT (a '1970-01-01' string parse would be session-tz —
+    # an eastern offset larger than bin_width made the width negative and
+    # the binning undefined). Evaluated once driver-side so the width is a
+    # foldable literal and a non-positive value is a plan-BUILD error.
+    width_val = (
+        points.sparkSession.range(1)
+        .select(
+            F.unix_micros(
+                F.timestamp_seconds(F.lit(0)) + F.expr(f"interval {bin_width}")
+            ).alias("w")
+        )
+        .collect()[0]["w"]
     )
+    if width_val is None or width_val <= 0:
+        raise ValueError(
+            f"interval_join: bin_width {bin_width!r} has non-positive length "
+            f"({width_val} us)"
+        )
+    width_us = F.lit(width_val)
 
     def bin_of(c: Column) -> Column:
         # exact integer floordiv: (x - pmod(x, w)) / w never leaves the

@@ -41,7 +41,9 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     timestamp[us] across driver rounds; normalize_event_ts adapts to
     whichever schema this round's files carry.
     """
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a GC'd session's id can be reused by a
+    # new session, which would false-hit the memo and skip registration
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _LOADED_VIEWS:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -63,6 +65,26 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     # memoize only after every view registered — a partial failure must not
     # poison later calls with missing views
     _LOADED_VIEWS.add(key)
+
+
+# --- merged-variant gate helper ---------------------------------------------
+# The driver's correctness gate verifies the FIRST 50 registry entries; round
+# 3 had 63, leaving 13 unverified. Variants that implement the same semantics
+# (batch vs streaming, LSH vs brute-force, local vs cross-engine) therefore
+# share ONE registry entry: the primary result plus, per alternative, the
+# symmetric difference primary Δ alternative. When all variants agree the
+# appended legs are empty and the entry equals the oracle; ANY divergence
+# adds rows and fails the driver's row-count + value-hash compare — a silent
+# subset can't pass (a union-distinct merge would let it).
+
+
+def _must_equal(primary: DataFrame, *others: DataFrame) -> DataFrame:
+    p = primary.persist()
+    out = p
+    for o in others:
+        a = o.select(*p.columns).persist()
+        out = out.unionAll(p.exceptAll(a)).unionAll(a.exceptAll(p))
+    return out
 
 
 # --- deterministic "modified" tables for diff queries ----------------------
@@ -1311,10 +1333,15 @@ def q_asof_purchase(spark, sf_dir):
 
     load_views(spark, sf_dir)
     ev = spark.table("events").select("event_id", "user_id", "ts", "event_type", "value")
+    # asof_join output is nondeterministic when the right side has duplicate
+    # (by, on) rows (our window's pick vs DuckDB ASOF's pick could diverge):
+    # pre-aggregate purchases to one row per (user_id, ts), identically on
+    # both sides (ADVICE r3)
     purchases = (
         spark.table("events")
         .filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
     )
     return asof_join(ev, purchases, on="ts", by=["user_id"], prefix="purchase_")
 
@@ -1323,7 +1350,11 @@ ORACLE_ASOF_PURCHASE = """
 select e.event_id, e.user_id, e.ts, e.event_type, e.value,
        p.ts as purchase_ts, p.value as purchase_value
 from events e
-asof left join (select user_id, ts, value from events where event_type = 'purchase') p
+asof left join (
+  select user_id, ts, max(value) as value
+  from events where event_type = 'purchase'
+  group by user_id, ts
+) p
   on e.user_id = p.user_id and e.ts >= p.ts
 """
 
@@ -1710,18 +1741,233 @@ where o.o_orderkey is null or c.o_orderkey is null
 """
 
 
+# --- merged gate entries (see _must_equal) ----------------------------------
+
+
+def q_events_hourly_all(spark, sf_dir):
+    """Batch hourly rollup AND its streaming formulation (AvailableNow, run
+    to completion) verified equal under one gate entry."""
+    return _must_equal(
+        q_events_hourly(spark, sf_dir),
+        q_events_hourly_stream(spark, sf_dir),
+    )
+
+
+def q_events_sessionize_all(spark, sf_dir):
+    """Three independent sessionization formulations — lag-window batch,
+    native session_window, stateful streaming (applyInPandasWithState) —
+    verified equal under one gate entry."""
+    return _must_equal(
+        q_events_sessionize(spark, sf_dir),
+        q_events_session_window(spark, sf_dir),
+        q_events_sessionize_stream(spark, sf_dir),
+    )
+
+
+def q_neardup_pairs_all(spark, sf_dir):
+    """Brute-ish inverted-index Jaccard AND banded MinHash-LSH (candidate
+    gen + exact verify) must emit the identical pair set (at 32x4 bands the
+    per-pair miss probability at J=0.8 is ~5e-8)."""
+    return _must_equal(
+        q_ngram_jaccard_pairs(spark, sf_dir),
+        q_dedup_minhash_lsh(spark, sf_dir),
+    )
+
+
+def q_range_join_all(spark, sf_dir):
+    """Batch bucketed-bin interval join AND the watermarked stream-stream
+    variant, verified equal under one gate entry."""
+    return _must_equal(
+        q_range_join_attribution(spark, sf_dir),
+        q_range_join_stream(spark, sf_dir),
+    )
+
+
+def q_hashdiff_orders_all(spark, sf_dir):
+    """Local bucketed hashdiff AND the true cross-engine path (DuckDB side
+    computing its own digests) must produce the identical diff."""
+    return _must_equal(
+        q_hashdiff_orders(spark, sf_dir),
+        q_hashdiff_cross_engine(spark, sf_dir),
+    )
+
+
+def q_joindiff_orders_scoped(spark, sf_dir):
+    """joindiff over the full table + restricted to an update-column window
+    (min_update/max_update), tagged by scope in one relation."""
+    full = q_joindiff_orders(spark, sf_dir).withColumn("scope", F.lit("full"))
+    win = q_joindiff_orders_window(spark, sf_dir).withColumn("scope", F.lit("window"))
+    return full.unionAll(win.select(*full.columns))
+
+
+ORACLE_JOINDIFF_ORDERS_SCOPED = f"""
+select 'full' as scope, * from ({_orders_diff_oracle()})
+union all
+select 'window' as scope, * from ({_orders_window_oracle()})
+"""
+
+
+def q_checksum_orders_scoped(spark, sf_dir):
+    """Segment (count, checksum) over: the full table, a key-range
+    restriction, and the apply_diff(A, diff(A,B)) == B closure — three
+    checksum workflows, one scoped relation."""
+    full = q_checksum_orders(spark, sf_dir).withColumn("scope", F.lit("full"))
+    rng = q_checksum_orders_keyrange(spark, sf_dir).withColumn("scope", F.lit("keyrange"))
+    app = q_apply_diff_roundtrip(spark, sf_dir).withColumn("scope", F.lit("applied"))
+    return full.unionAll(rng.select(*full.columns)).unionAll(app.select(*full.columns))
+
+
+def _checksum_scoped_oracle() -> str:
+    return f"""
+select 'full' as scope, * from ({ORACLE_CHECKSUM_ORDERS})
+union all
+select 'keyrange' as scope, * from ({ORACLE_CHECKSUM_KEYRANGE})
+union all
+select 'applied' as scope, * from ({_apply_diff_oracle()})
+"""
+
+
+def q_text_analysis_docs(spark, sf_dir):
+    """The full per-document text-analysis surface in one relation: stats
+    (tokens/BPE/lang-ID/quality), fingerprints (set/rolling/simhash), the
+    cleaning-stage keep/reject verdict, and the hashed feature vector. All
+    four parts are map-only column pipelines joined on doc_id."""
+    out = q_text_stats(spark, sf_dir)
+    for part in (q_doc_fingerprints, q_quality_filter, q_hashed_doc_vectors):
+        out = out.join(part(spark, sf_dir), "doc_id")
+    return out
+
+
+def _text_analysis_oracle() -> str:
+    return f"""
+with s1 as ({_text_stats_oracle()}),
+s2 as ({_doc_fingerprints_oracle()}),
+s3 as ({_quality_filter_oracle()}),
+s4 as ({_hashed_vectors_oracle()})
+select s1.doc_id, s1.n_tokens, s1.n_bpe_tokens, s1.lang_pred, s1.alpha_ratio,
+       s1.mean_token_len, s1.stopword_ratio_en, s1.quality_score,
+       s2.set_fp, s2.rolling_fp, s2.simhash,
+       s3.keep, s3.reject_reason,
+       s4.vector_str
+from s1
+join s2 using (doc_id)
+join s3 using (doc_id)
+join s4 using (doc_id)
+"""
+
+
+def q_multimodal_decode_all(spark, sf_dir):
+    """All three multimodal decode paths joined on doc_id: the deterministic
+    fake-decoder template (byte stats), the REAL netpbm image codec
+    (per-channel pixel means) and the REAL RIFF/WAV audio codec
+    (RMS/zero-crossings) — each an Arrow-batched mapInPandas pipeline."""
+    out = q_multimodal_features(spark, sf_dir)
+    out = out.join(q_image_decode_features(spark, sf_dir), "doc_id")
+    out = out.join(q_audio_decode_features(spark, sf_dir), "doc_id")
+    return out
+
+
+def _multimodal_all_oracle() -> str:
+    return f"""
+with s1 as ({ORACLE_MULTIMODAL}),
+s2 as ({MM.ORACLE_IMAGE_FEATURES}),
+s3 as ({MM.ORACLE_AUDIO_FEATURES})
+select s1.doc_id, s1.n_bytes, s1.content_md5, s1.byte_mean,
+       s2.width, s2.height, s2.mean_r, s2.mean_g, s2.mean_b,
+       s3.sample_rate, s3.n_samples, s3.rms, s3.n_zero_cross
+from s1
+join s2 using (doc_id)
+join s3 using (doc_id)
+"""
+
+
+def q_dedup_resolve_all(spark, sf_dir):
+    """The near-dup pipeline end-to-end in one relation: LSH pairs ->
+    connected components -> every doc tagged with (cluster_id, the cluster's
+    kept canonical doc, cluster size, kept score)."""
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = DD.minhash_lsh_dedup(docs, threshold=0.8).persist()
+    clusters = DD.assign_clusters(docs, pairs).select("doc_id", "cluster_id")
+    resolved = DD.dedup_resolve(docs, pairs)
+    return clusters.join(resolved, "cluster_id").select(
+        "doc_id", "cluster_id", "kept_id", "n_members", "kept_score"
+    )
+
+
+def _dedup_resolve_all_oracle() -> str:
+    q = TX.duckdb_quality_score("text")
+    return f"""
+with recursive {_components_cte()},
+assigned as (
+  select d.doc_id, coalesce(c.cluster_id, d.doc_id) as cluster_id
+  from documents d left join comp c using (doc_id)
+),
+scored as (
+  select a.cluster_id, d.doc_id as id, {q} as score
+  from documents d join assigned a using (doc_id)
+),
+ranked as (
+  select *, row_number() over (partition by cluster_id order by score desc, id desc) as rn,
+         count(*) over (partition by cluster_id) as n_members
+  from scored
+),
+kept as (select cluster_id, id as kept_id, n_members, score as kept_score
+         from ranked where rn = 1)
+select a.doc_id, a.cluster_id, k.kept_id, k.n_members, k.kept_score
+from assigned a join kept k using (cluster_id)
+"""
+
+
+def q_docs_sampling(spark, sf_dir):
+    """Deterministic sampling surface in one scoped relation: content-hash
+    train/val/test split assignment + 20-per-language stratified sample."""
+    s = q_docs_split_assign(spark, sf_dir).select(
+        F.lit("split").alias("scope"), "doc_id", F.col("split").alias("tag")
+    )
+    t = q_docs_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("scope"), "doc_id", F.col("lang").alias("tag")
+    )
+    return s.unionAll(t)
+
+
+def _docs_sampling_oracle() -> str:
+    return f"""
+select 'split' as scope, doc_id, split as tag from ({_docs_split_oracle()})
+union all
+select 'stratified' as scope, doc_id, lang as tag from ({_docs_stratified_oracle()})
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# ≤50 entries so the driver's 50-entry gate covers EVERY operator family
+# (round 3 registered 63 and the last 13 went unverified). Same-semantics
+# variants share an entry via _must_equal (divergence = hash mismatch);
+# differently-shaped siblings union under a scope tag. r3->r4 renames:
+#   events_hourly        += events_hourly_stream
+#   events_sessionize    += events_session_window, events_sessionize_stream
+#   neardup_pairs_jaccard = ngram_jaccard_pairs + dedup_minhash_lsh
+#   range_join_attribution += range_join_stream
+#   hashdiff_orders      += hashdiff_cross_engine
+#   joindiff_orders      += joindiff_orders_window  (scope tag)
+#   checksum_orders      += checksum_orders_keyrange, apply_diff_roundtrip
+#   text_analysis_docs    = text_stats + doc_fingerprints +
+#                           quality_filter_docs + hashed_doc_vectors
+#   multimodal_decode     = multimodal_features + image_decode_features +
+#                           audio_decode_features
+#   dedup_resolve        += dedup_clusters (per-doc cluster + kept columns)
+#   docs_sampling         = docs_split_assign + docs_stratified_sample
 WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
-    "joindiff_orders": (q_joindiff_orders, _orders_diff_oracle()),
-    "hashdiff_orders": (q_hashdiff_orders, _orders_diff_oracle()),
+    "joindiff_orders": (q_joindiff_orders_scoped, ORACLE_JOINDIFF_ORDERS_SCOPED),
+    "hashdiff_orders": (q_hashdiff_orders_all, _orders_diff_oracle()),
     "joindiff_lineitem_compound": (q_joindiff_lineitem, _lineitem_diff_oracle()),
     "hashdiff_lineitem_dupkeys": (q_hashdiff_lineitem, _hashdiff_lineitem_oracle()),
     "diff_stats_orders": (q_diff_stats_orders, ORACLE_DIFF_STATS_ORDERS),
     "percol_diff_counts_orders": (q_percol_diff_orders, _percol_oracle()),
-    "checksum_orders": (q_checksum_orders, ORACLE_CHECKSUM_ORDERS),
+    "checksum_orders": (q_checksum_orders_scoped, _checksum_scoped_oracle()),
     "key_range_orders": (
         q_key_range_orders,
         "select min(o_orderkey) as min_key, max(o_orderkey) as max_key, count(*) as cnt from orders",
@@ -1733,43 +1979,28 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tpch_q8_market_share": (q_tpch_q8, TPCH_Q8_SQL),
     "tpch_q10_returns": (q_tpch_q10, TPCH_Q10_SQL),
     "set_ops_except": (q_set_ops, ORACLE_SET_OPS),
-    "events_hourly": (q_events_hourly, EVENTS_HOURLY_SQL),
-    "events_sessionize": (q_events_sessionize, SESSIONIZE_ORACLE),
-    "text_stats": (q_text_stats, _text_stats_oracle()),
-    "doc_fingerprints": (q_doc_fingerprints, _doc_fingerprints_oracle()),
-    "quality_filter_docs": (q_quality_filter, _quality_filter_oracle()),
-    "hashed_doc_vectors": (q_hashed_doc_vectors, _hashed_vectors_oracle()),
+    "events_hourly": (q_events_hourly_all, EVENTS_HOURLY_SQL),
+    "events_sessionize": (q_events_sessionize_all, SESSIONIZE_ORACLE),
+    "text_analysis_docs": (q_text_analysis_docs, _text_analysis_oracle()),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _jaccard_pairs_oracle()),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _jaccard_pairs_oracle()),
-    "docs_split_assign": (q_docs_split_assign, _docs_split_oracle()),
-    "docs_stratified_sample": (q_docs_stratified_sample, _docs_stratified_oracle()),
-    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
-    "dedup_resolve": (q_dedup_resolve, _dedup_resolve_oracle()),
+    "neardup_pairs_jaccard": (q_neardup_pairs_all, _jaccard_pairs_oracle()),
+    "docs_sampling": (q_docs_sampling, _docs_sampling_oracle()),
+    "dedup_resolve": (q_dedup_resolve_all, _dedup_resolve_all_oracle()),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, _simhash_pairs_oracle()),
     "cosine_topk_exact": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_neardup_lsh": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_lsh_oracle()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_ivf_oracle()),
-    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
-    "image_decode_features": (q_image_decode_features, MM.ORACLE_IMAGE_FEATURES),
-    "audio_decode_features": (q_audio_decode_features, MM.ORACLE_AUDIO_FEATURES),
-    "events_hourly_stream": (q_events_hourly_stream, EVENTS_HOURLY_SQL),
+    "multimodal_decode": (q_multimodal_decode_all, _multimodal_all_oracle()),
     "events_json_extract": (q_events_json_extract, ORACLE_EVENTS_JSON),
     "collect_stats_lineitem": (q_collect_stats_lineitem, ORACLE_COLLECT_STATS),
-    "events_session_window": (q_events_session_window, SESSIONIZE_ORACLE),
     "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
-    "hashdiff_cross_engine": (q_hashdiff_cross_engine, _orders_diff_oracle()),
     "events_stream_validate": (q_events_stream_validate, ORACLE_STREAM_VALIDATE),
-    "joindiff_orders_window": (q_joindiff_orders_window, _orders_window_oracle()),
-    "checksum_orders_keyrange": (q_checksum_orders_keyrange, ORACLE_CHECKSUM_KEYRANGE),
     "get_values_orders": (q_get_values_orders, _get_values_oracle()),
-    "events_sessionize_stream": (q_events_sessionize_stream, SESSIONIZE_ORACLE),
     "events_dedup_stream": (q_events_dedup_stream, ORACLE_EVENTS_DEDUP_STREAM),
     "joindiff_mixed_precision": (q_joindiff_mixed_precision, ORACLE_MIXED_PRECISION),
     "asof_join_purchase": (q_asof_purchase, ORACLE_ASOF_PURCHASE),
-    "range_join_attribution": (q_range_join_attribution, ORACLE_RANGE_JOIN),
-    "range_join_stream": (q_range_join_stream, ORACLE_RANGE_JOIN),
+    "range_join_attribution": (q_range_join_all, ORACLE_RANGE_JOIN),
     "decontaminate_docs": (q_decontaminate, DD.duckdb_decontaminate("doc_id % 97 = 0", n=5)),
     "pack_sequences_docs": (q_pack_sequences, _pack_sequences_oracle()),
     "redact_pii_docs": (q_redact_pii, _redact_pii_oracle()),
@@ -1777,7 +2008,6 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "snapshot_diff_orders": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
-    "apply_diff_roundtrip": (q_apply_diff_roundtrip, _apply_diff_oracle()),
     "zorder_key_events": (q_zorder_key_events, _zorder_oracle()),
     "mix_corpora_docs": (q_mix_corpora, _mix_corpora_oracle()),
     "repetition_stats_docs": (q_repetition_stats, _repetition_stats_oracle()),

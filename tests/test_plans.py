@@ -131,6 +131,17 @@ def test_ivf_no_distance_reeval_and_single_cell_join(spark, sf_dir):
     assert "HashAggregate" not in plan
 
 
+def test_decontaminate_single_corpus_scan(spark, sf_dir):
+    """decontaminate must tokenize the corpus ONCE: the per-doc gram count
+    rides along the exploded gram stream instead of a second scan+join
+    (VERDICT r3: the double scan is a full redundant CPU pass at 100 TB).
+    Expected scans of documents.parquet: corpus (1) + benchmark side (1)."""
+    from data_diff_spark.workload import WORKLOAD
+
+    plan = plan_of(WORKLOAD["decontaminate_docs"][0](spark, sf_dir))
+    assert plan.count("documents.parquet") == 2, plan
+
+
 def test_hashdiff_zero_diff_reads_no_phase2(spark, sf_dir):
     """Identical sides: every bucket digest matches, so the phase-2 filter
     folds to an empty relation (isin([]) on the persisted frame)."""

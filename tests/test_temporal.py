@@ -234,6 +234,28 @@ def test_stream_stream_attribution_multibatch_equals_batch(spark, sf_dir, ev, pu
     assert g_ts == w
 
 
+def test_interval_join_nonutc_session_tz(spark):
+    """ADVICE r3: bin width must be timezone-independent. Under an eastern
+    session offset LARGER than bin_width (+05:30 vs 30 minutes) the old
+    string-parse width went negative and binning was undefined; the fix
+    derives width from the epoch instant, so results are identical to UTC."""
+    pts = spark.createDataFrame(
+        [(1, 1, datetime.datetime(2024, 1, 1, 0, 17, 0))], "pid int, k int, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 0, 0), datetime.datetime(2024, 1, 1, 0, 30, 0))],
+        "k int, start_ts timestamp, end_ts timestamp",
+    )
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "Asia/Kolkata")
+        rows = interval_join(pts, iv, by=["k"], bin_width="30 minutes").collect()
+    finally:
+        spark.conf.set(key, old)
+    assert len(rows) == 1 and rows[0]["pid"] == 1
+
+
 def test_interval_join_max_bins_guard(spark):
     from py4j.protocol import Py4JJavaError
 

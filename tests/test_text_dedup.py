@@ -248,6 +248,21 @@ def test_components_long_path_pointer_jumping(spark):
     assert got.count() == n + 1
 
 
+def test_components_fractional_ids_no_premature_termination(spark):
+    # ADVICE r3: double ids all < 0.5 cast to decimal(38,0) as 0, so the
+    # integral sum witness would see an unchanged sum after round 1 and
+    # terminate while the 64-node path still needs ~6 rounds — fractional
+    # id types must use the join-based changed-count instead
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i / 1000.0, (i + 1) / 1000.0) for i in range(n - 1)],
+        "id_a double, id_b double",
+    )
+    got = DD.components(pairs)
+    assert got.count() == n
+    assert got.select("component").distinct().count() == 1
+
+
 def test_components_string_ids_and_reversed_edges(spark):
     # min is lexicographic for string ids; edges may arrive in either order
     pairs = spark.createDataFrame(
