@@ -119,6 +119,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "model names to select")
     p.add_argument("--prod-database", default=None)
     p.add_argument("--prod-schema", default=None)
+    p.add_argument("--dbt-project-dir", default=None, metavar="DIR",
+                   help="dbt mode via a project directory: resolves the "
+                        "manifest (target/manifest.json) AND every model's "
+                        "connection from dbt_project.yml + profiles.yml "
+                        "(reference dbt_parser.py connection resolution); "
+                        "no manual URIs needed")
+    p.add_argument("--dbt-profiles-dir", default=None, metavar="DIR",
+                   help="override profiles.yml location (default: project "
+                        "dir, then ~/.dbt / $DBT_PROFILES_DIR)")
+    p.add_argument("--dbt-target", default=None,
+                   help="profiles.yml target for the dev side")
+    p.add_argument("--dbt-prod-target", default=None,
+                   help="profiles.yml target for the prod side (omit to "
+                        "use --prod-database/--prod-schema substitution "
+                        "on the dev connection)")
     p.add_argument("--no-refine", action="store_true",
                    help="skip the 64-row sampling refinement of string "
                         "columns (uuid/json/alphanum kind detection)")
@@ -200,11 +215,12 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
     snapshot_mode = args.snapshot_write or args.snapshot
     if snapshot_mode and (not args.uri1 or not args.key_columns):
         raise SystemExit("error: --snapshot-write/--snapshot need uri1 and -k")
-    if not snapshot_mode and not args.dbt_manifest and (
+    dbt_mode = args.dbt_manifest or args.dbt_project_dir
+    if not snapshot_mode and not dbt_mode and (
             not args.uri1 or not args.uri2 or not args.key_columns):
         raise SystemExit("error: uri1, uri2 and -k/--key-columns are required "
                          "(on the command line or via --config), unless "
-                         "--dbt-manifest is used")
+                         "--dbt-manifest/--dbt-project-dir is used")
     own_session = spark is None
     if own_session:
         spark = (
@@ -217,14 +233,28 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
         spark.sparkContext.setLogLevel("ERROR")
 
     try:
-        if args.dbt_manifest:
-            from data_diff_spark.dbt import dbt_diff
-
+        if dbt_mode:
             selection = [s for s in (args.uri1, args.uri2) if s] or None
-            results = dbt_diff(
-                spark, manifest_path=args.dbt_manifest, selection=selection,
-                prod_database=args.prod_database, prod_schema=args.prod_schema,
-            )
+            if args.dbt_project_dir:
+                from data_diff_spark.dbt_profiles import dbt_diff_from_project
+
+                results = dbt_diff_from_project(
+                    spark, args.dbt_project_dir,
+                    profiles_dir=args.dbt_profiles_dir,
+                    target=args.dbt_target,
+                    prod_target=args.dbt_prod_target,
+                    manifest_path=args.dbt_manifest,
+                    selection=selection,
+                    prod_database=args.prod_database,
+                    prod_schema=args.prod_schema,
+                )
+            else:
+                from data_diff_spark.dbt import dbt_diff
+
+                results = dbt_diff(
+                    spark, manifest_path=args.dbt_manifest, selection=selection,
+                    prod_database=args.prod_database, prod_schema=args.prod_schema,
+                )
             for r in results:
                 head = f"{'.'.join(r.dev_path)} <> {'.'.join(r.prod_path)}"
                 if r.skipped:

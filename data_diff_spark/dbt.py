@@ -178,6 +178,7 @@ def dbt_diff(
     prod_database: Optional[str] = None,
     prod_schema: Optional[str] = None,
     resolver: Optional[Callable[[Tuple[str, ...]], DataFrame]] = None,
+    prod_resolver: Optional[Callable[[Tuple[str, ...]], DataFrame]] = None,
     with_stats: bool = True,
     **diff_kwargs,
 ) -> List[DbtDiffResult]:
@@ -192,6 +193,7 @@ def dbt_diff(
     m = DbtManifest.load(manifest_path) if manifest_path else DbtManifest(manifest or {})
     uniq = m.unique_columns()
     resolve = resolver or _catalog_resolver(spark)
+    resolve_prod = prod_resolver or resolve
     out: List[DbtDiffResult] = []
     for model in m.models(selection):
         pks = m.pk_for(model, uniq)
@@ -204,7 +206,7 @@ def dbt_diff(
             out.append(DbtDiffResult(model.name, prod, dev, [], skipped="no_primary_key"))
             continue
         try:
-            df_prod, df_dev = resolve(prod), resolve(dev)
+            df_prod, df_dev = resolve_prod(prod), resolve(dev)
         except Exception as e:  # model missing in prod = "new model"
             logger.info("Skipping %s: %s", model.name, e)
             out.append(DbtDiffResult(model.name, prod, dev, pks, skipped=f"unresolved: {e}"))
