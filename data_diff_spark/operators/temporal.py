@@ -20,9 +20,12 @@ needs, implemented Spark-first:
 Scale notes (100 TB):
   - asof_join shuffles each side once on `by`; per-key state is the single
     "last seen right row" struct, so the window never buffers the
-    partition. Skewed keys fall to AQE; an empty `by` would serialize into
-    one task, so it is rejected — global as-of at scale should range-
-    partition on the time column instead (documented below).
+    partition. Skewed keys fall to AQE. An empty `by` does NOT serialize
+    into one global window: the time axis is cut into `num_buckets`
+    fixed-width buckets, the window runs per bucket, and the only
+    cross-bucket state is one "last right row" per bucket — carried by a
+    prefix pass over a num_buckets-row spine and broadcast back. Data
+    never moves through a single task.
   - interval_join's fan-out is interval_span/bin_width rows per interval;
     pick bin_width near the median interval span so the explode factor
     stays O(1). Long-tail intervals are capped by `max_bins` (explicit
@@ -46,6 +49,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: Optional[str] = None,
     prefix: str = "r_",
+    num_buckets: int = 256,
 ) -> DataFrame:
     """For each left row, attach the single matching right row: the latest
     right row with right.on <= left.on (direction='backward', ties match)
@@ -64,13 +68,20 @@ def asof_join(
     `tolerance`: an INTERVAL string (e.g. '30 minutes') for timestamp
     `on`, or an int/float for numeric `on`; matches farther than the
     tolerance are nulled out (row is kept, left-outer).
+
+    With an empty `by`, a naive global window would be a single task; the
+    global path instead cuts the time axis into `num_buckets` fixed-width
+    buckets (monotone in `on`, so bucket order == time order), runs the
+    same last-non-null window per bucket, and fills left rows whose bucket
+    holds no earlier right row from a per-bucket carry: the latest right
+    row of every strictly earlier bucket, computed on a num_buckets-row
+    spine and broadcast back. Bounded extra cost: one min/max scan of the
+    `on` column and one map-combined per-bucket aggregate of the right
+    side. Left rows with a NULL `on` never match (NULL is not comparable
+    to any time).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    if not by:
-        # A global window is a single task — wrong at any scale. Force the
-        # caller to choose keys or to range-partition + mapInPandas instead.
-        raise ValueError("asof_join requires at least one `by` key")
     by = list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(by) | {on}]
@@ -96,14 +107,17 @@ def asof_join(
         order = [F.col(on).asc(), F.col("__side").asc()]
     else:
         order = [F.col(on).desc(), F.col("__side").asc()]
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
-        F.col("__side") == 1
-    )
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
+            F.col("__side") == 1
+        )
+    else:
+        matched = _global_asof_match(u, rs, on, order, direction, num_buckets)
 
     if tolerance is not None:
         tol = (
@@ -121,6 +135,91 @@ def asof_join(
     out_cols = [r_on] + [out_name(c) for c in right_cols]
     return matched.select(
         *left.columns, *[F.col(f"__m.{c}").alias(c) for c in out_cols]
+    )
+
+
+def _global_asof_match(
+    u: DataFrame,
+    rs: DataFrame,
+    on: str,
+    order: Sequence[Column],
+    direction: str,
+    num_buckets: int,
+) -> DataFrame:
+    """Keyless as-of matching without a single-task window.
+
+    Bucket the time axis into `num_buckets` fixed-width slices. Because the
+    bucket function is monotone in `on`, a right row in a strictly earlier
+    bucket is strictly earlier in time than every row of later buckets
+    (equal `on` always lands in the same bucket) — so each left row's
+    match is either the in-bucket window result (later or equal to any
+    earlier-bucket right) or, when its bucket has no preceding right row,
+    the latest right row across all earlier buckets. That carry is one
+    row per bucket: aggregated map-side, prefix-scanned over a
+    num_buckets-row spine (the only single-task window, over ≤num_buckets
+    rows), and broadcast back. Exact same rows as the keyed path with a
+    constant key (pinned by test); `forward` mirrors with min/desc."""
+    backward = direction == "backward"
+    spark = u.sparkSession
+    dt = u.schema[on].dataType
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    def tkey(c: Column) -> Column:
+        if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+            return F.unix_micros(c.cast("timestamp"))
+        return c.cast("double")
+
+    b = u.select(tkey(F.col(on)).alias("k")).agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    if lo is None:  # empty input or all-NULL `on`: nothing can match
+        return u.filter(F.col("__side") == 1).withColumn(
+            "__m", F.lit(None).cast(u.schema["__r"].dataType)
+        )
+    # float width is fine: correctness needs only a deterministic MONOTONE
+    # bucket function, not exact edges (unlike interval_join's binning)
+    width = max((hi - lo) / num_buckets, 1e-9)
+
+    def bucket(c: Column) -> Column:
+        return F.least(
+            F.floor((tkey(c) - F.lit(lo)) / F.lit(width)), F.lit(num_buckets - 1)
+        ).cast("long")
+
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        u.withColumn("__bucket", bucket(F.col(on)))
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+
+    pick = (F.max_by if backward else F.min_by)("__r", tkey(F.col(on)))
+    per_bucket = (
+        rs.filter(F.col(on).isNotNull())
+        .withColumn("__bucket", bucket(F.col(on)))
+        .groupBy("__bucket")
+        .agg(pick.alias("__last_r"))
+    )
+    spine = spark.range(num_buckets).select(F.col("id").alias("__bucket"))
+    cw = Window.orderBy(
+        F.col("__bucket").asc() if backward else F.col("__bucket").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        spine.join(per_bucket, "__bucket", "left")
+        .withColumn("__carry", F.last("__last_r", ignorenulls=True).over(cw))
+        .select("__bucket", "__carry")
+    )
+    return (
+        local.join(F.broadcast(carry), "__bucket", "left")
+        .withColumn(
+            "__m",
+            F.when(F.col(on).isNotNull(), F.coalesce("__m", "__carry")),
+        )
+        .drop("__bucket", "__carry")
     )
 
 

@@ -1359,6 +1359,37 @@ asof left join (
 """
 
 
+def q_asof_global(spark, sf_dir):
+    """Keyless as-of join: every event tagged with the globally most
+    recent purchase at-or-before it — no `by` key, so the naive plan is a
+    single-task global window. The operator's global path time-buckets
+    instead (window per bucket + per-bucket carry broadcast); oracle is
+    DuckDB's native ASOF LEFT JOIN with only the inequality condition."""
+    from data_diff_spark.operators.temporal import asof_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "ts", "event_type")
+    # one row per ts so the as-of pick is deterministic on both engines
+    latest = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(ev, latest, on="ts", by=[], prefix="purchase_")
+
+
+ORACLE_ASOF_GLOBAL = """
+select e.event_id, e.user_id, e.ts, e.event_type,
+       p.ts as purchase_ts, p.purchase_value
+from events e
+asof left join (
+  select ts, max(value) as purchase_value
+  from events where event_type = 'purchase' group by ts
+) p on e.ts >= p.ts
+"""
+
+
 def q_range_join_attribution(spark, sf_dir):
     """Interval-overlap join: events attributed to the 30-minute window
     after each same-user purchase (the classic ad-attribution shape).
@@ -2000,6 +2031,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_dedup_stream": (q_events_dedup_stream, ORACLE_EVENTS_DEDUP_STREAM),
     "joindiff_mixed_precision": (q_joindiff_mixed_precision, ORACLE_MIXED_PRECISION),
     "asof_join_purchase": (q_asof_purchase, ORACLE_ASOF_PURCHASE),
+    "asof_global_purchase": (q_asof_global, ORACLE_ASOF_GLOBAL),
     "range_join_attribution": (q_range_join_all, ORACLE_RANGE_JOIN),
     "decontaminate_docs": (q_decontaminate, DD.duckdb_decontaminate("doc_id % 97 = 0", n=5)),
     "pack_sequences_docs": (q_pack_sequences, _pack_sequences_oracle()),

@@ -120,10 +120,54 @@ def test_asof_numeric_on_with_numeric_tolerance(spark):
     assert out[200] is None      # nearest is 120, 80 away -> nulled
 
 
-def test_asof_rejects_empty_by(spark):
-    df = spark.range(1).select(F.col("id").alias("t"))
-    with pytest.raises(ValueError, match="by"):
-        asof_join(df, df, on="t", by=[])
+def test_asof_global_equals_keyed_constant_key(ev, purchases, spark):
+    """Empty-`by` path (time-bucketed + carry) must produce exactly the
+    keyed path's rows when the keyed path runs on a constant synthetic
+    key — same data, two physical strategies (VERDICT r3 #7)."""
+    # one row per ts so the pick is deterministic on both paths
+    p = purchases.groupBy("ts").agg(F.max("purchase_value").alias("pv"))
+    e1 = ev.select("event_id", "ts").withColumn("__k", F.lit(1))
+    keyed = asof_join(
+        e1, p.withColumn("__k", F.lit(1)), on="ts", by=["__k"], prefix="p_"
+    ).drop("__k")
+    # few buckets relative to rows so the carry path actually fires
+    glob = asof_join(
+        ev.select("event_id", "ts"), p, on="ts", by=[], prefix="p_", num_buckets=7,
+    )
+    assert sorted(map(tuple, keyed.collect())) == sorted(map(tuple, glob.collect()))
+
+
+def test_asof_global_forward_and_tolerance(spark):
+    left = spark.createDataFrame([(i,) for i in (10, 55, 99)], "t int")
+    right = spark.createDataFrame([(i, i * 1.0) for i in (20, 60)], "t int, rv double")
+    fwd = {
+        r["t"]: r["r_t"]
+        for r in asof_join(left, right, on="t", direction="forward",
+                           num_buckets=4).collect()
+    }
+    assert fwd == {10: 20, 55: 60, 99: None}
+    tol = {
+        r["t"]: r["r_t"]
+        for r in asof_join(left, right, on="t", direction="forward",
+                           tolerance=6, num_buckets=4).collect()
+    }
+    assert tol == {10: None, 55: 60, 99: None}  # 10->20 is 10 away, nulled
+
+
+def test_asof_global_no_single_task_window_over_data(ev, purchases):
+    """The only unpartitioned window in the global plan is the
+    num_buckets-row spine scan; the data window is partitioned by
+    __bucket."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(
+        asof_join(ev.select("event_id", "ts"),
+                  purchases.groupBy("ts").agg(F.max("purchase_value").alias("pv")),
+                  on="ts", by=[], prefix="p_")
+    )
+    assert "__bucket" in plan  # data window partitioned on the bucket key
+    # and the carry comes back via a broadcast, not another shuffle of data
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
 
 
 def test_asof_single_shuffle_no_join(ev, purchases):
