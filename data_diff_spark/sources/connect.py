@@ -11,7 +11,8 @@ Supported schemes:
     csv://<path>             header=true, inferSchema
     json://<path>
     orc://<path>
-    delta://<path>           gated: needs delta-lake jars on the cluster
+    delta://<path>[@vN]      gated: needs delta-lake jars on the cluster
+    versioned://<root>[@vN]  commit-log parquet table (sources/versioned.py)
     table://<catalog.tbl>    any table registered in the Spark catalog
     jdbc:<subprotocol>://…   pushed-down JDBC read (Postgres/MySQL/… —
                              the reference's remote-DB adapters)
@@ -86,12 +87,37 @@ def _read_orc(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
 
 @register_scheme("delta")
 def _read_delta(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    """delta://<path>[@vN]  — needs the delta-lake runtime on the cluster:
+    io.delta:delta-spark_2.13:<spark-matching version> on the classpath plus
+    spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension and
+    spark.sql.catalog.spark_catalog=org.apache.spark.sql.delta.catalog.DeltaCatalog
+    (e.g. spark-submit --packages io.delta:delta-spark_2.13:4.0.0). This
+    sandbox ships no delta jars (and no network to fetch them), so the
+    call raises with the requirement spelled out; versioned:// provides
+    the same snapshot/time-travel diff story on plain parquet."""
+    path, _, ver = rest.partition("@v")
     try:
-        return spark.read.options(**opts).format("delta").load(rest)
+        r = spark.read.options(**opts)
+        if ver:
+            r = r.option("versionAsOf", int(ver))
+        return r.format("delta").load(path)
     except Exception as e:  # delta jars not on this cluster
         raise NotImplementedError(
-            "delta scheme requires delta-lake jars on the cluster"
+            "delta:// needs delta-lake jars: add io.delta:delta-spark_2.13 "
+            "via --packages and the DeltaSparkSessionExtension configs "
+            "(none are baked into this environment); versioned:// offers "
+            "version-to-version diffs on plain parquet"
         ) from e
+
+
+@register_scheme("versioned")
+def _read_versioned(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    """versioned://<root>[@vN] — commit-log parquet table (see
+    sources/versioned.py); @vN time-travels, otherwise latest."""
+    from data_diff_spark.sources import versioned as V
+
+    path, _, ver = rest.partition("@v")
+    return V.read_version(spark, path, int(ver) if ver else None)
 
 
 @register_scheme("table")

@@ -14,6 +14,7 @@ Determinism rules used throughout so Spark and DuckDB hash-match bit-for-bit:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1704,6 +1705,31 @@ def _zorder_oracle() -> str:
     return f"select event_id, {z} as zkey from events"
 
 
+def q_version_diff_orders(spark, sf_dir):
+    """Version-to-version diff on the commit-log parquet table format
+    (sources/versioned.py — the jar-free Delta story): create orders as
+    v1, commit the modified table (stored as DIFF rows, not a second
+    copy), then diff v1 vs v2 through reconstruction. The oracle diffs
+    the same two logical tables directly — storage roundtrip + apply_diff
+    reconstruction must be invisible to the result."""
+    import tempfile
+
+    from data_diff_spark.sources import versioned as V
+
+    load_views(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), "ddspark_versioned",
+        f"orders_{sf_dir.strip('/').replace('/', '_')}",
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    V.create_table(spark.table("orders").select(*ORDERS_COLS), root, ["o_orderkey"])
+    V.commit(spark.sql(MODIFIED_ORDERS_SQL).select(*ORDERS_COLS), root)
+    assert [h["kind"] for h in V.history(root)] == ["full", "diff"]
+    return V.version_diff(spark, root, 1, 2)
+
+
 def q_apply_diff_roundtrip(spark, sf_dir):
     """Closure of the diff algebra: apply_diff(orders, diff(orders,
     modified)) must equal modified EXACTLY — verified by count + full
@@ -2039,6 +2065,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "chunk_documents": (q_chunk_documents, _chunk_documents_oracle()),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "snapshot_diff_orders": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
+    "version_diff_orders": (q_version_diff_orders, _orders_diff_oracle()),
     "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
     "zorder_key_events": (q_zorder_key_events, _zorder_oracle()),
     "mix_corpora_docs": (q_mix_corpora, _mix_corpora_oracle()),
