@@ -584,6 +584,28 @@ limit 20
 """
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT SEMI join
+    (the AST surface the reference lacks — SURVEY §2.3 'no semi/anti' —
+    and only emulates via outer-join NULL flags, joindiff_tables.py:77-78).
+    Predicate adapted to the driver's lineitem columns (late shipment =
+    shipped >60 days after order date). Catalyst plans the subquery as a
+    shuffled/broadcast semi join with both filters pushed to the scans."""
+    load_views(spark, sf_dir)
+    return spark.sql(TPCH_Q4_SQL)
+
+
+TPCH_Q4_SQL = """
+select o_orderpriority, count(*) as order_count
+from orders o
+where o_orderdate >= timestamp '1995-01-01' and o_orderdate < timestamp '1995-04-01'
+  and exists (select 1 from lineitem l
+              where l.l_orderkey = o.o_orderkey
+                and l.l_shipdate > o.o_orderdate + interval 60 day)
+group by o_orderpriority
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """EXCEPT ALL / INTERSECT surface (reference TableOp, ast_classes.py:548-563)."""
     load_views(spark, sf_dir)
@@ -2035,6 +2057,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tpch_q17_subquery": (q_tpch_q17, TPCH_Q17_SQL),
     "tpch_q8_market_share": (q_tpch_q8, TPCH_Q8_SQL),
     "tpch_q10_returns": (q_tpch_q10, TPCH_Q10_SQL),
+    "tpch_q4_exists": (q_tpch_q4, TPCH_Q4_SQL),
     "set_ops_except": (q_set_ops, ORACLE_SET_OPS),
     "events_hourly": (q_events_hourly_all, EVENTS_HOURLY_SQL),
     "events_sessionize": (q_events_sessionize_all, SESSIONIZE_ORACLE),

@@ -192,3 +192,15 @@ def test_bucketed_joindiff_zero_shuffle(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("_bk_a", "_bk_b"):
             spark.sql(f"drop table if exists {name}")
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """TPC-H Q4 shape: the correlated EXISTS must become a (broadcast or
+    shuffled) LEFT SEMI hash join — not a nested-loop per-row subquery —
+    with the order-date range pushed to the parquet scan."""
+    from data_diff_spark.workload import WORKLOAD
+
+    plan = plan_of(WORKLOAD["tpch_q4_exists"][0](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed range filter
