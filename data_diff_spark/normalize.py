@@ -58,6 +58,38 @@ def normalize_date(col: ColumnOrName) -> Column:
     return F.date_format(_to_col(col), "yyyy-MM-dd")
 
 
+def normalize_time(
+    col: ColumnOrName,
+    precision: int = DEFAULT_DATETIME_PRECISION,
+    data_type: Optional[T.DataType] = None,
+) -> Column:
+    """Render a time-of-day as 'HH:MM:SS.FFFFFF' — the reference's `Time`
+    column type (database_types.py:157-161), which Spark has no native
+    type for. Two physical encodings are supported:
+
+      - TimestampType at the epoch day: what spark.read.jdbc yields for a
+        SQL TIME column (value = 1970-01-01 + time). date_format with a
+        time-only pattern drops the date part, so a JDBC TIME side
+        normalizes identically to a remote dialect rendering time-only.
+      - DayTimeIntervalType (pass it as `data_type`): converted through
+        its exact microsecond count.
+
+    Truncate-then-pad semantics match normalize_timestamp. The generic
+    normalize_as_string dispatch cannot infer "TIME" from a Spark schema
+    (both encodings are also legitimate non-TIME types), so callers apply
+    this per column — the same place the reference gets it from the
+    remote schema (information_schema data_type)."""
+    col = _to_col(col)
+    if not 0 <= precision <= 6:
+        raise ValueError(f"time precision must be in [0, 6], got {precision}")
+    fmt = "HH:mm:ss." + "S" * precision + "0" * (6 - precision)
+    if isinstance(data_type, T.DayTimeIntervalType):
+        # exact: decimal(20,6) carries the full µs resolution of the interval
+        us = (col.cast(T.DecimalType(20, 6)) * 1_000_000).cast("long")
+        col = F.timestamp_micros(us)
+    return F.date_format(col, fmt)
+
+
 def normalize_number(col: ColumnOrName, precision: int = DEFAULT_NUMERIC_PRECISION) -> Column:
     """Render a number as a fixed-point string with ``precision`` fractional digits.
 

@@ -93,3 +93,31 @@ def test_query_key_range_normalized(spark):
     assert hi == ("2024-06-15 12:34:56.123456",)
     raw_lo, raw_hi = t.query_key_range()
     assert str(raw_lo[0]) != raw_lo[0].__class__.__name__  # raw datetimes
+
+
+def test_normalize_time_both_encodings(spark):
+    """Reference `Time` type (database_types.py:157-161): Spark has no
+    TIME, so normalize_time covers the two physical encodings a TIME
+    column actually arrives in — JDBC's epoch-day timestamp and
+    DayTimeIntervalType — and its string is pinned against DuckDB's
+    native TIME rendering (cross-engine parity)."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    from data_diff_spark.normalize import normalize_time
+
+    df = spark.sql("""
+        select timestamp '1970-01-01 10:30:15.123456' as jdbc_time,
+               interval '10:30:15.123456' hour to second as iv_time
+    """)
+    row = df.select(
+        normalize_time("jdbc_time").alias("a"),
+        normalize_time(F.col("iv_time"), data_type=T.DayTimeIntervalType()).alias("b"),
+        normalize_time("jdbc_time", precision=2).alias("trunc"),
+    ).collect()[0]
+    want = duckdb.sql(
+        "select cast(time '10:30:15.123456' as varchar)"
+    ).fetchone()[0]
+    assert row["a"] == want == "10:30:15.123456"
+    assert row["b"] == want
+    assert row["trunc"] == "10:30:15.120000"  # truncate-then-pad
