@@ -160,6 +160,211 @@ class PostgresDialect(RemoteDialect):
         return f"mod(('x' || substring(md5({key_fp}), 1, 8))::bit(32)::bigint, {n_buckets})"
 
 
+class MySQLDialect(RemoteDialect):
+    """Reference mysql.py:102-119: conv() hex parse, datetime(6) canon."""
+
+    name = "mysql"
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        # cast to datetime(6) renders 'YYYY-MM-DD HH:MM:SS.ffffff'
+        return f"cast(cast({col} as datetime(6)) as char)"
+
+    def norm_date_sql(self, col: str) -> str:
+        return f"date_format({col}, '%Y-%m-%d')"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        return f"(conv(substring(md5({s}), 21), 16, 10) - {CHECKSUM_OFFSET})"
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        return f"(conv(substring(md5({key_fp}), 1, 8), 16, 10) % {n_buckets})"
+
+
+class ClickHouseDialect(RemoteDialect):
+    """Reference clickhouse.py:104-167: little-endian reinterpret of the
+    md5 tail; formatDateTime + padded fractional seconds."""
+
+    name = "clickhouse"
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        frac = f"lpad(toString(toUnixTimestamp64Micro(toDateTime64({col}, 6)) % 1000000), 6, '0')"
+        return f"formatDateTime({col}, '%Y-%m-%d %H:%M:%S') || '.' || {frac}"
+
+    def norm_date_sql(self, col: str) -> str:
+        return f"formatDateTime({col}, '%Y-%m-%d')"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        return (
+            f"(reinterpretAsUInt64(reverse(unhex(substr(hex(MD5({s})), 21)))) "
+            f"- {CHECKSUM_OFFSET})"
+        )
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        return (
+            f"(reinterpretAsUInt32(reverse(unhex(substr(hex(MD5({key_fp})), 1, 8)))) "
+            f"% {n_buckets})"
+        )
+
+
+class SnowflakeDialect(RemoteDialect):
+    """Reference snowflake.py:79-104: native md5_number_lower64 + mask."""
+
+    name = "snowflake"
+    _MASK = (1 << 48) - 1  # CHECKSUM_HEXDIGITS=12 -> low 48 bits
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        return f"to_char({col}::timestamp(6), 'YYYY-MM-DD HH24:MI:SS.FF6')"
+
+    def norm_date_sql(self, col: str) -> str:
+        return f"to_char({col}, 'YYYY-MM-DD')"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        return f"(bitand(md5_number_lower64({s}), {self._MASK}) - {CHECKSUM_OFFSET})"
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        # first 8 hex digits = top 32 bits of the upper half
+        return f"mod(bitshiftright(md5_number_upper64({key_fp}), 32), {n_buckets})"
+
+
+class MsSQLDialect(RemoteDialect):
+    """Reference mssql.py:157-161: HashBytes + varbinary reinterpret."""
+
+    name = "mssql"
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        return f"format({col}, 'yyyy-MM-dd HH:mm:ss.ffffff')"
+
+    def norm_date_sql(self, col: str) -> str:
+        return f"format({col}, 'yyyy-MM-dd')"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        hexs = f"CONVERT(NVARCHAR(32), HashBytes('MD5', {s}), 2)"
+        return (
+            f"(convert(bigint, convert(varbinary, '0x' + RIGHT({hexs}, 12), 1)) "
+            f"- {CHECKSUM_OFFSET})"
+        )
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        hexs = f"CONVERT(NVARCHAR(32), HashBytes('MD5', {key_fp}), 2)"
+        return f"(convert(bigint, convert(varbinary, '0x' + LEFT({hexs}, 8), 1)) % {n_buckets})"
+
+
+class OracleDialect(RemoteDialect):
+    """Reference oracle.py:128-151: standard_hash + to_number hex format."""
+
+    name = "oracle"
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        return f"to_char({col}, 'YYYY-MM-DD HH24:MI:SS.FF6')"
+
+    def norm_date_sql(self, col: str) -> str:
+        return f"to_char({col}, 'YYYY-MM-DD')"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        return (
+            f"(to_number(substr(standard_hash({s}, 'MD5'), 21), "
+            f"'xxxxxxxxxxxx') - {CHECKSUM_OFFSET})"
+        )
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        return (
+            f"mod(to_number(substr(standard_hash({key_fp}, 'MD5'), 1, 8), "
+            f"'xxxxxxxx'), {n_buckets})"
+        )
+
+
+class BigQueryDialect(RemoteDialect):
+    """Reference bigquery.py:160-221: to_hex(md5()) + int64 hex literal."""
+
+    name = "bigquery"
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        return f"format_timestamp('%F %H:%M:%E6S', {col})"
+
+    def norm_date_sql(self, col: str) -> str:
+        return f"format_date('%F', {col})"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        return (
+            f"(cast(cast(concat('0x', substr(to_hex(md5({s})), 21)) as int64) "
+            f"as numeric) - {CHECKSUM_OFFSET})"
+        )
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        return (
+            f"mod(cast(concat('0x', substr(to_hex(md5({key_fp})), 1, 8)) as int64), "
+            f"{n_buckets})"
+        )
+
+
+class TrinoDialect(RemoteDialect):
+    """Reference presto.py:121-144 (trino.py inherits it): from_base over
+    the utf8-md5 hex."""
+
+    name = "trino"
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        return f"date_format(cast({col} as timestamp(6)), '%Y-%m-%d %H:%i:%S.%f')"
+
+    def norm_date_sql(self, col: str) -> str:
+        return f"date_format(cast({col} as date), '%Y-%m-%d')"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        return (
+            f"(cast(from_base(substr(to_hex(md5(to_utf8({s}))), 21), 16) "
+            f"as decimal(38, 0)) - {CHECKSUM_OFFSET})"
+        )
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        return f"mod(from_base(substr(to_hex(md5(to_utf8({key_fp}))), 1, 8), 16), {n_buckets})"
+
+
+class RedshiftDialect(PostgresDialect):
+    """Reference redshift.py:52-77: strtol instead of the bit(48) trick;
+    otherwise Postgres-shaped."""
+
+    name = "redshift"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        return f"(strtol(substring(md5({s}), 21), 16)::decimal(38) - {CHECKSUM_OFFSET})"
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        return f"mod(strtol(substring(md5({key_fp}), 1, 8), 16), {n_buckets})"
+
+
+class VerticaDialect(RemoteDialect):
+    """Reference vertica.py:106-134: HEX_TO_INTEGER."""
+
+    name = "vertica"
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        return f"TO_CHAR({col}::TIMESTAMP(6), 'YYYY-MM-DD HH24:MI:SS.US')"
+
+    def norm_date_sql(self, col: str) -> str:
+        return f"TO_CHAR({col}, 'YYYY-MM-DD')"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        return (
+            f"(CAST(HEX_TO_INTEGER(SUBSTRING(MD5({s}), 21)) AS NUMERIC(38, 0)) "
+            f"- {CHECKSUM_OFFSET})"
+        )
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        return f"MOD(HEX_TO_INTEGER(SUBSTRING(MD5({key_fp}), 1, 8)), {n_buckets})"
+
+
+# Databricks (reference databricks.py:87-116) is intentionally absent: its
+# dialect IS Spark SQL — this engine's normalize.py renders those exact
+# expressions natively, which the golden checksum tests already pin.
+DIALECTS = {
+    d.name: d
+    for d in (
+        DuckDBDialect(), PostgresDialect(), MySQLDialect(), ClickHouseDialect(),
+        SnowflakeDialect(), MsSQLDialect(), OracleDialect(), BigQueryDialect(),
+        TrinoDialect(), RedshiftDialect(), VerticaDialect(),
+    )
+}
+
+
 # --- shared SQL assembly ----------------------------------------------------
 
 

@@ -157,3 +157,61 @@ def test_differing_remote_column_names(t1, con):
       from orders""")
     remote = DuckDBSide("renamed", ["pk"], ["pk", "c1", "c2", "c3", "c4", "c5"], con=con)
     assert hash_diff_remote(t1, remote).count() == 0
+
+
+def test_all_dialects_digest_sql_golden():
+    """Pin every dialect's checksum + bucket renderings to the reference's
+    per-engine md5 idioms (mysql.py:102-103, clickhouse.py:104-108,
+    snowflake.py:79-80, mssql.py:157-158, oracle.py:128-131,
+    bigquery.py:160-161, presto.py:121-122, redshift.py:52-53,
+    vertica.py:106-107). All take the LOW 12 md5 hex digits minus the
+    shared centering offset, so any pair of engines can digest-compare."""
+    from data_diff_spark.constants import CHECKSUM_OFFSET
+    from data_diff_spark.operators.remote import DIALECTS, digest_query_sql
+
+    want_md5 = {
+        "mysql": "conv(substring(md5(x), 21), 16, 10)",
+        "clickhouse": "reinterpretAsUInt64(reverse(unhex(substr(hex(MD5(x)), 21))))",
+        "snowflake": f"bitand(md5_number_lower64(x), {(1 << 48) - 1})",
+        "mssql": "RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', x), 2), 12)",
+        "oracle": "to_number(substr(standard_hash(x, 'MD5'), 21), 'xxxxxxxxxxxx')",
+        "bigquery": "substr(to_hex(md5(x)), 21)",
+        "trino": "from_base(substr(to_hex(md5(to_utf8(x))), 21), 16)",
+        "redshift": "strtol(substring(md5(x), 21), 16)::decimal(38)",
+        "vertica": "HEX_TO_INTEGER(SUBSTRING(MD5(x), 21))",
+        "duckdb": "substring(md5(x), 21, 12)",
+        "postgresql": "('x' || substring(md5(x), 21))::bit(48)::bigint",
+    }
+    assert set(DIALECTS) == set(want_md5)  # 11 engines + Spark-native = 12/13
+    for name, d in DIALECTS.items():
+        s = d.md5_as_int_sql("x")
+        assert want_md5[name] in s, (name, s)
+        assert str(CHECKSUM_OFFSET) in s, name  # shared centering constant
+        b = d.bucket_sql("fp", 64)
+        assert "64" in b and ("1, 8" in b or ", 8)" in b or "32)" in b), (name, b)
+        # every dialect renders a complete one-pass digest query
+        q = digest_query_sql(d, "t", ["id"], ["id", "v"],
+                             {"id": "BIGINT", "v": "DOUBLE"}, 16)
+        assert q.strip().startswith("select") and "group by 1" in q, name
+
+
+def test_dialect_timestamp_canonical_forms():
+    """Every dialect's timestamp rendering targets the same canonical
+    'YYYY-MM-DD HH:MM:SS.ffffff' string normalize_timestamp produces."""
+    from data_diff_spark.operators.remote import DIALECTS
+
+    marks = {
+        "mysql": "datetime(6)",
+        "clickhouse": "toUnixTimestamp64Micro",
+        "snowflake": "HH24:MI:SS.FF6",
+        "mssql": "HH:mm:ss.ffffff",
+        "oracle": "HH24:MI:SS.FF6",
+        "bigquery": "%H:%M:%E6S",
+        "trino": "%H:%i:%S.%f",
+        "redshift": "HH24:MI:SS.US",
+        "vertica": "HH24:MI:SS.US",
+        "duckdb": "%H:%M:%S.%f",
+        "postgresql": "HH24:MI:SS.US",
+    }
+    for name, d in DIALECTS.items():
+        assert marks[name] in d.norm_timestamp_sql("c"), name
