@@ -100,3 +100,20 @@ def test_delta_scheme_is_env_gated(spark, tmp_path):
         pass
     with pytest.raises(NotImplementedError, match="delta-spark"):
         read_uri(spark, f"delta://{tmp_path}/nope")
+
+
+def test_cli_diffs_two_versions(spark, orders, tmp_path, capsys):
+    """data-diff versioned://t@v1 versioned://t@v2 -k ... --stats works
+    end-to-end through the generic URI connect layer."""
+    from data_diff_spark.cli import main
+
+    root = str(tmp_path / "t")
+    V.create_table(orders, root, ["o_orderkey"])
+    V.commit(_v2(orders), root)
+    rc = main([
+        f"versioned://{root}@v1", f"versioned://{root}@v2",
+        "-k", "o_orderkey", "--stats", "--assume-unique-key",
+    ], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "updated" in out
