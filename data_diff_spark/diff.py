@@ -175,4 +175,8 @@ def apply_diff(base: DataFrame, diff: DataFrame, keys) -> DataFrame:
     sign = F.col(joindiff.SIGN_COL)
     minus = diff.filter(sign == "-").select(*keys)
     plus = diff.filter(sign == "+").drop(joindiff.SIGN_COL).select(*base.columns)
-    return base.join(minus, on=keys, how="left_anti").unionByName(plus)
+    # a USING-style join moves the key columns first even for left_anti;
+    # restore base's column order so chained applies (versioned tables)
+    # keep a stable layout
+    kept = base.join(minus, on=keys, how="left_anti").select(*base.columns)
+    return kept.unionByName(plus)

@@ -44,6 +44,7 @@ from data_diff_spark.table import TableSegment
 DEFAULT_N_BUCKETS = 4096  # floor for auto-sizing; replaces bisection_factor
 _AUTO_ROWS_PER_BUCKET = 16  # target bucket size so a dirty row dirties ~1 bucket
 _ISIN_LIMIT = 8192  # above this, filter dirty buckets with a join, not a literal list
+_BROADCAST_KEYS_LIMIT = 2_000_000  # differing-PK sets up to this broadcast for the narrow re-read
 
 _CKS = "__cks__"
 _BUCKET = "__bucket__"
@@ -290,12 +291,23 @@ def hash_diff(
         # re-read each side pruned to those keys (all rows of a differing
         # PK match the semi-join, preserving multiset emission)
         knorm_names = [_knorm(i) for i in range(nkeys)]
-        bad_keys = emitted.select(*knorm_names).distinct()
+        bad_cached = emitted.select(*knorm_names).distinct().persist()
+        # The differing-key set is proportional to the DIFF count, not the
+        # table: broadcast it so the pruned re-read is scan+broadcast-semi,
+        # never a full shuffle of both sides (unbroadcast, the semi join
+        # sort-merge-shuffled 6M rows per side and narrow ran 5x slower
+        # than wide at sf0.1). Above the cap, fall back to AQE's choice.
+        bad_keys = (
+            F.broadcast(bad_cached)
+            if bad_cached.count() <= _BROADCAST_KEYS_LIMIT
+            else bad_cached
+        )
         out = _narrow_emit(t1, cols1, out_names, "-", bad_keys).unionAll(
             _narrow_emit(t2, cols2, out_names, "+", bad_keys)
         )
-    else:
-        out = emitted.select(SIGN_COL, *out_names)
+        out._ddspark_persisted = [a, b, bad_cached]
+        return out
+    out = emitted.select(SIGN_COL, *out_names)
     # Caller-managed cache lifecycle: the result is lazy, so the persisted
     # sides must outlive it. DiffResult.unpersist() (and the CLI) release
     # them once the diff is materialized; long-lived sessions doing many

@@ -132,13 +132,16 @@ def commit(
     root: str,
     checkpoint_ratio: float = 0.5,
     checkpoint_every: int = 10,
+    skip_empty: bool = True,
     **diff_kwargs,
 ) -> int:
     """Commit the next version: diff the new table against the current
     head and store whichever is smaller — the diff rows, or (when the
     diff covers more than `checkpoint_ratio` of the table, or every
     `checkpoint_every` commits) a full snapshot that resets the
-    reconstruction chain."""
+    reconstruction chain. A zero-diff commit is skipped (the current
+    version number is returned) unless skip_empty=False — replayed
+    streaming batches and no-op merges must not grow the log."""
     from data_diff_spark.diff import diff_tables
     from data_diff_spark.table import table_segment
 
@@ -151,6 +154,8 @@ def commit(
     diff_df = res.df.persist()
     try:
         n_diff = diff_df.count()
+        if n_diff == 0 and skip_empty:
+            return log.latest
         v = log.latest + 1
         d = f"v{v:05d}"
         since_full = 0  # diff commits since the last checkpoint
