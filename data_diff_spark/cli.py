@@ -134,6 +134,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="profiles.yml target for the prod side (omit to "
                         "use --prod-database/--prod-schema substitution "
                         "on the dev connection)")
+    p.add_argument("--remote-digest", action="store_true",
+                   help="cross-engine digests-only mode: uri2's engine "
+                        "(duckdb:// or jdbc:) computes its own bucket "
+                        "checksums with the reference's md5 formula; only "
+                        "digests + mismatched-bucket rows cross the wire "
+                        "(the reference's hashdiff deployment shape)")
+    p.add_argument("--remote-dialect", default=None,
+                   metavar="|".join(sorted(
+                       ("duckdb", "postgresql", "mysql", "clickhouse", "snowflake",
+                        "mssql", "oracle", "bigquery", "trino", "redshift", "vertica"))),
+                   help="SQL dialect for the remote side's digest query "
+                        "(default: inferred from the URI scheme/subprotocol)")
     p.add_argument("--no-refine", action="store_true",
                    help="skip the 64-row sampling refinement of string "
                         "columns (uuid/json/alphanum kind detection)")
@@ -293,6 +305,9 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
                     print(f"{row[0]} {', '.join(repr(row[c]) for c in diff.columns[1:])}")
             return 0
 
+        if args.remote_digest:
+            return _remote_digest_diff(spark, args, keys)
+
         t1 = connect_to_table(spark, args.uri1, keys, args.update_column, None, args.where)
         t2 = connect_to_table(spark, args.uri2, keys, args.update_column, None, args.where)
 
@@ -390,6 +405,102 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
             result.unpersist()
         if own_session:
             spark.stop()
+
+
+_JDBC_DIALECTS = {
+    "postgresql": "postgresql", "mysql": "mysql", "mariadb": "mysql",
+    "sqlserver": "mssql", "oracle": "oracle", "clickhouse": "clickhouse",
+    "redshift": "redshift", "vertica": "vertica", "trino": "trino",
+    "presto": "trino", "snowflake": "snowflake", "bigquery": "bigquery",
+}
+
+
+def _spark_type_to_sql(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    return {
+        T.LongType: "BIGINT", T.IntegerType: "INTEGER", T.ShortType: "SMALLINT",
+        T.ByteType: "TINYINT", T.DoubleType: "DOUBLE", T.FloatType: "REAL",
+        T.BooleanType: "BOOLEAN", T.DateType: "DATE",
+        T.TimestampType: "TIMESTAMP", T.TimestampNTZType: "TIMESTAMP",
+    }.get(type(dt), "VARCHAR")
+
+
+def _remote_digest_diff(spark, args, keys) -> int:
+    """uri1 stays a Spark-side segment; uri2 becomes a RemoteSide that
+    computes its own bucket digests (reference hashdiff deployment shape:
+    only checksums + mismatched-bucket rows cross the wire)."""
+    from data_diff_spark.operators import remote as RM
+    from data_diff_spark.sources.connect import connect_to_table
+
+    t1 = connect_to_table(spark, args.uri1, keys, args.update_column, None, args.where)
+    uri = args.uri2
+    if uri.startswith("duckdb://"):
+        import duckdb
+
+        db, _, rel = uri[len("duckdb://"):].partition("#")
+        if not rel:
+            raise SystemExit("error: duckdb remote needs '#<table-or-query>'")
+        con = duckdb.connect(db) if db else duckdb.connect()
+        remote_cols = [r[0] for r in con.execute(f"describe select * from {rel}").fetchall()]
+        compare = _remote_compare_columns(args, t1, remote_cols, keys)
+        side = RM.DuckDBSide(rel, keys, keys + compare, con=con)
+    elif uri.startswith("jdbc:"):
+        sub = uri.split(":", 2)[1]
+        name = args.remote_dialect or _JDBC_DIALECTS.get(sub)
+        if name is None or name not in RM.DIALECTS:
+            raise SystemExit(
+                f"error: cannot infer a digest dialect for {sub!r}; pass "
+                f"--remote-dialect (one of {sorted(RM.DIALECTS)})")
+        # ?-style options on the jdbc URI, like the normal connect path
+        from urllib.parse import parse_qsl
+
+        base, _, qs = uri.partition("?")
+        opts = dict(parse_qsl(qs))
+        dbtable = opts.get("dbtable")
+        if not dbtable:
+            raise SystemExit("error: jdbc remote needs ?dbtable=schema.tbl on the URI")
+        uri = base
+        probe = (
+            spark.read.format("jdbc").option("url", uri)
+            .option("query", f"select * from {dbtable} where 1=0").load()
+        )
+        types = {f.name: _spark_type_to_sql(f.dataType) for f in probe.schema.fields}
+        compare = _remote_compare_columns(args, t1, list(types), keys)
+        side = RM.JdbcSide(spark, uri, dbtable, keys, keys + compare, types,
+                           dialect=RM.DIALECTS[name])
+    else:
+        raise SystemExit("error: --remote-digest needs uri2 = duckdb://… or jdbc:…")
+
+    t1 = t1.with_(extra_columns=tuple(compare))
+    diff = RM.hash_diff_remote(t1, side, n_buckets=args.n_buckets)
+    try:
+        if args.stats:
+            rows = diff.groupBy(diff.columns[0]).count().collect()
+            counts = {r[0]: r["count"] for r in rows}
+            print(f"-: {counts.get('-', 0)}")
+            print(f"+: {counts.get('+', 0)}")
+            return 0
+        df = diff.limit(args.limit) if args.limit else diff
+        cols = df.columns[1:]
+        for row in df.toLocalIterator():
+            if args.json_output:
+                print(json.dumps({"sign": row[0], **{c: _jsonable(row[c]) for c in cols}}))
+            else:
+                print(f"{row[0]} {', '.join(repr(row[c]) for c in cols)}")
+        return 0
+    finally:
+        for cached in getattr(diff, "_ddspark_persisted", []):
+            cached.unpersist()
+
+
+def _remote_compare_columns(args, t1, remote_cols, keys):
+    shared = [c for c in t1.df.columns if c in set(remote_cols)]
+    if args.columns:
+        return expand_columns(args.columns, shared, keys)
+    return [c for c in shared if c not in keys]
 
 
 def _jsonable(v):

@@ -215,3 +215,43 @@ def test_dialect_timestamp_canonical_forms():
     }
     for name, d in DIALECTS.items():
         assert marks[name] in d.norm_timestamp_sql("c"), name
+
+
+def test_cli_remote_digest_duckdb(spark, sf_dir, tmp_path, capsys):
+    """--remote-digest end-to-end from the command line: Spark side reads
+    parquet, the DuckDB side computes its own digests, output matches the
+    known synthetic changes."""
+    import duckdb as _duckdb
+
+    from data_diff_spark.cli import main
+
+    db = str(tmp_path / "r.duckdb")
+    con = _duckdb.connect(db)
+    con.execute(f"""
+        create table orders_mod as
+        select o_orderkey, o_custkey,
+               case when o_orderkey % 100 = 2 then o_totalprice + 100.0
+                    else o_totalprice end as o_totalprice
+        from read_parquet('{sf_dir}/orders.parquet')
+        where o_orderkey % 100 <> 1
+    """)
+    n_changed = con.execute(
+        f"select count(*) from read_parquet('{sf_dir}/orders.parquet') "
+        "where o_orderkey % 100 = 2").fetchone()[0]
+    n_deleted = con.execute(
+        f"select count(*) from read_parquet('{sf_dir}/orders.parquet') "
+        "where o_orderkey % 100 = 1").fetchone()[0]
+    con.close()
+
+    rc = main([
+        f"parquet://{sf_dir}/orders.parquet", f"duckdb://{db}#orders_mod",
+        "-k", "o_orderkey", "-c", "o_custkey", "-c", "o_totalprice",
+        "--remote-digest", "--stats",
+    ], spark=spark)
+    assert rc == 0
+    out = dict(
+        line.split(": ") for line in capsys.readouterr().out.strip().splitlines()
+    )
+    # '-' side: deleted rows + old versions of updates; '+' side: new versions
+    assert int(out["-"]) == n_deleted + n_changed
+    assert int(out["+"]) == n_changed
