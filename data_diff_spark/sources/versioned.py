@@ -148,6 +148,18 @@ def commit(
     log = _read_log(root)
     spark = df_new.sparkSession
     head = read_version(spark, root)
+    if [(f.name, f.dataType) for f in head.schema.fields] != [
+        (f.name, f.dataType) for f in df_new.schema.fields
+    ]:
+        # schema evolution: a diff against the old shape is ill-defined
+        # (added/dropped/retyped columns) — cut the chain with a full
+        # snapshot, the same policy as a Delta overwriteSchema commit
+        v = log.latest + 1
+        d = f"v{v:05d}"
+        df_new.write.mode("overwrite").parquet(os.path.join(root, d))
+        log.commits.append(_Commit(version=v, kind="full", dir=d, timestamp=time.time()))
+        _write_log(root, log)
+        return v
     res = diff_tables(
         table_segment(head, log.keys), table_segment(df_new, log.keys), **diff_kwargs
     )

@@ -144,3 +144,43 @@ def test_scd2_single_join_no_cartesian(dim, changes):
     joins = plan.count(") SortMergeJoin") + plan.count(") BroadcastHashJoin")
     assert joins == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_KV = st.lists(
+    st.tuples(st.integers(0, 6), st.sampled_from(["a", "b", "c", None])),
+    min_size=0, max_size=8,
+)
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(obs=_KV)
+def test_scd2_invariants_fuzz(spark, obs):
+    """Random observation batches preserve the SCD2 invariants: at most
+    one current row per key; every closed row's valid_to equals some later
+    version's valid_from for that key; current rows have null valid_to."""
+    dim = spark.createDataFrame(
+        [(k, "init", TS(2019, 1, 1), None, True) for k in range(3)],
+        "k int, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    # one batch: effective_ts varies per row index so dedupe-latest engages
+    rows = [(k, v, TS(2021, 1, 1 + i % 27)) for i, (k, v) in enumerate(obs)]
+    if rows:
+        ch = spark.createDataFrame(rows, "k int, v string, effective_ts timestamp")
+        dim = merge_scd2(dim, ch, keys=["k"])
+    out = dim.collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        currents = [r for r in rs if r["is_current"]]
+        assert len(currents) == 1, (k, rs)
+        assert currents[0]["valid_to"] is None
+        closed_to = sorted(r["valid_to"] for r in rs if not r["is_current"])
+        froms = sorted(r["valid_from"] for r in rs)
+        for vt in closed_to:
+            assert vt in froms, (k, rs)  # every close hands off to a version

@@ -117,3 +117,20 @@ def test_cli_diffs_two_versions(spark, orders, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "updated" in out
+
+
+def test_schema_evolution_forces_full_snapshot(spark, tmp_path):
+    """Adding a column cuts the chain with a full snapshot (diffing across
+    shapes is ill-defined); both old and new versions stay readable."""
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    root = str(tmp_path / "t")
+    V.create_table(df, root, ["k"])
+    evolved = df.withColumn("extra", F.lit("e"))
+    assert V.commit(evolved, root) == 2
+    assert V.history(root)[-1]["kind"] == "full"
+    assert V.read_version(spark, root, 1).columns == ["k", "v"]
+    assert V.read_version(spark, root, 2).columns == ["k", "v", "extra"]
+    # chain continues normally on the new shape
+    V.commit(evolved.withColumn("v", F.col("v") + (F.col("k") == 1).cast("int")), root)
+    assert V.history(root)[-1]["kind"] == "diff"
+    assert V.read_version(spark, root).filter("v = 2").count() == 1
