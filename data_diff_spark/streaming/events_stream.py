@@ -101,6 +101,40 @@ def hourly_rollup_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFram
     return run_to_completion(hourly_rollup(events_stream(spark, sf_dir)))
 
 
+def sliding_rollup(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    window/slide overlapping windows (4 for 1h/15m) — the
+    moving-average/alerting shape tumbling windows can't express. State
+    grows by the same factor, still bounded by the watermark horizon.
+    window('1h','15m').start hits every slide boundary ≤ ts, so a batch
+    engine replays it as GROUP BY over generate_series offsets — which is
+    how the test oracles it."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,4)")).alias("total_value_dec"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            F.col("total_value_dec").cast("double").alias("total_value"),
+        )
+    )
+
+
+def sliding_rollup_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding pipeline run to completion on the bounded events table."""
+    return run_to_completion(sliding_rollup(events_stream(spark, sf_dir)))
+
+
 def streaming_dedup(stream: DataFrame, keys, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once projection of an at-least-once stream: stateful
     dropDuplicatesWithinWatermark keeps one row per key, with state BOUNDED

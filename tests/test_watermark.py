@@ -106,3 +106,50 @@ def test_streaming_dedup_across_batches(spark):
     rows = {r["event_id"]: r["value"] for r in got.collect()}
     assert set(rows) == {1, 2, 3}
     assert rows[1] == 1.0  # the FIRST delivery wins; the batch-2 copy was dropped
+
+
+def test_sliding_rollup_equals_batch_and_manual_replay(spark, sf_dir):
+    """Streaming sliding windows on bounded input == batch F.window ==
+    a from-first-principles replay (each event exploded into the 4
+    overlapping 1h/15m windows that contain it)."""
+    from data_diff_spark.sources.connect import normalize_event_ts
+    from data_diff_spark.streaming.events_stream import (
+        sliding_rollup_batch_equivalent,
+    )
+
+    got = sliding_rollup_batch_equivalent(spark, sf_dir)
+
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(38,4)")).alias("d"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n",
+                F.col("d").cast("double").alias("total_value"))
+    )
+    manual = (
+        ev.select(
+            "event_type", "value",
+            F.explode(F.expr(
+                # latest slide boundary <= ts, then the 3 earlier ones that
+                # still contain ts (window length 1h = 4 slides)
+                "sequence(0, 3)"
+            )).alias("i"),
+            F.col("ts").alias("ts"),
+        )
+        .withColumn(
+            "win_start",
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 900) - F.col("i") * 900
+            ),
+        )
+        .groupBy("win_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(38,4)")).alias("d"))
+        .select("win_start", "event_type", "n", F.col("d").cast("double").alias("total_value"))
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    c = sorted(map(tuple, manual.collect()))
+    assert a == b == c
+    assert len(a) > 0
