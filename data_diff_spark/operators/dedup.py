@@ -101,6 +101,11 @@ def shingle_sets(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(t, i, n)),
     )
+    # pushdown barrier: any nondeterministic no-op works. uuid(), not
+    # monotonically_increasing_id: streaming queries reject the latter
+    # even when it sits in a STATIC subtree joined into the stream
+    # (similarity_stream's corpus index).
+    barrier = F.expr("uuid()")
     return (
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
         .select(
@@ -108,7 +113,7 @@ def shingle_sets(
             F.array_distinct(
                 F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
             ).alias("shingles"),
-            F.monotonically_increasing_id().alias("_nd"),  # pushdown barrier
+            barrier.alias("_nd"),  # pushdown barrier
         )
         .drop("_nd")
     )
