@@ -45,6 +45,7 @@ DEFAULT_N_BUCKETS = 4096  # floor for auto-sizing; replaces bisection_factor
 _AUTO_ROWS_PER_BUCKET = 16  # target bucket size so a dirty row dirties ~1 bucket
 _ISIN_LIMIT = 8192  # above this, filter dirty buckets with a join, not a literal list
 _BROADCAST_KEYS_LIMIT = 2_000_000  # differing-PK sets up to this broadcast for the narrow re-read
+_FINE_LEVEL_MIN_ROWS = 2_000_000  # below this many dirty-coarse rows, go straight to phase 2
 
 _CKS = "__cks__"
 _BUCKET = "__bucket__"
@@ -251,7 +252,15 @@ def hash_diff(
     b_bad = _restrict(b, bad_ids, coarse_n)
 
     # --- level 2: fine digests over the dirty-coarse rows only --------------
-    if n_buckets is None and bad_ids:
+    # ...unless the dirty-coarse rows are ALREADY few: phase 2's windowed
+    # multiset compare over <2M narrow rows costs less than another
+    # digest round-trip (two aggregate jobs + two restriction scans), so
+    # the fine level only pays for itself when it can prune a big set.
+    # Exact dirty-row count comes free from the coarse digests.
+    dirty_rows = sum(da[b][0] for b in bad_ids if b in da) + sum(
+        db[b][0] for b in bad_ids if b in db
+    )
+    if n_buckets is None and bad_ids and dirty_rows > _FINE_LEVEL_MIN_ROWS:
         fine_n = 1 << max(rows_total // _AUTO_ROWS_PER_BUCKET, 1).bit_length()
         if fine_n > coarse_n:
             fa = _bucket_digest(a_bad, fine_n)
