@@ -524,6 +524,7 @@ def components(
         ).collect()[0]["s"]
 
     prev_sum = None  # first round always runs; no upfront sum job
+    prev_cached: Optional[DataFrame] = None
     for it in range(max_iter):
         # 1. neighbor-min: messages flow dst-label -> src, min with own label
         msgs = edges.join(
@@ -539,7 +540,14 @@ def components(
         j = nm.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
         new = nm.join(j, "lbl", "left").select(
             "id", F.coalesce(F.least("lbl", "lbl2"), F.col("lbl")).alias("lbl")
-        ).localCheckpoint()
+        )
+        # LAZY persist, not an eager checkpoint: the convergence-witness job
+        # right below materializes the cache anyway, so each round runs ONE
+        # job instead of checkpoint-then-witness (measured ~1s/round of pure
+        # job latency at sf0.1). Lineage still gets truncated every 4th
+        # round — near-dup graphs converge in 2-4, so the optimizer never
+        # sees a deep plan, while pathological graphs stay bounded.
+        new = new.localCheckpoint() if it % 4 == 3 else new.persist()
         if numeric_ids:
             new_sum = _lblsum(new)
             changed = new_sum != prev_sum
@@ -551,6 +559,9 @@ def components(
                 .count()
                 > 0
             )
+        if prev_cached is not None:  # materialized above; parent now unused
+            prev_cached.unpersist()
+        prev_cached = new if it % 4 != 3 else None
         labels = new
         if not changed:
             break
