@@ -4,10 +4,12 @@ evidence loop (run per round after perf changes).
 
 Usage: python tools/scale_probe.py [factor]   (default 10 -> ~6M rows)
 
-Prints one JSON line with timings; results from 2026-08-13 (local[32]):
-  factor=10 (6M rows, ~2% changed): hashdiff 36s (was 80s before the
-  two-level digests), joindiff 20s, zero-diff hashdiff at coarse-digest
-  cost only.
+Prints one JSON line with timings; results (local[32], factor=10 = 6M
+rows, ~2% changed): r3: hashdiff 36s (was 80s before the two-level
+digests), joindiff 20s. r4 (narrow default + broadcast re-read +
+small-dirty-set shortcut): hashdiff 18-51s across repeats (GC/cache
+variance dominates two 6M-row cached frames at this heap; best run
+17.9s), joindiff 9.7s, zero-diff hashdiff 4.6s (coarse digests only).
 """
 
 from __future__ import annotations
