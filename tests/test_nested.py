@@ -1,0 +1,36 @@
+"""Schema flattening (functions/nested.py)."""
+
+import pytest
+from pyspark.sql import Row
+
+from data_diff_spark.functions.nested import flatten
+
+
+def test_flatten_nested_structs(spark):
+    df = spark.createDataFrame([
+        Row(id=1, meta=Row(a=Row(x=10, y="u"), b=2.5), tags=["t1", "t2"]),
+    ])
+    out = flatten(df)
+    assert set(out.columns) == {"id", "meta.a.x", "meta.a.y", "meta.b", "tags"}
+    r = out.collect()[0]
+    assert r["meta.a.x"] == 10 and r["meta.b"] == 2.5
+    assert r["tags"] == ["t1", "t2"]  # arrays untouched -> row count stable
+
+
+def test_flatten_with_explode_outer(spark):
+    df = spark.createDataFrame(
+        [(1, [Row(k="a", v=1), Row(k="b", v=2)]), (2, []), (3, None)],
+        "id int, items array<struct<k string, v int>>",
+    )
+    out = flatten(df, explode=["items"])
+    rows = sorted((r["id"], r["items.k"], r["items.v"]) for r in out.collect())
+    # empty and NULL arrays survive as one NULL row each — nothing dropped
+    assert rows == [(1, "a", 1), (1, "b", 2), (2, None, None), (3, None, None)]
+
+
+def test_flatten_collision_raises(spark):
+    df = spark.createDataFrame(
+        [(1, Row(b=2), 3)], "a int, x struct<b int>, `x.b` int"
+    )
+    with pytest.raises(ValueError, match="collision"):
+        flatten(df)
