@@ -13,7 +13,12 @@ from data_diff_spark.operators.drift import N_HASH_BUCKETS, _EPS, drift_report
 
 @pytest.fixture(scope="module")
 def orders(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/orders.parquet").persist()
+    # yield-and-unpersist: a leaked cache of this path makes Spark's
+    # CacheManager substitute the InMemoryRelation into OTHER tests' scans
+    # of the same file (observed: test_plans' PushedFilters pin)
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 def test_identical_tables_no_drift(orders):

@@ -17,16 +17,22 @@ THRESHOLD = 0.5
 
 @pytest.fixture(scope="module")
 def corpus(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    # yield-and-unpersist so the cache can't leak into other tests' scans
+    # of the same parquet path (CacheManager plan substitution)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def arriving(corpus):
     # arriving docs = a slice of the corpus with shifted ids (guaranteed
     # hits) plus their originals' neighbours
-    return corpus.filter(F.col("doc_id") % 7 == 0).select(
+    df = corpus.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     ).persist()
+    yield df
+    df.unpersist()
 
 
 def _brute(spark, arriving, corpus):

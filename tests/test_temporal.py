@@ -19,9 +19,11 @@ from data_diff_spark.operators.temporal import asof_join, interval_join
 def ev(spark, sf_dir):
     from data_diff_spark.sources.connect import normalize_event_ts
 
-    return normalize_event_ts(
+    df = normalize_event_ts(
         spark.read.parquet(f"{sf_dir}/events.parquet")
     ).cache()
+    yield df
+    df.unpersist()  # a leaked cache substitutes into other tests' plans
 
 
 @pytest.fixture(scope="module")
