@@ -6,14 +6,16 @@ stores the bytes inline (or a reference), Spark never interprets them until
 an explicit decode/feature stage, and that stage runs as Arrow-batched
 `mapInPandas` so the bytes cross into Python once per batch, not per row.
 
-Codecs: a REAL pure-numpy netpbm codec (P5 grayscale / P6 RGB: decode,
+Codecs: REAL pure-numpy decoders — netpbm (P5 grayscale / P6 RGB: decode,
 encode, nearest-neighbor resize, frame sampling over concatenated-frame
-"video" streams) — no external imaging library needed, and every stage is
-deterministic so the DuckDB oracle can replay pixel statistics
-arithmetically. Compressed formats (png/jpeg/webp) genuinely need
-PIL/cv2, which this container does not ship; for those `decode_image`
-raises NotImplementedError with the swap-in point documented. `fake_decode`
-remains as the format-agnostic byte-stats path.
+"video" streams) and PNG (8-bit grey/RGB/RGBA, all five spec filters,
+via stdlib zlib; decoder pinned against spec-forward-filtered bytes) —
+no external imaging library needed, and every stage is deterministic so
+the DuckDB oracle can replay pixel statistics arithmetically. The
+remaining compressed formats (jpeg/webp, palette/16-bit/interlaced PNG)
+genuinely need PIL/cv2, which this container does not ship; for those
+`decode_image` raises NotImplementedError with the swap-in point
+documented. `fake_decode` remains as the format-agnostic byte-stats path.
 
 MEDIA_SCHEMA:
     media:    binary                      raw encoded bytes
@@ -102,12 +104,130 @@ def _parse_netpbm_header(data: bytes, offset: int = 0):
     return magic, w, h, maxval, pos
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Undo PNG scanline filters (spec §6: None/Sub/Up/Average/Paeth).
+    raw = decompressed IDAT: h rows of (1 filter byte + stride bytes)."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    cur[x] = (row[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth predictor (spec §6.6)
+                    c = prev[x - bpp] if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes):
+    """Pure numpy+zlib PNG decode: 8-bit greyscale (color type 0),
+    RGB (2) and RGBA (6), non-interlaced — the shapes synthetic and
+    web-scraped thumbnails overwhelmingly use. Palette/16-bit/interlaced
+    PNGs raise (PIL swap-in applies). Returns (h,w) or (h,w,ch) uint8."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a png")
+    pos = 8
+    idat = b""
+    meta = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "png: only 8-bit gray/RGB/RGBA non-interlaced decode "
+                    "natively; palette/16-bit/interlaced need PIL"
+                )
+            meta = (w, h, {0: 1, 2: 3, 6: 4}[color])
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("png: missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png: IDAT size mismatch")
+    px = _png_unfilter(raw, h, stride, ch)
+    arr = px.reshape((h, w, ch))
+    return arr[:, :, 0] if ch == 1 else arr
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder (filter 0 rows, one IDAT): (h,w) -> grey,
+    (h,w,3) -> RGB, (h,w,4) -> RGBA."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, ch = 0, 1
+        body = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (3, 4):
+        color, ch = (2, 3) if a.shape[2] == 3 else (6, 4)
+        body = a
+    else:
+        raise ValueError(f"unsupported shape {a.shape}")
+    h, w = a.shape[:2]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        raw = ctype + payload
+        return struct.pack(">I", len(payload)) + raw + struct.pack(
+            ">I", zlib.crc32(raw) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(data: bytes):
-    """Decode an image to a numpy array: (h, w) uint8 for P5 grayscale,
-    (h, w, 3) uint8 for P6 RGB. Compressed formats (png/jpeg/webp) require
-    PIL/cv2 — not in this container; swap in
-    `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that ships
-    them."""
+    """Decode an image to a numpy array: (h, w) uint8 for P5 grayscale /
+    8-bit grey PNG, (h, w, 3|4) uint8 for P6 RGB / RGB(A) PNG. Remaining
+    compressed formats (jpeg/webp, exotic PNGs) require PIL/cv2 — not in
+    this container; swap in
+    `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that
+    ships them."""
     import numpy as np
 
     if data[:2] in (b"P5", b"P6"):
@@ -115,8 +235,10 @@ def decode_image(data: bytes):
         ch = 3 if magic == "P6" else 1
         raster = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos)
         return raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w))
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     raise NotImplementedError(
-        "only netpbm (P5/P6) decodes natively; png/jpeg/webp need PIL/cv2"
+        "netpbm (P5/P6) and 8-bit PNG decode natively; jpeg/webp need PIL/cv2"
     )
 
 

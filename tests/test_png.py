@@ -1,0 +1,95 @@
+"""Pure numpy+zlib PNG codec (functions/multimodal.py): the decoder's
+un-filtering is pinned against bytes constructed FORWARD per the spec
+(the test implements the filter direction, the decoder its inverse —
+independent implementations), plus encode/decode roundtrips and the
+decode_image dispatch."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from data_diff_spark.functions.multimodal import (
+    _PNG_SIG,
+    decode_image,
+    decode_png,
+    encode_png,
+)
+
+
+def _chunk(ctype, payload):
+    raw = ctype + payload
+    return struct.pack(">I", len(payload)) + raw + struct.pack(
+        ">I", zlib.crc32(raw) & 0xFFFFFFFF
+    )
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _build_png_with_filters(pixels, ch):
+    """Forward-filter each row with filter type (row_index % 5) and emit a
+    complete PNG byte stream — no shared code with the decoder."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    stride = w * ch
+    flat = pixels.reshape(h, stride).astype(int)
+    scan = b""
+    for y in range(h):
+        f = y % 5
+        row, out = flat[y], []
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=int)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - a
+            elif f == 2:
+                v = row[x] - b
+            elif f == 3:
+                v = row[x] - ((a + b) >> 1)
+            else:
+                v = row[x] - _paeth(a, b, c)
+            out.append(v & 0xFF)
+        scan += bytes([f]) + bytes(out)
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4], ids=["grey", "rgb", "rgba"])
+def test_decoder_inverts_spec_filters(ch):
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+    data = _build_png_with_filters(px, ch)
+    got = decode_png(data)
+    want = px[:, :, 0] if ch == 1 else px
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape", [(6, 4), (5, 3, 3), (4, 4, 4)])
+def test_roundtrip(shape):
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(a)), a)
+
+
+def test_decode_image_dispatch_and_gates():
+    a = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    assert np.array_equal(decode_image(encode_png(a)), a)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # 16-bit png refused with the PIL pointer, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    deep = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_png(deep)
