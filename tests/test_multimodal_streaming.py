@@ -43,8 +43,11 @@ def test_extract_features_null_and_empty(spark):
 
 
 def test_compressed_formats_are_explicit_stubs():
-    # png/jpeg genuinely need PIL/cv2; only netpbm decodes natively
+    # jpeg/webp genuinely need PIL/cv2; netpbm AND 8-bit PNG decode natively
     with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\xff\xd8\xff\xe0 jpeg")
+    # a bare PNG signature without chunks is malformed, not unsupported
+    with pytest.raises(ValueError):
         MM.decode_image(b"\x89PNG\r\n\x1a\n")
 
 
