@@ -157,6 +157,7 @@ def decode_png(data: bytes):
     pos = 8
     idat = b""
     meta = None
+    plte = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         ctype = data[pos + 4:pos + 8]
@@ -164,24 +165,33 @@ def decode_png(data: bytes):
         pos += 12 + length  # length + type + crc
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+            if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
                 raise NotImplementedError(
-                    "png: only 8-bit gray/RGB/RGBA non-interlaced decode "
-                    "natively; palette/16-bit/interlaced need PIL"
+                    "png: only 8-bit gray/RGB/palette/RGBA non-interlaced "
+                    "decode natively; 16-bit/interlaced need PIL"
                 )
-            meta = (w, h, {0: 1, 2: 3, 6: 4}[color])
+            meta = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[color], color)
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
             break
     if meta is None:
         raise ValueError("png: missing IHDR")
-    w, h, ch = meta
+    w, h, ch, color = meta
     raw = zlib.decompress(idat)
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("png: IDAT size mismatch")
     px = _png_unfilter(raw, h, stride, ch)
+    if color == 3:  # palette lookup: index plane -> RGB
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        import numpy as np
+
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[px.reshape(h, w)]
     arr = px.reshape((h, w, ch))
     return arr[:, :, 0] if ch == 1 else arr
 

@@ -93,3 +93,18 @@ def test_decode_image_dispatch_and_gates():
     deep = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_png(deep)
+
+
+def test_palette_png_decodes_via_plte():
+    # 3x2 palette image built by hand: indices map through a 4-entry PLTE
+    pal = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  7, 7, 7])
+    idx = np.array([[0, 1, 2], [3, 0, 1]], dtype=np.uint8)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    data = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal)
+            + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b""))
+    got = decode_png(data)
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[7, 7, 7], [255, 0, 0], [0, 255, 0]]], dtype=np.uint8)
+    assert np.array_equal(got, want)
