@@ -20,6 +20,7 @@ Supported schemes:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -255,6 +256,50 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 256,
+    sample_rows: int = 10_000,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> int:
+    """Write with file count chosen so each output file lands near
+    `target_file_mb` — the layout knob that matters at 100 TB (thousands
+    of 100 KB files starve scan parallelism setup; single 50 GB files
+    can't parallelize a read). Bytes/row is measured, not guessed: a
+    bounded deterministic sample is written once to a scratch sibling
+    and its ENCODED size extrapolated (schema-based estimates miss
+    compression by 10x on text). Returns the file count used.
+
+    For multi-column range locality use zorder_write; for join locality
+    write_bucketed. This is the plain "right-sized files" pass."""
+    import math
+    import shutil
+    import tempfile
+
+    n = df.count()
+    if n == 0:
+        df.write.mode(mode).format(fmt).save(path)
+        return 1
+    probe_dir = tempfile.mkdtemp(prefix="ddspark_sizer_")
+    try:
+        k = min(sample_rows, n)
+        df.limit(k).coalesce(1).write.mode("overwrite").format(fmt).save(probe_dir)
+        sampled = sum(
+            os.path.getsize(os.path.join(probe_dir, f))
+            for f in os.listdir(probe_dir)
+            if not f.startswith(("_", "."))
+        )
+        bytes_per_row = max(sampled / k, 1e-6)
+    finally:
+        shutil.rmtree(probe_dir, ignore_errors=True)
+    total = bytes_per_row * n
+    files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df.repartition(files).write.mode(mode).format(fmt).save(path)
+    return files
 
 
 def write_bucketed(

@@ -34,3 +34,26 @@ def test_flatten_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="collision"):
         flatten(df)
+
+
+def test_write_sized_targets_file_size(spark, sf_dir, tmp_path):
+    """write_sized measures encoded bytes/row and picks a file count near
+    the target; tiny target -> multiple files, huge target -> one."""
+    import os as _os
+
+    from data_diff_spark.sources.connect import write_sized
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out1 = str(tmp_path / "one")
+    n1 = write_sized(li, out1, target_file_mb=10_000)
+    assert n1 == 1
+    out2 = str(tmp_path / "many")
+    # ~0.1 MB target on a ~1 MB-encoded table -> several files
+    n2 = write_sized(li, out2, target_file_mb=1)
+    files = [f for f in _os.listdir(out2) if f.endswith(".parquet")]
+    assert n2 == len(files) >= 1
+    sizes = [_os.path.getsize(_os.path.join(out2, f)) for f in files]
+    # every file within ~3x of the 1 MB target (compression variance)
+    assert all(s < 3 * 1024 * 1024 for s in sizes)
+    # row fidelity
+    assert spark.read.parquet(out2).count() == li.count()
