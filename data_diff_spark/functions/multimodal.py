@@ -233,8 +233,9 @@ def encode_png(arr) -> bytes:
 
 def decode_image(data: bytes):
     """Decode an image to a numpy array: (h, w) uint8 for P5 grayscale /
-    8-bit grey PNG, (h, w, 3|4) uint8 for P6 RGB / RGB(A) PNG. Remaining
-    compressed formats (jpeg/webp, exotic PNGs) require PIL/cv2 — not in
+    8-bit grey PNG / greyscale JPEG, (h, w, 3|4) uint8 for P6 RGB /
+    RGB(A) PNG / color baseline JPEG. Remaining formats (webp,
+    progressive JPEG, 16-bit/interlaced PNG) require PIL/cv2 — not in
     this container; swap in
     `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that
     ships them."""
@@ -247,8 +248,13 @@ def decode_image(data: bytes):
         return raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w))
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from data_diff_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "netpbm (P5/P6) and 8-bit PNG decode natively; jpeg/webp need PIL/cv2"
+        "netpbm (P5/P6), 8-bit PNG, and baseline JPEG decode natively; "
+        "webp and exotic variants need PIL/cv2"
     )
 
 

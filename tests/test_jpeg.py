@@ -1,0 +1,286 @@
+"""Baseline JPEG decoder (functions/jpeg.py) pinned against a FORWARD
+encoder implemented here in the test — DCT-II, quantization, zigzag,
+canonical-Huffman entropy coding, byte stuffing, markers, restart
+intervals — sharing no code with the decoder. Expected pixels are the
+test's own reconstruction of its quantized coefficients; agreement
+within 1 LSB (independent float paths)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from data_diff_spark.functions.jpeg import ZIGZAG, decode_jpeg
+
+Q50 = np.array([  # spec Annex K luminance table (public constants)
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+QFLAT = np.full(64, 8, dtype=np.int32)
+
+
+def _dct2(block):
+    # forward DCT-II from the textbook double sum — NOT the decoder's
+    # matrix formulation
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += block[x, y] * np.cos((2 * x + 1) * u * np.pi / 16) \
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def _idct2_ref(coef):
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += cu * cv * coef[u, v] * np.cos((2 * x + 1) * u * np.pi / 16) \
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+            out[x, y] = 0.25 * s
+    return out
+
+
+class _Writer:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def pad(self):
+        while self.nbits:
+            self.bits(1, 1)  # pad with 1s per spec
+
+
+def _canonical(symbols):
+    """All symbols at one code length L (canonical assignment): returns
+    (counts[16], symbols, {sym: (L, code)})."""
+    symbols = sorted(set(symbols))
+    L = max(2, (len(symbols) + 1).bit_length())  # leave all-ones unused
+    counts = [0] * 16
+    counts[L - 1] = len(symbols)
+    codes = {s: (L, i) for i, s in enumerate(symbols)}
+    return counts, symbols, codes
+
+
+def _category(v):
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_value(w, v, codes):
+    n = _category(v)
+    L, code = codes[n] if isinstance(codes, dict) else codes
+    w.bits(code, L)
+    if n:
+        w.bits(v if v > 0 else v + (1 << n) - 1, n)
+
+
+def _encode_block(w, coefs_zz, pred, dc_codes, ac_codes):
+    diff = coefs_zz[0] - pred
+    n = _category(diff)
+    L, code = dc_codes[n]
+    w.bits(code, L)
+    if n:
+        w.bits(diff if diff > 0 else diff + (1 << n) - 1, n)
+    run = 0
+    last_nz = max([k for k in range(1, 64) if coefs_zz[k]], default=0)
+    for k in range(1, last_nz + 1):
+        v = coefs_zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            L, code = ac_codes[0xF0]
+            w.bits(code, L)  # ZRL
+            run -= 16
+        n = _category(v)
+        L, code = ac_codes[(run << 4) | n]
+        w.bits(code, L)
+        w.bits(v if v > 0 else v + (1 << n) - 1, n)
+        run = 0
+    if last_nz < 63:
+        L, code = ac_codes[0x00]
+        w.bits(code, L)  # EOB
+    return coefs_zz[0]
+
+
+def _quantize_plane(plane, q):
+    """plane (H,W) -> list of zigzag-quantized blocks in raster order and
+    the reconstruction (dequant + reference IDCT + clip)."""
+    H, W = plane.shape
+    blocks, recon = [], np.zeros_like(plane, dtype=np.float64)
+    for y0 in range(0, H, 8):
+        for x0 in range(0, W, 8):
+            b = plane[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
+            coef = _dct2(b)
+            zz = np.array([int(round(coef.flat[ZIGZAG[k]] / q[k])) for k in range(64)])
+            blocks.append(zz)
+            deq = np.zeros(64)
+            deq[ZIGZAG] = zz * q
+            recon[y0:y0 + 8, x0:x0 + 8] = _idct2_ref(deq.reshape(8, 8)) + 128.0
+    return blocks, recon
+
+
+def _segments(frame_comps, qtables, huff_specs, h, w, dri=0):
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload)
+
+    for tq, q in qtables.items():
+        seg(0xDB, bytes([tq]) + bytes(int(x) for x in q))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(frame_comps)])
+    for cid, hv, tq in frame_comps:
+        sof += bytes([cid, hv, tq])
+    seg(0xC0, sof)
+    for (tc, th), (counts, symbols) in huff_specs.items():
+        seg(0xC4, bytes([tc << 4 | th]) + bytes(counts) + bytes(symbols))
+    if dri:
+        seg(0xDD, struct.pack(">H", dri))
+    return out
+
+
+def test_greyscale_roundtrip_with_restarts():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    blocks, recon = _quantize_plane(img.astype(np.float64), Q50)
+    # huffman tables sized to the data
+    dc_syms = set()
+    ac_syms = {0x00, 0xF0}
+    for zz in blocks:
+        # dri=1: every MCU restarts, so the DC prediction is always 0
+        dc_syms.add(_category(zz[0]))
+        run = 0
+        last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1; continue
+            while run > 15:
+                run -= 16
+            ac_syms.add((run << 4) | _category(zz[k])); run = 0
+    dc_counts, dc_list, dc_codes = _canonical(dc_syms | {0})
+    ac_counts, ac_list, ac_codes = _canonical(ac_syms)
+
+    head = _segments([(1, 0x11, 0)], {0: Q50}, {(0, 0): (dc_counts, dc_list),
+                                                (1, 0): (ac_counts, ac_list)},
+                     16, 16, dri=1)  # restart after EVERY MCU
+    head += bytes([0xFF, 0xDA]) + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    w = _Writer()
+    body = bytearray()
+    pred = 0
+    for i, zz in enumerate(blocks):
+        if i and 1 and i % 1 == 0:  # dri=1: restart before each MCU after the first
+            w.pad()
+            body += w.out
+            w = _Writer()
+            body += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+            pred = 0
+        pred = _encode_block(w, zz, pred, dc_codes, ac_codes)
+    w.pad()
+    body += w.out
+    data = bytes(head) + bytes(body) + b"\xff\xd9"
+
+    got = decode_jpeg(data)
+    want = np.clip(np.round(recon), 0, 255).astype(np.uint8)
+    assert got.shape == (16, 16)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_color_420_roundtrip():
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8).astype(np.float64)
+    # BT.601 forward
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+    # 4:2:0: chroma averaged to 8x8
+    cb2 = cb.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+
+    planes = {"y": y, "cb": cb2, "cr": cr2}
+    blocks, recon = {}, {}
+    for name, p in planes.items():
+        blocks[name], recon[name] = _quantize_plane(p, QFLAT)
+
+    syms_dc, syms_ac = {0}, {0x00, 0xF0}
+    def collect(bl):
+        pred = 0
+        for zz in bl:
+            syms_dc.add(_category(zz[0] - pred)); pred = zz[0]
+            run = 0
+            last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1; continue
+                while run > 15:
+                    run -= 16
+                syms_ac.add((run << 4) | _category(zz[k])); run = 0
+    for bl in blocks.values():
+        collect(bl)
+    dc_counts, dc_list, dc_codes = _canonical(syms_dc)
+    ac_counts, ac_list, ac_codes = _canonical(syms_ac)
+
+    head = _segments(
+        [(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)], {0: QFLAT},
+        {(0, 0): (dc_counts, dc_list), (1, 0): (ac_counts, ac_list)}, 16, 16,
+    )
+    head += bytes([0xFF, 0xDA]) + struct.pack(">H", 12) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    w = _Writer()
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    # ONE MCU covers the whole 16x16: 4 Y blocks (2x2, raster within MCU),
+    # then 1 Cb, 1 Cr — blocks for Y were produced in plane-raster order,
+    # which for a single MCU equals the in-MCU raster order
+    for name, order in (("y", [0, 1, 2, 3]), ("cb", [0]), ("cr", [0])):
+        for i in order:
+            preds[name] = _encode_block(w, blocks[name][i], preds[name],
+                                        dc_codes, ac_codes)
+    w.pad()
+    data = bytes(head) + bytes(w.out) + b"\xff\xd9"
+
+    got = decode_jpeg(data)
+    # expected: test-side reconstruction, nearest-upsampled chroma, BT.601 back
+    yv = recon["y"]
+    cbv = np.repeat(np.repeat(recon["cb"], 2, 0), 2, 1) - 128.0
+    crv = np.repeat(np.repeat(recon["cr"], 2, 0), 2, 1) - 128.0
+    want = np.stack([
+        yv + 1.402 * crv,
+        yv - 0.344136 * cbv - 0.714136 * crv,
+        yv + 1.772 * cbv,
+    ], axis=-1)
+    want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+    assert got.shape == (16, 16, 3)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_progressive_and_bad_input_gates():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"nope")
+    # SOF2 progressive refused with the PIL pointer
+    data = (b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 11)
+            + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_jpeg(data)

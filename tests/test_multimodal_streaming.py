@@ -43,12 +43,16 @@ def test_extract_features_null_and_empty(spark):
 
 
 def test_compressed_formats_are_explicit_stubs():
-    # jpeg/webp genuinely need PIL/cv2; netpbm AND 8-bit PNG decode natively
+    # webp genuinely needs PIL/cv2; netpbm, 8-bit PNG AND baseline JPEG
+    # decode natively now
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\xff\xd8\xff\xe0 jpeg")
+        MM.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     # a bare PNG signature without chunks is malformed, not unsupported
     with pytest.raises(ValueError):
         MM.decode_image(b"\x89PNG\r\n\x1a\n")
+    # a truncated JPEG marker stream is malformed, not unsupported
+    with pytest.raises(Exception):
+        MM.decode_image(b"\xff\xd8\xff\xe0")
 
 
 def test_netpbm_roundtrip_rgb_and_gray():
