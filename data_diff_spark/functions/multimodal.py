@@ -8,14 +8,17 @@ an explicit decode/feature stage, and that stage runs as Arrow-batched
 
 Codecs: REAL pure-numpy decoders — netpbm (P5 grayscale / P6 RGB: decode,
 encode, nearest-neighbor resize, frame sampling over concatenated-frame
-"video" streams) and PNG (8-bit grey/RGB/RGBA, all five spec filters,
-via stdlib zlib; decoder pinned against spec-forward-filtered bytes) —
-no external imaging library needed, and every stage is deterministic so
-the DuckDB oracle can replay pixel statistics arithmetically. The
-remaining compressed formats (jpeg/webp, palette/16-bit/interlaced PNG)
-genuinely need PIL/cv2, which this container does not ship; for those
-`decode_image` raises NotImplementedError with the swap-in point
-documented. `fake_decode` remains as the format-agnostic byte-stats path.
+"video" streams), PNG (8-bit grey/RGB/RGBA/palette, all five spec
+filters, via stdlib zlib; decoder pinned against spec-forward-filtered
+bytes), and baseline JPEG (functions/jpeg.py: SOF0, grey + YCbCr
+4:4:4/4:2:2/4:2:0, restart markers; decoder pinned against a test-side
+forward DCT/quantize/Huffman encoder) — no external imaging library
+needed, and the uncompressed stages are deterministic so the DuckDB
+oracle can replay pixel statistics arithmetically. Only webp,
+progressive JPEG and 16-bit/interlaced PNG genuinely need PIL/cv2,
+which this container does not ship; for those `decode_image` raises
+NotImplementedError with the swap-in point documented. `fake_decode`
+remains as the format-agnostic byte-stats path.
 
 MEDIA_SCHEMA:
     media:    binary                      raw encoded bytes
