@@ -118,6 +118,154 @@ class _BitReader:
         return v
 
 
+def encode_jpeg(arr, quant: int = 8) -> bytes:
+    """Baseline JPEG encoder: (h,w) uint8 -> greyscale SOF0, (h,w,3)
+    uint8 RGB -> YCbCr 4:4:4 SOF0. Flat quantization (`quant` per
+    coefficient — 1 ≈ near-lossless, 8 ≈ visually clean, 16+ small);
+    per-image canonical Huffman tables computed from the data (valid
+    JPEG — fixed Annex-K tables are an interchange convention, not a
+    requirement). Dimensions are padded to multiples of 8 internally by
+    edge replication; the decoder crops back via SOF0's true h/w.
+
+    The write side of the media pipeline (thumbnails, sample dumps);
+    decode_jpeg is pinned independently, so the roundtrip test bounds
+    this encoder's end-to-end error by the quantization step."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    grey = a.ndim == 2
+    h, w = a.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if grey:
+        planes = [a.astype(np.float64)]
+    else:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        planes = [y, cb, cr]
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    q = np.full(64, int(quant), dtype=np.int32)
+    A = _idct_matrix()
+
+    # pass 1: quantized zigzag blocks per plane (DCT-II via the matrix)
+    all_blocks = []
+    for p in planes:
+        blocks = []
+        for y0 in range(0, ph, 8):
+            for x0 in range(0, pw, 8):
+                b = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                coef = A @ b @ A.T
+                zz = np.round(coef.flat[ZIGZAG] / q).astype(np.int64)
+                blocks.append(zz)
+        all_blocks.append(blocks)
+
+    # pass 2: symbol alphabets -> one-length canonical tables
+    def category(v: int) -> int:
+        return 0 if v == 0 else int(abs(int(v))).bit_length()
+
+    dc_syms, ac_syms = set(), {0x00, 0xF0}
+    for blocks in all_blocks:
+        pred = 0
+        for zz in blocks:
+            dc_syms.add(category(int(zz[0]) - pred))
+            pred = int(zz[0])
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = (nz[-1] + 1) if len(nz) else 0
+            for k in range(1, last + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                run %= 16
+                ac_syms.add((run << 4) | category(int(zz[k])))
+                run = 0
+
+    def canonical(symbols):
+        symbols = sorted(symbols)
+        length = max(2, (len(symbols) + 1).bit_length())
+        counts = [0] * 16
+        counts[length - 1] = len(symbols)
+        return counts, symbols, {s: (length, i) for i, s in enumerate(symbols)}
+
+    dc_counts, dc_list, dc_codes = canonical(dc_syms)
+    ac_counts, ac_list, ac_codes = canonical(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    ncomp = 1 if grey else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_list))
+    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_list))
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    acc = [0, 0]  # bit accumulator, count
+
+    def bits(value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((value >> i) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0x00)
+                acc[0] = acc[1] = 0
+
+    preds = [0] * ncomp
+    n_mcux = pw // 8
+    for m in range(len(all_blocks[0])):
+        # 4:4:4 / greyscale: MCU = one block of each component, raster order
+        assert m < n_mcux * (ph // 8)
+        for ci in range(ncomp):
+            zz = all_blocks[ci][m]
+            diff = int(zz[0]) - preds[ci]
+            preds[ci] = int(zz[0])
+            n = category(diff)
+            length, code = dc_codes[n]
+            bits(code, length)
+            if n:
+                bits(diff if diff > 0 else diff + (1 << n) - 1, n)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = (nz[-1] + 1) if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_codes[0xF0]
+                    bits(code, length)
+                    run -= 16
+                n = category(v)
+                length, code = ac_codes[(run << 4) | n]
+                bits(code, length)
+                bits(v if v > 0 else v + (1 << n) - 1, n)
+                run = 0
+            if last < 63:
+                length, code = ac_codes[0x00]
+                bits(code, length)
+    while acc[1]:
+        bits(1, 1)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def decode_jpeg(data: bytes):
     """(h, w, 3) uint8 RGB (or (h, w) for single-component greyscale)."""
     import numpy as np

@@ -284,3 +284,28 @@ def test_progressive_and_bad_input_gates():
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_jpeg(data)
+
+
+def test_encode_decode_roundtrip_grey_near_lossless():
+    from data_diff_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)  # non-multiple-of-8
+    got = decode_jpeg(encode_jpeg(img, quant=1))
+    assert got.shape == img.shape
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_encode_decode_roundtrip_color_psnr():
+    from data_diff_spark.functions.jpeg import encode_jpeg
+
+    # smooth gradient: quantization error stays small and PSNR meaningful
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack([
+        (yy * 5) % 256, (xx * 3) % 256, ((yy + xx) * 4) % 256
+    ], axis=-1).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, quant=4))
+    assert got.shape == img.shape
+    mse = float(np.mean((got.astype(float) - img.astype(float)) ** 2))
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 30, psnr
