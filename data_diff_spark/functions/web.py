@@ -94,6 +94,10 @@ def canonical_url(col) -> Column:
     u = F.regexp_replace(u, r"\?&+", "?")        # '?&x=1' -> '?x=1'
     u = F.regexp_replace(u, r"&&+", "&")         # 'a=1&&b=2' -> 'a=1&b=2'
     u = F.regexp_replace(u, r"[?&]+$", "")       # trailing '?' / '&'
+    # re-trim: stripping a fragment/params can EXPOSE trailing whitespace
+    # the initial trim ran before ('https://x/ #' -> 'https://x/ ') — found
+    # by the idempotence fuzz
+    u = F.trim(u)
     # 4. default ports
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(?=[/?#]|$)", r"$1")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(?=[/?#]|$)", r"$1")
