@@ -37,7 +37,7 @@ from __future__ import annotations
 import logging
 from typing import List, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
@@ -669,4 +669,121 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- sorted-neighborhood near-dup pairs (SNM) -------------------------------
+
+
+def snm_pairs(
+    df: DataFrame,
+    sort_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    max_edit_pct: int = 20,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood near-duplicate pairs, verified by edit distance.
+
+    The classic entity-resolution blocking alternative to LSH (Hernandez &
+    Stolfo's merge/purge, SIGMOD'95): sort the corpus by a key, compare
+    each record only to its `window` successors in sort order, keep pairs
+    whose Levenshtein distance is <= max_edit_pct% of the longer text.
+    Output: (id_a, id_b, edit_dist, max_len) with id_a the earlier record
+    in sort order — integer columns only, so the result is bit-exact
+    across engines (no float similarity).
+
+    A naive `row_number() OVER (ORDER BY ...)` is a single-task global
+    sort — the one plan shape this repo bans. Scale design instead:
+
+      1. monotone range-bucket on the first `prefix_len` chars of the
+         sort key (order-preserving by construction, unlike a hash);
+      2. a bounded bucket census (one row per distinct prefix — at most
+         alphabet^prefix_len rows, driver-safe the same way IVF bounds
+         its training sample) merges adjacent under-full buckets so every
+         bucket holds MORE than `window` rows;
+      3. each bucket's last `window` rows are replicated into the next
+         bucket ("carry" rows), so every record sees its full successor
+         window inside exactly one bucket partition — per-bucket
+         row_number/lead windows run fully parallel, and a carry-carry
+         pair (already emitted natively in its home bucket) is filtered.
+
+    Every pair in the total order appears exactly once: (a, b) is emitted
+    in a's home bucket when b is local, else in the next bucket where a
+    rides as a carry — step 2's fill guarantee means a successor window
+    never spans more than one boundary. Ties in the sort key are broken
+    by id, so the order (and the pair set) is deterministic.
+
+    Cost: one census agg, one broadcast of the tiny prefix->bucket map,
+    one shuffle on bucket id, per-bucket windows; Levenshtein runs only on
+    the O(n * window) neighbor pairs, never a cross product.
+    """
+    spark = df.sparkSession
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(sort_col).alias("_k")
+    ).withColumn("_pfx", F.substring("_k", 1, prefix_len))
+
+    census = keyed.groupBy("_pfx").count().orderBy("_pfx").collect()
+    if not census:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, edit_dist int, max_len int"
+        )
+    # driver fold over the (bounded) prefix list: a bucket absorbs the next
+    # prefix until it holds > window rows, so carries never need to hop twice
+    buckets: list = []  # (prefixes, rowcount)
+    for r in census:
+        if buckets and buckets[-1][1] <= window:
+            ps, n = buckets[-1]
+            buckets[-1] = (ps + [r["_pfx"]], n + r["count"])
+        else:
+            buckets.append(([r["_pfx"]], r["count"]))
+    if len(buckets) > 1 and buckets[-1][1] <= window:
+        ps_last, n_last = buckets.pop()
+        ps, n = buckets[-1]
+        buckets[-1] = (ps + ps_last, n + n_last)
+    n_buckets = len(buckets)
+    bmap = spark.createDataFrame(
+        [(p, i) for i, (ps, _) in enumerate(buckets) for p in ps],
+        "_pfx string, _b int",
+    )
+    keyed = keyed.join(F.broadcast(bmap), "_pfx").select("_b", "id", "_k")
+
+    wdesc = Window.partitionBy("_b").orderBy(F.desc("_k"), F.desc("id"))
+    carries = (
+        keyed.withColumn("_rn", F.row_number().over(wdesc))
+        .filter((F.col("_rn") <= window) & (F.col("_b") < n_buckets - 1))
+        .select((F.col("_b") + 1).alias("_b"), "id", "_k")
+        .withColumn("_carry", F.lit(True))
+    )
+    allr = keyed.withColumn("_carry", F.lit(False)).unionByName(carries)
+
+    wasc = Window.partitionBy("_b").orderBy("_k", "id")
+    nbr = F.array(*[
+        F.lead(
+            F.struct(
+                F.col("id").alias("oid"),
+                F.col("_k").alias("ok"),
+                F.col("_carry").alias("oc"),
+            ),
+            i,
+        ).over(wasc)
+        for i in range(1, window + 1)
+    ])
+    pairs = (
+        allr.withColumn("_nbrs", nbr)
+        .select("id", "_k", "_carry", F.explode("_nbrs").alias("_o"))
+        .filter(F.col("_o").isNotNull())
+        .filter(~(F.col("_carry") & F.col("_o.oc")))
+    )
+    dist = F.levenshtein(F.col("_k"), F.col("_o.ok"))
+    return (
+        pairs.select(
+            F.col("id").alias("id_a"),
+            F.col("_o.oid").alias("id_b"),
+            dist.cast("int").alias("edit_dist"),
+            F.greatest(F.length("_k"), F.length(F.col("_o.ok")))
+            .cast("int")
+            .alias("max_len"),
+        )
+        .filter(F.col("edit_dist") * 100 <= F.lit(max_edit_pct) * F.col("max_len"))
     )

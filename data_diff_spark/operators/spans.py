@@ -1,0 +1,160 @@
+"""Exact duplicate-SPAN detection — substring-level deduplication.
+
+Whole-document dedup (operators/dedup.py) misses the dominant duplication
+mode in web-scale training corpora: long *passages* (boilerplate, licenses,
+quoted articles) repeated inside otherwise-distinct documents. The
+substring-level remedy popularized for LLM training data ("Deduplicating
+Training Data Makes Language Models Better", Lee et al. 2021, public
+arXiv:2107.06499) finds every maximal span whose content occurs elsewhere
+in the corpus and removes it. The reference engine (datafold/data-diff)
+has no text surface at all; this is a beyond-reference operator.
+
+Lee et al. build a monolithic suffix array — inherently single-machine.
+The Spark-first equivalent used here is k-gram anchoring: a span is
+duplicated iff every length-k window inside it is duplicated, so
+
+  1. stream word k-grams with their positions (map-side explode),
+  2. keep grams whose 60-bit digest occurs in >=2 distinct docs
+     (one shuffle on the digest, map-side combined),
+  3. merge each doc's marked positions into maximal spans with a
+     gaps-and-islands window over (doc, position) (one shuffle on doc).
+
+Two digest-keyed shuffles, never the text; the inverted-index scale notes
+of dedup.py (hot-shingle skew, map-side combine) apply unchanged. The
+result is exact for spans of >= k words: every duplicated span of length
+>= k is found in full, and nothing shorter than k words is ever flagged
+(k is the noise floor, 50 tokens in Lee et al., default 8 here to suit
+the driver's short synthetic docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_diff_spark.functions.text import hash60, tokens
+
+
+def _gram_positions(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, end, gh): every word k-gram with 1-based word positions
+    [pos, end] and its 60-bit digest. Same projection discipline as
+    dedup.shingle_sets: tokens materialized once, a nondeterministic no-op
+    column blocks InferFiltersFromGenerate from re-inlining the tokenize
+    pipeline below the generate."""
+    t = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            "id",
+            F.when(F.size(t) >= k, grams)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_grams"),
+            F.expr("uuid()").alias("_nd"),  # pushdown barrier
+        )
+        .select("id", F.posexplode("_grams").alias("_p0", "_gram"))
+        .select(
+            "id",
+            (F.col("_p0") + 1).alias("pos"),
+            (F.col("_p0") + k).alias("end"),
+            hash60(F.col("_gram")).alias("gh"),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated word spans per document.
+
+    Returns (id_col, span_start, span_end, span_words) with 1-based
+    inclusive word positions; a span is emitted iff every k-window it
+    contains occurs in at least 2 distinct documents. Overlapping and
+    adjacent duplicated windows are merged, so spans are maximal and
+    disjoint within a document.
+
+    The duplicated-gram set is joined back by shuffle (left_semi on the
+    digest), NOT broadcast: at corpus scale the set is proportional to the
+    amount of duplication and routinely exceeds driver memory.
+    """
+    g = _gram_positions(df, k, text_col, id_col)
+    # grams seen in >=2 distinct docs; countDistinct(id) combines map-side
+    dup = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gh")
+    )
+    marked = g.join(dup, "gh", "left_semi")
+
+    # gaps-and-islands: a new span starts where this window no longer
+    # touches (overlaps or abuts) the furthest end seen so far
+    by_doc = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("end").over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    brk = (
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+    )
+    isl = marked.withColumn("_brk", brk).withColumn(
+        "_grp", F.sum("_brk").over(by_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_words"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every word covered by a duplicated span, in every document
+    (the maximal-cleaning policy: no copy is privileged, so the operation
+    is deterministic and order-free; keep-one-copy is a composition —
+    anti-join `spans` down to the copies you want removed first).
+
+    Docs with no spans pass through untouched via the left join. The span
+    list per doc is small (disjoint spans over the doc's own length), so
+    collect_list per doc is bounded by doc length — never corpus-sized.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    t = F.col("_toks")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.filter(
+        F.zip_with(t, F.sequence(F.lit(1), F.size(t)), lambda w, i: F.struct(
+            w.alias("w"), covered(i).alias("c"))),
+        lambda p: ~p["c"],
+    )
+    cleaned = F.concat_ws(" ", F.transform(kept, lambda p: p["w"]))
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn(
+            text_col,
+            F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(cleaned),
+        )
+        .drop("_spans", "_toks")
+    )

@@ -1,0 +1,224 @@
+"""Duplicate-span detection/removal (operators/spans.py) and
+sorted-neighborhood pairs (operators/dedup.py:snm_pairs).
+
+Hand-built corpora with known duplicated passages pin the semantics;
+DuckDB replays pin cross-engine parity (the workload oracle does the same
+at sf0.01 under the driver's gate).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_diff_spark.operators.dedup import snm_pairs
+from data_diff_spark.operators.spans import duplicate_spans, strip_duplicate_spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+SHARED = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+
+
+class TestDuplicateSpans:
+    def test_basic_shared_passage(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, f"one two {SHARED} three four"),
+                (2, f"x {SHARED} y z"),
+                (3, "completely different words entirely here now ok fine"),
+            ],
+        )
+        out = duplicate_spans(docs, k=8).orderBy("doc_id").collect()
+        # the 8-word passage occurs in docs 1 and 2; doc 3 clean
+        assert [(r.doc_id, r.span_start, r.span_end) for r in out] == [
+            (1, 3, 10),
+            (2, 2, 9),
+        ]
+        assert all(r.span_words == 8 for r in out)
+
+    def test_long_span_merges_windows(self, spark):
+        # a 12-word shared passage = five overlapping 8-grams -> ONE span
+        long = SHARED + " iota kappa lambda mu"
+        docs = _docs(
+            spark,
+            [(1, f"a b {long}"), (2, f"{long} tail words here")],
+        )
+        out = duplicate_spans(docs, k=8).orderBy("doc_id").collect()
+        assert [(r.doc_id, r.span_start, r.span_end, r.span_words) for r in out] == [
+            (1, 3, 14, 12),
+            (2, 1, 12, 12),
+        ]
+
+    def test_disjoint_spans_stay_disjoint(self, spark):
+        other = "red orange yellow green blue indigo violet ultraviolet"
+        docs = _docs(
+            spark,
+            [
+                (1, f"{SHARED} bridge word gap {other}"),
+                (2, f"{SHARED} something else entirely padding up here"),
+                (3, f"intro {other} outro"),
+            ],
+        )
+        out = duplicate_spans(docs, k=8).filter(F.col("doc_id") == 1).orderBy(
+            "span_start"
+        ).collect()
+        assert [(r.span_start, r.span_end) for r in out] == [(1, 8), (12, 19)]
+
+    def test_within_doc_repeat_not_flagged_cross_doc(self, spark):
+        # the same passage twice in ONE doc is not a cross-doc duplicate
+        docs = _docs(
+            spark,
+            [
+                (1, f"{SHARED} middle {SHARED}"),
+                (2, "nothing in common with that document at all"),
+            ],
+        )
+        assert duplicate_spans(docs, k=8).count() == 0
+
+    def test_short_docs_ignored(self, spark):
+        docs = _docs(spark, [(1, "a b c"), (2, "a b c")])
+        assert duplicate_spans(docs, k=8).count() == 0
+
+    def test_strip_removes_exactly_spans(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, f"one two {SHARED} three"),
+                (2, f"{SHARED} x y"),
+                (3, "untouched document stays word for word the same"),
+            ],
+        )
+        sp = duplicate_spans(docs, k=8)
+        out = {r.doc_id: r.text for r in strip_duplicate_spans(docs, sp).collect()}
+        assert out[1] == "one two three"
+        assert out[2] == "x y"
+        assert out[3] == "untouched document stays word for word the same"
+
+    def test_strip_fully_covered_doc_becomes_empty(self, spark):
+        docs = _docs(spark, [(1, SHARED), (2, SHARED)])
+        sp = duplicate_spans(docs, k=8)
+        out = {r.doc_id: r.text for r in strip_duplicate_spans(docs, sp).collect()}
+        assert out == {1: "", 2: ""}
+
+    def test_duckdb_parity_sf(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_words)
+            for r in duplicate_spans(docs, k=8).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"create view documents as select * from '{sf_dir}/documents.parquet'"
+        )
+        k = 8
+        want = sorted(
+            tuple(r)
+            for r in con.execute(f"""
+with w as (select doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') as ws from documents),
+g as (select doc_id, i as pos, array_to_string(ws[i:i+{k - 1}],' ') as gram
+      from w, unnest(range(1, len(ws)-{k}+2)) as t(i) where len(ws) >= {k}),
+d as (select gram from g group by gram having count(distinct doc_id) > 1),
+m as (select doc_id, pos, pos+{k}-1 as e from g where gram in (select gram from d)),
+isl as (select doc_id, pos, e,
+         case when pos > coalesce(max(e) over (partition by doc_id order by pos
+              rows between unbounded preceding and 1 preceding), -1) + 1 then 1 else 0 end as brk
+        from m),
+isl2 as (select *, sum(brk) over (partition by doc_id order by pos
+          rows between unbounded preceding and current row) as grp from isl)
+select doc_id, min(pos), max(e), max(e)-min(pos)+1 from isl2 group by doc_id, grp
+""").fetchall()
+        )
+        assert got == want
+
+
+class TestSnmPairs:
+    def test_adjacent_near_dups_found(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = _docs(
+            spark,
+            [
+                (1, base),
+                (2, base.replace("lazy", "hazy")),
+                (3, "zzz totally unrelated text that sorts far away from it"),
+            ],
+        )
+        out = snm_pairs(docs, window=2, max_edit_pct=20).collect()
+        # "hazy" < "lazy" in sort order, so doc 2 is the earlier record
+        assert [(r.id_a, r.id_b) for r in out] == [(2, 1)]
+        assert out[0].edit_dist == 1
+
+    def test_window_limits_comparisons(self, spark):
+        # identical texts more than `window` apart in sort order are missed —
+        # that is SNM's documented trade-off, pin it
+        docs = _docs(
+            spark,
+            [
+                (1, "mmm shared text body"),
+                (2, "mmm a filler one"),
+                (3, "mmm b filler two"),
+                (4, "mmm shared text body"),
+            ],
+        )
+        # sort order: doc2, doc3, doc1, doc4 -> 1 and 4 are adjacent
+        got = {(r.id_a, r.id_b) for r in snm_pairs(docs, window=1, max_edit_pct=20).collect()}
+        assert got == {(1, 4)}
+
+    def test_pair_order_follows_sort_order(self, spark):
+        docs = _docs(spark, [(9, "aaa one two three"), (3, "aab one two three")])
+        out = snm_pairs(docs, window=4, max_edit_pct=20).collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(9, 3)]
+
+    def test_bucket_boundary_pairs_survive(self, spark):
+        # prefix_len=2 puts 'aa*' and 'ab*' in different raw buckets; the
+        # carry mechanism must still emit the cross-boundary pair
+        rows = [(i, f"aa common body text number {i}") for i in range(6)]
+        rows += [(10, "aa zz boundary doc here")]  # last of the aa bucket
+        rows += [(11, "ab aa boundary doc here")]  # first of the ab bucket
+        rows += [(i + 20, f"ab common body text number {i}") for i in range(6)]
+        docs = _docs(spark, rows)
+        got = {(r.id_a, r.id_b) for r in snm_pairs(docs, window=3, max_edit_pct=20).collect()}
+        assert (10, 11) in got
+
+    def test_tiny_buckets_merge(self, spark):
+        # every doc a distinct prefix -> every raw bucket has 1 row <= window;
+        # the census fold must merge them rather than lose pairs
+        docs = _docs(
+            spark,
+            [
+                (1, "qa same same same same"),
+                (2, "qb same same same same"),
+                (3, "qc same same same same"),
+            ],
+        )
+        got = {(r.id_a, r.id_b) for r in snm_pairs(docs, window=2, max_edit_pct=20).collect()}
+        assert got == {(1, 2), (2, 3), (1, 3)}
+
+    def test_empty_input(self, spark):
+        docs = _docs(spark, [])
+        assert snm_pairs(docs).count() == 0
+
+    def test_duckdb_parity_sf(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = sorted(
+            (r.id_a, r.id_b, r.edit_dist, r.max_len)
+            for r in snm_pairs(docs, window=4, max_edit_pct=20).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"create view documents as select * from '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute("""
+with s as (select doc_id, text, row_number() over (order by text, doc_id) as rn from documents),
+p as (select a.doc_id as id_a, b.doc_id as id_b,
+             levenshtein(a.text, b.text)::INT as edit_dist,
+             greatest(length(a.text), length(b.text))::INT as max_len
+      from s a join s b on b.rn > a.rn and b.rn <= a.rn + 4)
+select * from p where edit_dist*100 <= 20*max_len
+""").fetchall()
+        )
+        assert got == want
