@@ -1860,6 +1860,65 @@ where o.o_orderkey is null or c.o_orderkey is null
 """
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level dedup (operators/spans.py): maximal cross-doc
+    duplicated word spans via k-gram anchoring — the passage-granularity
+    family member next to exact/Jaccard/MinHash/SimHash whole-doc dedup.
+    Oracle rebuilds spans from the raw gram text (no hashing) with SQL
+    windows: two independent routes to the same span set."""
+    from data_diff_spark.operators.spans import duplicate_spans
+
+    load_views(spark, sf_dir)
+    return duplicate_spans(spark.table("documents"), k=8)
+
+
+def _duplicate_spans_oracle(k: int = 8) -> str:
+    t = TX.duckdb_tokens("text")
+    return f"""
+with w as (select doc_id, {t} as ws from documents),
+g as (select doc_id, i as pos, array_to_string(ws[i:i+{k - 1}],' ') as gram
+      from w, unnest(range(1, len(ws)-{k}+2)) as t(i) where len(ws) >= {k}),
+d as (select gram from g group by gram having count(distinct doc_id) > 1),
+m as (select doc_id, pos, pos+{k}-1 as e from g where gram in (select gram from d)),
+isl as (select doc_id, pos, e,
+         case when pos > coalesce(max(e) over (partition by doc_id order by pos
+              rows between unbounded preceding and 1 preceding), -1) + 1
+              then 1 else 0 end as brk
+        from m),
+isl2 as (select *, sum(brk) over (partition by doc_id order by pos
+          rows between unbounded preceding and current row) as grp from isl)
+select doc_id, min(pos) as span_start, max(e) as span_end,
+       max(e)-min(pos)+1 as span_words
+from isl2 group by doc_id, grp
+"""
+
+
+def q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood near-dup pairs (dedup.py:snm_pairs) — the
+    blocking strategy that needs a TOTAL order, executed as monotone
+    prefix buckets + carry rows instead of a single-task global sort.
+    The oracle IS the naive global row_number formulation, so the gate
+    proves the bucketed plan reproduces the total-order semantics
+    exactly; Levenshtein similarity kept integer (dist, max_len) so the
+    hash compare is float-free."""
+    from data_diff_spark.operators.dedup import snm_pairs
+
+    load_views(spark, sf_dir)
+    return snm_pairs(spark.table("documents"), window=4, max_edit_pct=20)
+
+
+ORACLE_SNM_PAIRS = """
+with s as (select doc_id, text, row_number() over (order by text, doc_id) as rn
+           from documents),
+p as (select a.doc_id as id_a, b.doc_id as id_b,
+             levenshtein(a.text, b.text)::INT as edit_dist,
+             greatest(length(a.text), length(b.text))::INT as max_len
+      from s a join s b on b.rn > a.rn and b.rn <= a.rn + 4)
+select id_a, id_b, edit_dist, max_len from p
+where edit_dist*100 <= 20*max_len
+"""
+
+
 # --- merged gate entries (see _must_equal) ----------------------------------
 
 
@@ -1903,12 +1962,49 @@ def q_range_join_all(spark, sf_dir):
 
 
 def q_hashdiff_orders_all(spark, sf_dir):
-    """Local bucketed hashdiff AND the true cross-engine path (DuckDB side
-    computing its own digests) must produce the identical diff."""
+    """Local bucketed hashdiff, the true cross-engine path (DuckDB side
+    computing its own digests), AND the versioned-table v1-vs-v2 diff
+    (commit-log reconstruction, sources/versioned.py) must all produce
+    the identical diff relation."""
     return _must_equal(
         q_hashdiff_orders(spark, sf_dir),
         q_hashdiff_cross_engine(spark, sf_dir),
+        q_version_diff_orders(spark, sf_dir),
     )
+
+
+def q_asof_purchase_all(spark, sf_dir):
+    """Keyed as-of join (per-user window) and keyless global as-of (time-
+    bucketed carry design) in one scoped relation; the oracles are DuckDB's
+    native ASOF LEFT JOIN in both shapes."""
+    keyed = q_asof_purchase(spark, sf_dir).withColumn("scope", F.lit("keyed"))
+    glob = (
+        q_asof_global(spark, sf_dir)
+        .withColumn("value", F.lit(None).cast(dict(keyed.dtypes)["value"]))
+        .withColumn("scope", F.lit("global"))
+    )
+    return keyed.unionAll(glob.select(*keyed.columns))
+
+
+ORACLE_ASOF_ALL = """
+select 'keyed' as scope, e.event_id, e.user_id, e.ts, e.event_type, e.value,
+       p.ts as purchase_ts, p.value as purchase_value
+from events e
+asof left join (
+  select user_id, ts, max(value) as value
+  from events where event_type = 'purchase'
+  group by user_id, ts
+) p on e.user_id = p.user_id and e.ts >= p.ts
+union all
+select 'global' as scope, e.event_id, e.user_id, e.ts, e.event_type,
+       cast(null as double) as value,
+       p.ts as purchase_ts, p.purchase_value
+from events e
+asof left join (
+  select ts, max(value) as purchase_value
+  from events where event_type = 'purchase' group by ts
+) p on e.ts >= p.ts
+"""
 
 
 def q_joindiff_orders_scoped(spark, sf_dir):
@@ -2119,8 +2215,8 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "get_values_orders": (q_get_values_orders, _get_values_oracle()),
     "events_dedup_stream": (q_events_dedup_stream, ORACLE_EVENTS_DEDUP_STREAM),
     "joindiff_mixed_precision": (q_joindiff_mixed_precision, ORACLE_MIXED_PRECISION),
-    "asof_join_purchase": (q_asof_purchase, ORACLE_ASOF_PURCHASE),
-    "asof_global_purchase": (q_asof_global, ORACLE_ASOF_GLOBAL),
+    "asof_purchase_all": (q_asof_purchase_all, ORACLE_ASOF_ALL),
+    "duplicate_spans_docs": (q_duplicate_spans, _duplicate_spans_oracle()),
     "range_join_attribution": (q_range_join_all, ORACLE_RANGE_JOIN),
     "decontaminate_docs": (q_decontaminate, DD.duckdb_decontaminate("doc_id % 97 = 0", n=5)),
     "pack_sequences_docs": (q_pack_sequences, _pack_sequences_oracle()),
@@ -2128,7 +2224,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "chunk_documents": (q_chunk_documents, _chunk_documents_oracle()),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "snapshot_diff_orders": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
-    "version_diff_orders": (q_version_diff_orders, _orders_diff_oracle()),
+    "snm_pairs_docs": (q_snm_pairs, ORACLE_SNM_PAIRS),
     "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
     "zorder_key_events": (q_zorder_key_events, _zorder_oracle()),
     "mix_corpora_docs": (q_mix_corpora, _mix_corpora_oracle()),
