@@ -106,26 +106,52 @@ class _BitReader:
                 return sym
         raise ValueError("jpeg: invalid huffman code")
 
-    def receive_extend(self, n: int) -> int:
-        if n == 0:
-            return 0
+    def receive(self, n: int) -> int:
+        """n raw bits, MSB first (EOB-run extension bits etc.)."""
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
+        return v
+
+    def receive_extend(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.receive(n)
         # T.81 F.2.2.1 EXTEND: values with MSB 0 are negative
         if v < (1 << (n - 1)):
             v -= (1 << n) - 1
         return v
 
 
-def encode_jpeg(arr, quant: int = 8) -> bytes:
-    """Baseline JPEG encoder: (h,w) uint8 -> greyscale SOF0, (h,w,3)
-    uint8 RGB -> YCbCr 4:4:4 SOF0. Flat quantization (`quant` per
-    coefficient — 1 ≈ near-lossless, 8 ≈ visually clean, 16+ small);
-    per-image canonical Huffman tables computed from the data (valid
-    JPEG — fixed Annex-K tables are an interchange convention, not a
-    requirement). Dimensions are padded to multiples of 8 internally by
-    edge replication; the decoder crops back via SOF0's true h/w.
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(int(v))).bit_length()
+
+
+def _canonical(symbols):
+    """All symbols at one code length L (canonical, all-ones unused):
+    (counts[16], symbol list, {sym: (L, code)})."""
+    symbols = sorted(set(symbols))
+    length = max(2, (len(symbols) + 1).bit_length())
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    return counts, symbols, {s: (length, i) for i, s in enumerate(symbols)}
+
+
+def encode_jpeg(arr, quant: int = 8, progressive: bool = False) -> bytes:
+    """JPEG encoder: (h,w) uint8 -> greyscale, (h,w,3) uint8 RGB ->
+    YCbCr 4:4:4. Baseline SOF0 by default; ``progressive=True`` emits a
+    spec-complete SOF2 stream — DC first (Al=1) + DC refinement, then
+    per-component AC first (spectral band 1-63 at Al=1) + AC refinement
+    scans — exercising every progressive scan kind the decoder handles.
+    The same quantized coefficients are transmitted either way, so
+    decode(baseline) == decode(progressive) exactly (pinned in tests).
+
+    Flat quantization (`quant` per coefficient — 1 ≈ near-lossless, 8 ≈
+    visually clean, 16+ small); per-scan canonical Huffman tables
+    computed from the data (valid JPEG — fixed Annex-K tables are an
+    interchange convention, not a requirement). Dimensions are padded to
+    multiples of 8 internally by edge replication; the decoder crops
+    back via the frame header's true h/w.
 
     The write side of the media pipeline (thumbnails, sample dumps);
     decode_jpeg is pinned independently, so the roundtrip test bounds
@@ -162,9 +188,11 @@ def encode_jpeg(arr, quant: int = 8) -> bytes:
                 blocks.append(zz)
         all_blocks.append(blocks)
 
+    if progressive:
+        return _encode_progressive(all_blocks, q, h, w, grey=grey)
+
     # pass 2: symbol alphabets -> one-length canonical tables
-    def category(v: int) -> int:
-        return 0 if v == 0 else int(abs(int(v))).bit_length()
+    category = _category
 
     dc_syms, ac_syms = set(), {0x00, 0xF0}
     for blocks in all_blocks:
@@ -266,8 +294,233 @@ def encode_jpeg(arr, quant: int = 8) -> bytes:
     return bytes(out)
 
 
+class _ScanWriter:
+    """Per-scan bit emitter with 0xFF stuffing; pads with 1s at close
+    (each scan's entropy data is byte-aligned before the next marker)."""
+
+    def __init__(self, out: bytearray):
+        self.out = out
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = self.n = 0
+
+    def close(self) -> None:
+        while self.n:
+            self.bits(1, 1)
+
+
+def _walk_dc_first(all_blocks, al, emit_sym, emit_bits):
+    """Interleaved DC scan at successive-approximation level al: diffs of
+    the arithmetic-shifted DC sequence (T.81 G.1.2.1)."""
+    ncomp = len(all_blocks)
+    preds = [0] * ncomp
+    for m in range(len(all_blocks[0])):
+        for ci in range(ncomp):
+            dc = int(all_blocks[ci][m][0]) >> al  # arithmetic shift
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            n = _category(diff)
+            emit_sym(n)
+            if n:
+                emit_bits(diff if diff > 0 else diff + (1 << n) - 1, n)
+
+
+def _emit_eob_run(count, emit_sym, emit_bits, per_block_bits=None):
+    """EOBn symbols covering `count` blocks (r = floor(log2(n)), n-2^r
+    extension bits, r <= 14); refinement scans append each covered
+    block's leftover correction bits right after its covering symbol."""
+    i = 0
+    while count:
+        r = min(14, count.bit_length() - 1)
+        cnt = min(count, (1 << r) + ((1 << r) - 1))
+        emit_sym(r << 4)
+        if r:
+            emit_bits(cnt - (1 << r), r)
+        if per_block_bits is not None:
+            for bl in per_block_bits[i:i + cnt]:
+                for b in bl:
+                    emit_bits(b, 1)
+        i += cnt
+        count -= cnt
+
+
+def _walk_ac_first(blocks, al, emit_sym, emit_bits):
+    """Single-component AC scan, band 1-63, magnitudes truncated by 2^al
+    (T.81 G.1.2.2), with cross-block EOB-run accumulation."""
+    eobrun = 0
+    for zz in blocks:
+        mags = [abs(int(v)) >> al for v in zz]
+        last = max((k for k in range(1, 64) if mags[k]), default=0)
+        if last == 0:  # whole band empty: extend the pending EOB run
+            eobrun += 1
+            continue
+        if eobrun:
+            _emit_eob_run(eobrun, emit_sym, emit_bits)
+            eobrun = 0
+        run = 0
+        for k in range(1, last + 1):
+            t = mags[k]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                emit_sym(0xF0)  # ZRL
+                run -= 16
+            n = t.bit_length()
+            emit_sym((run << 4) | n)
+            v = t if int(zz[k]) > 0 else -t
+            emit_bits(v if v > 0 else v + (1 << n) - 1, n)
+            run = 0
+        if last < 63:
+            eobrun += 1  # this block's EOB starts/extends a run
+    _emit_eob_run(eobrun, emit_sym, emit_bits)
+
+
+def _walk_ac_refine(blocks, al, emit_sym, emit_bits):
+    """Single-component AC refinement at level al (T.81 G.1.2.3): newly
+    significant coeffs (magnitude becomes 1 at this precision) as
+    (run<<4)|1 + sign, one buffered correction bit per history-nonzero
+    coeff, flushed after the next emitted symbol; run lengths count only
+    zero-history positions."""
+    pending: List[List[int]] = []  # leftover bits per EOB-run-covered block
+
+    def flush_eob():
+        if pending:
+            _emit_eob_run(len(pending), emit_sym, emit_bits, pending)
+            pending.clear()
+
+    for zz in blocks:
+        absv = [abs(int(v)) >> al for v in zz]
+        hist = [a >> 1 for a in absv]
+        newly = [k for k in range(1, 64) if absv[k] == 1]
+        if not newly:
+            # covered entirely by an EOB run; its history coeffs' bits
+            # ride with the run
+            pending.append([absv[k] & 1 for k in range(1, 64) if hist[k]])
+            continue
+        flush_eob()
+        last_new = newly[-1]
+        run = 0
+        br: List[int] = []
+
+        def flush():
+            for b in br:
+                emit_bits(b, 1)
+            br.clear()
+
+        for k in range(1, last_new + 1):
+            if hist[k] != 0:
+                br.append(absv[k] & 1)
+                continue
+            if absv[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                emit_sym(0xF0)
+                flush()
+                run -= 16
+            emit_sym((run << 4) | 1)
+            emit_bits(1 if int(zz[k]) > 0 else 0, 1)  # sign: 1 = +2^al
+            flush()
+            run = 0
+        if last_new < 63:
+            # trailing band joins the EOB run; its leftover bits are the
+            # history coeffs after the last newly-significant one
+            pending.append([absv[k] & 1 for k in range(last_new + 1, 64) if hist[k]])
+    flush_eob()
+
+
+def _encode_progressive(all_blocks, q, h, w, grey):
+    """SOF2 stream from already-quantized zigzag blocks. Scan script:
+    DC first (Al=1) -> DC refine -> per component AC first (1-63, Al=1)
+    -> per component AC refine — all four progressive scan kinds. Each
+    entropy scan gets its own data-derived canonical Huffman table,
+    emitted as a DHT immediately before its SOS (tables between scans
+    are redefinable per the spec)."""
+    ncomp = 1 if grey else 3
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC2, sof)
+
+    def sos(comps_spec, ss, se, ah, al):
+        body = bytes([len(comps_spec)])
+        for cid, tdta in comps_spec:
+            body += bytes([cid, tdta])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    def huffman_scan(walk, tc, comps_spec, ss, se, ah, al):
+        syms: set = set()
+        walk(syms.add, lambda v, n: None)  # pass 1: alphabet
+        counts, symlist, codes = _canonical(syms or {0x00})
+        seg(0xC4, bytes([(tc << 4) | 0]) + bytes(counts) + bytes(symlist))
+        sos(comps_spec, ss, se, ah, al)
+        wtr = _ScanWriter(out)
+
+        def emit_sym(s: int) -> None:
+            length, code = codes[s]
+            wtr.bits(code, length)
+
+        walk(emit_sym, wtr.bits)
+        wtr.close()
+
+    all_spec = [(cid, 0x00) for cid in range(1, ncomp + 1)]
+    # 1. DC first, interleaved, Al=1
+    huffman_scan(
+        lambda es, eb: _walk_dc_first(all_blocks, 1, es, eb),
+        0, all_spec, 0, 0, 0, 1,
+    )
+    # 2. DC refinement: one raw bit per block, no Huffman coding
+    sos(all_spec, 0, 0, 1, 0)
+    wtr = _ScanWriter(out)
+    for m in range(len(all_blocks[0])):
+        for ci in range(ncomp):
+            wtr.bits(int(all_blocks[ci][m][0]) & 1, 1)
+    wtr.close()
+    # 3./4. per component: AC first at Al=1, then AC refinement
+    for ci in range(ncomp):
+        huffman_scan(
+            lambda es, eb, b=all_blocks[ci]: _walk_ac_first(b, 1, es, eb),
+            1, [(ci + 1, 0x00)], 1, 63, 0, 1,
+        )
+    for ci in range(ncomp):
+        huffman_scan(
+            lambda es, eb, b=all_blocks[ci]: _walk_ac_refine(b, 0, es, eb),
+            1, [(ci + 1, 0x00)], 1, 63, 1, 0,
+        )
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def decode_jpeg(data: bytes):
-    """(h, w, 3) uint8 RGB (or (h, w) for single-component greyscale)."""
+    """(h, w, 3) uint8 RGB (or (h, w) for single-component greyscale).
+
+    Handles baseline sequential (SOF0) AND progressive (SOF2) streams
+    through one coefficient-accumulation core: every scan — baseline's
+    single full scan, or progressive's DC first/refine and AC spectral-
+    selection / successive-approximation scans — deposits bits into
+    per-component coefficient grids; reconstruction (dequantize +
+    vectorized IDCT + upsample + BT.601) runs once at EOI. Identical
+    quantized coefficients therefore reconstruct identically whichever
+    way they were transmitted — the property the roundtrip tests pin."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -276,12 +529,15 @@ def decode_jpeg(data: bytes):
     qt: Dict[int, "np.ndarray"] = {}
     hufftabs: Dict[Tuple[int, int], _Huff] = {}  # (class 0=DC/1=AC, id)
     frame = None
+    store = None  # per-component (blocksY, blocksX, 64) coefficient grids
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
@@ -303,108 +559,247 @@ def decode_jpeg(data: bytes):
                 symbols = list(body[p + 17:p + 17 + n])
                 hufftabs[(tc, th)] = _Huff(counts, symbols)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
-                raise NotImplementedError("jpeg: only 8-bit baseline; use PIL")
+                raise NotImplementedError("jpeg: only 8-bit precision; use PIL")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcux"] = -(-w // (8 * hmax))
+            frame["mcuy"] = -(-h // (8 * vmax))
+            store = [
+                np.zeros((frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                         dtype=np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "jpeg: only baseline sequential (SOF0) decodes natively; "
-                "progressive/arithmetic need PIL"
+                "jpeg: only baseline (SOF0) and progressive (SOF2) huffman "
+                "decode natively; arithmetic/lossless/hierarchical need PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append({"cs": cs, "dc": tdta >> 4, "ac": tdta & 0xF})
-            pos += seglen
-            return _decode_scan(
-                data, pos, frame, scan, qt, hufftabs, restart_interval
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            params = {"ss": ss, "se": se, "ah": ahal >> 4, "al": ahal & 0xF}
+            frame["saw_scan"] = True
+            pos = _decode_scan_coeffs(
+                data, pos + seglen, frame, scan, params, hufftabs,
+                restart_interval, store,
             )
+            continue
         pos += seglen
-    raise ValueError("jpeg: no scan found")
+    if frame is None or store is None:
+        raise ValueError("jpeg: no frame found")
+    if not frame.get("saw_scan"):
+        raise ValueError("jpeg: no scan found")
+    return _reconstruct(frame, store, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, hufftabs, restart_interval):
-    import numpy as np
+def _block_baseline(r, coeffs, pred, ci, dct_t, act):
+    """Full sequential block: DC diff + AC runlength (T.81 F.2.2)."""
+    t = r.decode_symbol(dct_t)
+    pred[ci] += r.receive_extend(t)
+    coeffs[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = r.decode_symbol(act)
+        rr, ss = rs >> 4, rs & 0xF
+        if ss == 0:
+            if rr == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("jpeg: coefficient overrun")
+        coeffs[k] = r.receive_extend(ss)
+        k += 1
 
-    if frame is None:
-        raise ValueError("jpeg: SOS before SOF0")
+
+def _block_ac_first(r, coeffs, ss, se, al, act, state):
+    """Progressive AC first pass (T.81 G.1.2.2): spectral band [ss, se],
+    magnitudes truncated by 2^al, EOB-run symbols span blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = r.decode_symbol(act)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << rr) - 1
+            if rr:
+                state["eobrun"] += r.receive(rr)
+            break
+        k += rr
+        if k > se:
+            raise ValueError("jpeg: coefficient overrun")
+        coeffs[k] = r.receive_extend(s) << al
+        k += 1
+
+
+def _refine_nonzero(r, coeffs, k, p1, m1):
+    """Append this pass's correction bit to an already-nonzero coeff."""
+    if r.read_bit():
+        if (int(coeffs[k]) & p1) == 0:
+            coeffs[k] += p1 if coeffs[k] >= 0 else m1
+
+
+def _block_ac_refine(r, coeffs, ss, se, al, act, state):
+    """Progressive AC refinement (T.81 G.1.2.3): one correction bit per
+    previously-nonzero coeff, new coeffs appear as ±2^al; run lengths
+    count only zero-history positions."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = r.decode_symbol(act)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr < 15:
+                    state["eobrun"] = 1 << rr
+                    if rr:
+                        state["eobrun"] += r.receive(rr)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coeffs
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: refinement magnitude must be 1")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if coeffs[k] != 0:
+                    _refine_nonzero(r, coeffs, k, p1, m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val != 0 and k <= se:
+                coeffs[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # EOB run covers this block: refine the leftovers
+            if coeffs[k] != 0:
+                _refine_nonzero(r, coeffs, k, p1, m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_scan_coeffs(data, pos, frame, scan, params, hufftabs, ri, store):
+    """Decode one scan's entropy data into the coefficient grids; returns
+    the stream position of the marker that follows the scan. Handles the
+    baseline full scan and all four progressive scan kinds, interleaved
+    and single-component, with restart intervals."""
     comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    A = _idct_matrix()
-
-    planes = []
-    for c in comps:
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64))
-    by_id = {s["cs"]: s for s in scan}
+    ss, se = params["ss"], params["se"]
+    ah, al = params["ah"], params["al"]
+    progressive = frame["progressive"]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
 
     r = _BitReader(data, pos)
     pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.align_to_marker()
-                m = data[r.pos + 1]
-                if not (0xD0 <= m <= 0xD7):
-                    raise ValueError("jpeg: expected restart marker")
-                r.pos += 2
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                s = by_id[c["id"]]
-                dct_t = hufftabs[(0, s["dc"])]
-                act = hufftabs[(1, s["ac"])]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coeffs = np.zeros(64, dtype=np.int32)
-                        t = r.decode_symbol(dct_t)
-                        pred[ci] += r.receive_extend(t)
-                        coeffs[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = r.decode_symbol(act)
-                            rr, ss = rs >> 4, rs & 0xF
-                            if ss == 0:
-                                if rr == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("jpeg: coefficient overrun")
-                            coeffs[k] = r.receive_extend(ss)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = coeffs * q
-                        px = A.T @ block.reshape(8, 8) @ A + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
-            mcu_count += 1
+    state = {"eobrun": 0}
 
-    # upsample to full resolution, crop, color-convert
+    def do_block(ci, by, bx, s):
+        coeffs = store[ci][by, bx]
+        if not progressive:
+            _block_baseline(
+                r, coeffs, pred, ci, hufftabs[(0, s["dc"])], hufftabs[(1, s["ac"])]
+            )
+        elif ss == 0 and ah == 0:  # DC first
+            t = r.decode_symbol(hufftabs[(0, s["dc"])])
+            pred[ci] += r.receive_extend(t)
+            coeffs[0] = pred[ci] << al
+        elif ss == 0:  # DC refinement: one raw bit
+            if r.read_bit():
+                coeffs[0] |= 1 << al
+        elif ah == 0:
+            _block_ac_first(r, coeffs, ss, se, al, hufftabs[(1, s["ac"])], state)
+        else:
+            _block_ac_refine(r, coeffs, ss, se, al, hufftabs[(1, s["ac"])], state)
+
+    def restart(count):
+        if ri and count and count % ri == 0:
+            r.align_to_marker()
+            m = data[r.pos + 1]
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError("jpeg: expected restart marker")
+            r.pos += 2
+            pred[:] = [0] * len(comps)
+            state["eobrun"] = 0
+
+    if len(scan) == 1:
+        # single-component scan walks the COMPONENT's own block grid
+        # (ceil of its scaled dimensions), not the MCU-padded grid
+        s = scan[0]
+        ci = by_id[s["cs"]]
+        c = comps[ci]
+        cw = -(-frame["w"] * c["h"] // frame["hmax"])
+        ch = -(-frame["h"] * c["v"] // frame["vmax"])
+        wb, hb = -(-cw // 8), -(-ch // 8)
+        n = 0
+        for by in range(hb):
+            for bx in range(wb):
+                restart(n)
+                do_block(ci, by, bx, s)
+                n += 1
+    else:
+        by_cid = {s["cs"]: s for s in scan}
+        n = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                restart(n)
+                for ci, c in enumerate(comps):
+                    s = by_cid[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            do_block(ci, my * c["v"] + by, mx * c["h"] + bx, s)
+                n += 1
+    r.align_to_marker()
+    return r.pos
+
+
+def _reconstruct(frame, store, qt):
+    """Dequantize + un-zigzag + vectorized IDCT over every block at once,
+    then plane assembly, chroma upsample, crop and BT.601 conversion."""
+    import numpy as np
+
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    A = _idct_matrix()
     full = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
-        ry, rx = vmax // c["v"], hmax // c["h"]
+        blocks = store[ci]  # (nby, nbx, 64) zigzag-ordered
+        nby, nbx = blocks.shape[:2]
+        deq = blocks.astype(np.float64) * qt[c["tq"]]  # both zigzag order
+        nat = np.zeros_like(deq)
+        nat[:, :, ZIGZAG] = deq
+        X = nat.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", A.T, X, A) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        ry, rx = frame["vmax"] // c["v"], frame["hmax"] // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0

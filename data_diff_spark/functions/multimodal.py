@@ -12,10 +12,11 @@ encode, nearest-neighbor resize, frame sampling over concatenated-frame
 filters, via stdlib zlib; decoder pinned against spec-forward-filtered
 bytes), and baseline JPEG (functions/jpeg.py: SOF0, grey + YCbCr
 4:4:4/4:2:2/4:2:0, restart markers; decoder pinned against a test-side
-forward DCT/quantize/Huffman encoder) — no external imaging library
+forward DCT/quantize/Huffman encoder; SOF2 progressive decodes through
+the same coefficient-accumulation core) — no external imaging library
 needed, and the uncompressed stages are deterministic so the DuckDB
 oracle can replay pixel statistics arithmetically. Only webp,
-progressive JPEG and 16-bit/interlaced PNG genuinely need PIL/cv2,
+arithmetic-coded JPEG and 16-bit/interlaced PNG genuinely need PIL/cv2,
 which this container does not ship; for those `decode_image` raises
 NotImplementedError with the swap-in point documented. `fake_decode`
 remains as the format-agnostic byte-stats path.
@@ -237,8 +238,8 @@ def encode_png(arr) -> bytes:
 def decode_image(data: bytes):
     """Decode an image to a numpy array: (h, w) uint8 for P5 grayscale /
     8-bit grey PNG / greyscale JPEG, (h, w, 3|4) uint8 for P6 RGB /
-    RGB(A) PNG / color baseline JPEG. Remaining formats (webp,
-    progressive JPEG, 16-bit/interlaced PNG) require PIL/cv2 — not in
+    RGB(A) PNG / color baseline or progressive JPEG. Remaining formats
+    (webp, arithmetic-coded JPEG, 16-bit/interlaced PNG) require PIL/cv2 — not in
     this container; swap in
     `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that
     ships them."""

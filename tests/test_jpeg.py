@@ -276,11 +276,16 @@ def test_color_420_roundtrip():
     assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
 
 
-def test_progressive_and_bad_input_gates():
+def test_bad_input_gates():
     with pytest.raises(ValueError):
         decode_jpeg(b"nope")
-    # SOF2 progressive refused with the PIL pointer
+    # SOF2 progressive now decodes natively; a frame with no scan errors
     data = (b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 11)
+            + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(ValueError, match="no scan"):
+        decode_jpeg(data)
+    # arithmetic coding (SOF9) still gated with the PIL pointer
+    data = (b"\xff\xd8" + bytes([0xFF, 0xC9]) + struct.pack(">H", 11)
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_jpeg(data)
@@ -309,3 +314,68 @@ def test_encode_decode_roundtrip_color_psnr():
     mse = float(np.mean((got.astype(float) - img.astype(float)) ** 2))
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
     assert psnr > 30, psnr
+
+
+class TestProgressive:
+    """SOF2 progressive: the encoder transmits the SAME quantized
+    coefficients as baseline through DC first/refine + per-component AC
+    first/refine scans (with cross-block EOB runs), so decode(progressive)
+    must equal decode(baseline) EXACTLY — any scan-path bug breaks the
+    identity."""
+
+    def _roundtrip(self, img, quant):
+        from data_diff_spark.functions.jpeg import encode_jpeg
+
+        base = decode_jpeg(encode_jpeg(img, quant=quant))
+        prog = decode_jpeg(encode_jpeg(img, quant=quant, progressive=True))
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base)
+        return base
+
+    def test_grey_identity(self):
+        rng = np.random.default_rng(11)
+        self._roundtrip(rng.integers(0, 256, size=(13, 21), dtype=np.uint8), 1)
+
+    def test_color_identity(self):
+        rng = np.random.default_rng(12)
+        self._roundtrip(rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8), 4)
+
+    def test_heavy_quant_long_eob_runs(self):
+        # quant 32 on noise zeroes most AC bands -> multi-block EOBn
+        # symbols with extension bits exercise the cross-block run paths
+        rng = np.random.default_rng(13)
+        self._roundtrip(rng.integers(0, 256, size=(64, 64), dtype=np.uint8), 32)
+
+    def test_smooth_gradient_dc_dominated(self):
+        yy, xx = np.mgrid[0:48, 0:48]
+        self._roundtrip(((yy + xx) // 2).astype(np.uint8), 16)
+
+    def test_single_block(self):
+        rng = np.random.default_rng(14)
+        self._roundtrip(rng.integers(0, 256, size=(8, 8), dtype=np.uint8), 8)
+
+    def test_progressive_marker_and_scan_count(self):
+        from data_diff_spark.functions.jpeg import encode_jpeg
+
+        rng = np.random.default_rng(15)
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        data = encode_jpeg(img, quant=8, progressive=True)
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data.split(b"\xff\xda")[0]
+        # DC first + DC refine + 3x AC first + 3x AC refine = 8 scans
+        n_sos = 0
+        i = 2
+        while i < len(data) - 1:
+            if data[i] == 0xFF and data[i + 1] == 0xDA:
+                n_sos += 1
+            i += 1
+        assert n_sos == 8
+
+    def test_decode_image_routes_progressive(self):
+        from data_diff_spark.functions.jpeg import encode_jpeg
+        from data_diff_spark.functions.multimodal import decode_image
+
+        rng = np.random.default_rng(16)
+        img = rng.integers(0, 256, size=(12, 12), dtype=np.uint8)
+        data = encode_jpeg(img, quant=2, progressive=True)
+        got = decode_image(data)
+        assert np.array_equal(got, decode_jpeg(data))
