@@ -94,11 +94,19 @@ def _write_log(root: str, log: _Log) -> None:
     os.replace(tmp, _log_path(root))
 
 
+def _refresh(df: DataFrame, root: str) -> None:
+    # Spark's shared file-status cache survives a rmtree+recreate of the
+    # same path (stale part-file listings -> FILE_NOT_EXIST on read);
+    # invalidate after every write so a rebuilt table re-lists cleanly
+    df.sparkSession.catalog.refreshByPath(root)
+
+
 def create_table(df: DataFrame, root: str, keys: Sequence[str]) -> int:
     """Version 1: a full snapshot + a fresh commit log."""
     os.makedirs(root, exist_ok=True)
     d = "v00001"
     df.write.mode("overwrite").parquet(os.path.join(root, d))
+    _refresh(df, root)
     _write_log(root, _Log(keys=list(keys), commits=[
         _Commit(version=1, kind="full", dir=d, timestamp=time.time())
     ]))
@@ -157,6 +165,7 @@ def commit(
         v = log.latest + 1
         d = f"v{v:05d}"
         df_new.write.mode("overwrite").parquet(os.path.join(root, d))
+        _refresh(df_new, root)
         log.commits.append(_Commit(version=v, kind="full", dir=d, timestamp=time.time()))
         _write_log(root, log)
         return v
@@ -183,11 +192,13 @@ def commit(
         )
         if full:
             df_new.write.mode("overwrite").parquet(os.path.join(root, d))
+            _refresh(df_new, root)
             log.commits.append(
                 _Commit(version=v, kind="full", dir=d, timestamp=time.time())
             )
         else:
             diff_df.write.mode("overwrite").parquet(os.path.join(root, d))
+            _refresh(diff_df, root)
             log.commits.append(
                 _Commit(version=v, kind="diff", dir=d, timestamp=time.time(), rows=n_diff)
             )
@@ -205,6 +216,7 @@ def checkpoint(spark: SparkSession, root: str) -> int:
     v = log.latest + 1
     d = f"v{v:05d}"
     read_version(spark, root).write.mode("overwrite").parquet(os.path.join(root, d))
+    spark.catalog.refreshByPath(root)
     log.commits.append(_Commit(version=v, kind="full", dir=d, timestamp=time.time()))
     _write_log(root, log)
     return v
