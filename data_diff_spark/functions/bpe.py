@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -171,3 +173,106 @@ def reference_bpe(texts: List[str], n_merges: int) -> List[Tuple[str, str]]:
             out[tuple(new)] = out.get(tuple(new), 0) + n
         vocab = out
     return merges
+
+
+# --- applying a trained vocabulary (corpus tokenization) --------------------
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: List[Tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Add `bpe` (array<string>) — each word segmented with the trained
+    merge table by the standard greedy rule (subword-nmt / GPT-2 style):
+    repeatedly merge the LOWEST-RANK adjacent pair present, rescan. (This
+    is not the same as replaying merges in rank order once: a later merge
+    can create an earlier merge's pair, and the greedy rule — the one
+    every production tokenizer implements — catches it.)
+
+    The data-dependent merge loop is genuine control flow Catalyst cannot
+    express, so this is one of the repo's few Pandas UDFs: Arrow-batched,
+    merge table broadcast once per executor via closure capture, LRU memo
+    per batch (natural-language corpora repeat words heavily even within
+    the distinct-word frame's batches... the memo is for the callers that
+    skip deduplication)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        memo = {}
+
+        def one(w):
+            if w is None:
+                return None
+            got = memo.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [END]
+            while len(syms) > 1:
+                best_rank, best_pair = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (syms[i], syms[i + 1])
+                if best_pair is None:
+                    break
+                a, b = best_pair
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[w] = syms
+            return syms
+
+        return col.map(one)
+
+    return words.withColumn("bpe", enc(F.col(word_col)))
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a trained merge table: adds `bpe_tokens`
+    (array<string>, word order preserved) and `bpe_len`.
+
+    Scale shape: the expensive per-word merge loop runs ONCE PER DISTINCT
+    WORD (the corpus vocabulary, millions at 100 TB, not trillions of
+    running words), then a shuffle join on the word string carries the
+    segmentations back to (doc, position) and a sort-regroup reassembles
+    documents. Zipf makes the dedup the whole ballgame: the UDF touches
+    |vocab| rows however large the corpus."""
+    words_pos = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("pos", "word"),
+    )
+    vocab = bpe_encode_words(words_pos.select("word").distinct(), merges)
+    joined = words_pos.join(vocab, "word")
+    per_doc = (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "bpe"))),
+                    lambda x: x["bpe"],
+                )
+            ).alias("bpe_tokens")
+        )
+        .withColumn("bpe_len", F.size("bpe_tokens"))
+    )
+    return df.join(per_doc, id_col, "left").withColumn(
+        "bpe_tokens",
+        F.coalesce(F.col("bpe_tokens"), F.array().cast("array<string>")),
+    ).withColumn("bpe_len", F.coalesce(F.col("bpe_len"), F.lit(0)))
