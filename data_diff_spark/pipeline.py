@@ -88,10 +88,12 @@ def clean_corpus(
             out, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
         )
         # dedup_resolve covers EVERY doc (assign_clusters gives singletons
-        # their own cluster), so the survivor set is the whole keep-list
-        survivors = DD.dedup_resolve(out, pairs, id_col=id_col).select(
-            F.col("kept_id").alias(id_col)
-        )
+        # their own cluster), so the survivor set is the whole keep-list;
+        # score passed explicitly so text_col != "text" works
+        survivors = DD.dedup_resolve(
+            out, pairs, id_col=id_col,
+            score=TX.quality_score(F.col(text_col)),
+        ).select(F.col("kept_id").alias(id_col))
         out = note("near_dup_resolve", out.join(survivors, id_col, "left_semi"))
 
     # 4. substring-level dedup: remove duplicated passages in place
