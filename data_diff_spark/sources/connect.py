@@ -326,3 +326,52 @@ def write_bucketed(
         .sortBy(*bucket_cols)
         .saveAsTable(table_name)
     )
+
+
+def write_bloom(
+    df,
+    path: str,
+    bloom_cols,
+    ndv: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with split-block bloom filters on the named columns
+    (parquet-mr's `parquet.bloom.filter.enabled#col` options).
+
+    The scale story: min/max stats (zorder_write's lever) prune RANGES;
+    bloom filters prune POINT lookups on high-cardinality, unsorted
+    columns — `key IN (...)` diff probes, id anti-joins, needle queries
+    over 100 TB skip whole row groups that provably lack the key. ~1.2
+    bytes/NDV of file overhead at the default 1% FPP; `ndv` should be
+    the expected distinct count PER ROW GROUP (overshooting wastes
+    bytes, undershooting inflates the false-positive rate, and a false
+    positive only costs reading a row group that min/max failed to
+    prune anyway).
+
+    Spark's vectorized parquet reader consults the filters automatically
+    for =/IN predicates; nothing changes on the read path."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    w.parquet(path)
+
+
+def bloom_filter_offsets(spark, file_path: str):
+    """{column: bloom_filter_offset} for one parquet file via the JVM
+    footer reader (-1 = no bloom filter); pyarrow does not expose this,
+    the test harness and layout audits need it."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(jpath, conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        out = {}
+        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        for i in range(cols.size()):
+            cd = cols.get(i)
+            out[cd.getPath().toDotString()] = cd.getBloomFilterOffset()
+        return out
+    finally:
+        reader.close()

@@ -127,7 +127,13 @@ def read_version(
     if not chain or chain[-1].version != version:
         known = [c.version for c in log.commits]
         raise ValueError(f"version {version} not in {root} (has {known})")
-    base_i = max(i for i, c in enumerate(chain) if c.kind == "full")
+    fulls = [i for i, c in enumerate(chain) if c.kind == "full"]
+    if not fulls:
+        raise ValueError(
+            f"version {version} in {root} was vacuumed (no reachable full "
+            f"snapshot at or below it)"
+        )
+    base_i = max(fulls)
     df = spark.read.parquet(os.path.join(root, chain[base_i].dir))
     for c in chain[base_i + 1:]:
         diff = spark.read.parquet(os.path.join(root, c.dir))
@@ -244,3 +250,35 @@ def version_diff(
 def history(root: str) -> List[dict]:
     """The commit log (Delta DESCRIBE HISTORY analogue)."""
     return [vars(c) for c in _read_log(root).commits]
+
+
+def vacuum(root: str, spark: Optional[SparkSession] = None) -> List[int]:
+    """Delete the data of versions that no longer serve reconstruction:
+    every commit strictly BEFORE the latest full snapshot (versions at or
+    after it reconstruct from that snapshot alone). The Delta VACUUM
+    trade, made explicit: storage is reclaimed, time travel to vacuumed
+    versions now raises. Commits stay in the log (history/audit survive)
+    with kind '<kind>-vacuumed'; returns the vacuumed version numbers.
+
+    Single-writer, like commit(): data dirs are removed only AFTER the
+    rewritten log lands (a crash between the two leaves dangling dirs,
+    never a log pointing at deleted data)."""
+    import shutil
+
+    log = _read_log(root)
+    last_full = max(
+        (i for i, c in enumerate(log.commits) if c.kind == "full"), default=None
+    )
+    if last_full is None:
+        raise ValueError(f"{root}: no full snapshot to vacuum against")
+    victims = [c for c in log.commits[:last_full] if not c.kind.endswith("-vacuumed")]
+    if not victims:
+        return []
+    for c in victims:
+        c.kind = f"{c.kind}-vacuumed"
+    _write_log(root, log)
+    for c in victims:
+        shutil.rmtree(os.path.join(root, c.dir), ignore_errors=True)
+    if spark is not None:
+        spark.catalog.refreshByPath(root)
+    return [c.version for c in victims]

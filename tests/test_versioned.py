@@ -134,3 +134,62 @@ def test_schema_evolution_forces_full_snapshot(spark, tmp_path):
     V.commit(evolved.withColumn("v", F.col("v") + (F.col("k") == 1).cast("int")), root)
     assert V.history(root)[-1]["kind"] == "diff"
     assert V.read_version(spark, root).filter("v = 2").count() == 1
+
+
+def test_vacuum_reclaims_and_gates(spark, tmp_path):
+    """vacuum removes pre-checkpoint data dirs: later versions still
+    reconstruct, vacuumed versions raise a clear error, audit survives."""
+    import os
+
+    from data_diff_spark.sources import versioned as V
+
+    root = str(tmp_path / "vac")
+    df1 = spark.createDataFrame([(i, i * 10) for i in range(50)], "id long, v long")
+    df2 = spark.createDataFrame(
+        [(i, i * 10 + (1 if i % 7 == 0 else 0)) for i in range(50)], "id long, v long"
+    )
+    V.create_table(df1, root, ["id"])
+    V.commit(df2, root)                      # v2 diff
+    V.checkpoint(spark, root)                # v3 full
+    # small change so the auto-checkpoint ratio keeps v4 a DIFF commit
+    df4 = df2.withColumn(
+        "v", F.when(F.col("id") % 11 == 0, df2.v + 1).otherwise(df2.v)
+    )
+    V.commit(df4, root)                      # v4 diff on top of the checkpoint
+
+    gone = V.vacuum(root, spark)
+    assert gone == [1, 2]
+    assert not os.path.exists(os.path.join(root, "v00001"))
+    assert not os.path.exists(os.path.join(root, "v00002"))
+    # post-checkpoint versions reconstruct exactly
+    assert sorted(tuple(r) for r in V.read_version(spark, root, 3).collect()) == \
+           sorted(tuple(r) for r in df2.collect())
+    assert sorted(tuple(r) for r in V.read_version(spark, root, 4).collect()) == \
+           sorted(tuple(r) for r in df4.collect())
+    # vacuumed versions raise the documented error
+    with pytest.raises(ValueError, match="vacuumed"):
+        V.read_version(spark, root, 2)
+    # audit/history retains every commit, tagged
+    kinds = [h["kind"] for h in V.history(root)]
+    assert kinds == ["full-vacuumed", "diff-vacuumed", "full", "diff"]
+    # idempotent
+    assert V.vacuum(root, spark) == []
+
+
+def test_bloom_filter_layout(spark, tmp_path, orders):
+    from data_diff_spark.sources.connect import bloom_filter_offsets, write_bloom
+
+    import glob
+
+    p = str(tmp_path / "bloomed")
+    write_bloom(orders.select("o_orderkey", "o_orderstatus"), p,
+                bloom_cols=["o_orderkey"], ndv=20000)
+    f = sorted(glob.glob(p + "/*.parquet"))[0]
+    offs = bloom_filter_offsets(spark, f)
+    assert offs["o_orderkey"] >= 0          # bloom present
+    assert offs["o_orderstatus"] == -1      # not requested
+    # read path unchanged: point lookup returns the right rows
+    keys = [r.o_orderkey for r in orders.limit(5).collect()]
+    got = spark.read.parquet(p).filter(F.col("o_orderkey").isin(keys)).count()
+    want = orders.filter(F.col("o_orderkey").isin(keys)).count()
+    assert got == want
