@@ -222,3 +222,63 @@ select * from p where edit_dist*100 <= 20*max_len
 """).fetchall()
         )
         assert got == want
+
+
+class TestInvariants:
+    def test_snm_pair_set_invariant_under_bucketing(self, spark, sf_dir):
+        """The prefix bucketing is an EXECUTION strategy: the pair set is
+        defined by the total order + window alone, so any prefix_len
+        (including 0 -> one bucket, the naive plan) must yield byte-
+        identical results."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from data_diff_spark.operators.dedup import snm_pairs
+
+        ref = None
+        for plen in (1, 2, 4):
+            got = sorted(
+                tuple(r) for r in snm_pairs(docs, window=3, prefix_len=plen).collect()
+            )
+            if ref is None:
+                ref = got
+            assert got == ref, f"prefix_len={plen} changed the pair set"
+        assert len(ref) > 0
+
+    def test_span_coverage_nests_with_k(self, spark, sf_dir):
+        """Every k=12-duplicated window contains only duplicated k=8
+        windows, so the word positions covered at k=12 must be a subset
+        of those covered at k=8 (larger k = stricter = less coverage)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from data_diff_spark.operators.spans import duplicate_spans
+
+        def covered(k):
+            out = {}
+            for r in duplicate_spans(docs, k=k).collect():
+                out.setdefault(r.doc_id, set()).update(
+                    range(r.span_start, r.span_end + 1)
+                )
+            return out
+
+        c8, c12 = covered(8), covered(12)
+        assert sum(len(v) for v in c12.values()) > 0
+        for doc, pos in c12.items():
+            assert pos <= c8.get(doc, set()), doc
+
+    def test_spans_disjoint_and_in_bounds(self, spark, sf_dir):
+        from data_diff_spark.functions.text import token_count
+        from data_diff_spark.operators.spans import duplicate_spans
+        from pyspark.sql import functions as FF
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lens = {r.doc_id: r.n for r in docs.select(
+            "doc_id", token_count(FF.col("text")).alias("n")).collect()}
+        per_doc = {}
+        for r in duplicate_spans(docs, k=8).collect():
+            assert 1 <= r.span_start <= r.span_end <= lens[r.doc_id]
+            assert r.span_words == r.span_end - r.span_start + 1 >= 8
+            per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        for doc, spans in per_doc.items():
+            spans.sort()
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                # maximal spans: disjoint AND non-adjacent (adjacency
+                # would have merged)
+                assert s2 > e1 + 1, (doc, spans)
