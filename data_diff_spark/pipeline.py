@@ -53,16 +53,27 @@ def clean_corpus(
     """Run the cleaning chain; returns (cleaned_df, stage_counts).
 
     stage_counts maps stage name -> surviving row count (input first,
-    stages in execution order); empty when audit=False."""
+    stages in execution order); empty when audit=False. With audit on,
+    the returned frame is left persisted (it was just materialized for
+    its count — re-caching it would be waste); unpersist() when done."""
     from data_diff_spark.operators import dedup as DD
     from data_diff_spark.operators import spans as SP
     from data_diff_spark.functions import text as TX
 
     counts: Dict[str, int] = {}
+    cached: List[DataFrame] = []
 
     def note(stage: str, frame: DataFrame) -> DataFrame:
         if audit:
+            # persist before counting: without it each stage's count()
+            # re-executes the entire upstream chain (quadratic in stages).
+            # The previous stage's cache is dropped once this one is
+            # materialized — at most two stage outputs live at once.
+            frame = frame.persist()
             counts[stage] = frame.count()
+            if cached:
+                cached.pop().unpersist()
+            cached.append(frame)
         return frame
 
     out = note("input", df)
