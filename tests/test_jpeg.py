@@ -379,3 +379,214 @@ class TestProgressive:
         data = encode_jpeg(img, quant=2, progressive=True)
         got = decode_image(data)
         assert np.array_equal(got, decode_jpeg(data))
+
+
+def test_progressive_420_component_grids():
+    """Progressive + 4:2:0: the non-interleaved AC scans walk each
+    COMPONENT's own block grid (ceil of its scaled dims), not the
+    MCU-padded allocation. 24x24 makes that distinction bite: Y is 3x3
+    blocks inside a 4x4 MCU-grid allocation (the padding blocks receive
+    DC from the interleaved scan but never appear in the AC scans) while
+    chroma is exactly 2x2. Stream hand-built forward from the spec,
+    sharing no code with the decoder."""
+    rng = np.random.default_rng(21)
+    H = W = 24
+    rgb = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8).astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+    cb2 = cb.reshape(12, 2, 12, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(12, 2, 12, 2).mean(axis=(1, 3))
+
+    def pad_to(p, s):
+        return np.pad(p, ((0, s - p.shape[0]), (0, s - p.shape[1])), mode="edge")
+
+    yp, cbp, crp = pad_to(y, 32), pad_to(cb2, 16), pad_to(cr2, 16)
+
+    def qblocks(plane):
+        """dict[(by,bx)] -> zigzag-quantized int block (full padded grid)."""
+        out = {}
+        nb = plane.shape[0] // 8
+        for by in range(nb):
+            for bx in range(nb):
+                b = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coef = _dct2(b)
+                out[(by, bx)] = np.array(
+                    [int(round(coef.flat[ZIGZAG[k]] / QFLAT[k])) for k in range(64)]
+                )
+        return out
+
+    YB, CBB, CRB = qblocks(yp), qblocks(cbp), qblocks(crp)
+    # component AC grids: Y 3x3 (ceil 24/8), chroma 2x2 (ceil 12/8)
+    y_grid = [(by, bx) for by in range(3) for bx in range(3)]
+    c_grid = [(by, bx) for by in range(2) for bx in range(2)]
+    # interleaved MCU walk (2x2 MCUs): per MCU 4 Y blocks then Cb, Cr
+    mcu_blocks = []  # (comp_idx, blocks_dict, (by,bx))
+    for my in range(2):
+        for mx in range(2):
+            for v in range(2):
+                for hh in range(2):
+                    mcu_blocks.append((0, YB, (my * 2 + v, mx * 2 + hh)))
+            mcu_blocks.append((1, CBB, (my, mx)))
+            mcu_blocks.append((2, CRB, (my, mx)))
+
+    # ---- scan emission (test-side forward implementations) ----
+    def dc_first_syms_and_emit(w=None, codes=None):
+        syms = set()
+        preds = [0, 0, 0]
+        for ci, bl, key in mcu_blocks:
+            dc = int(bl[key][0]) >> 1
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            n = _category(diff)
+            syms.add(n)
+            if w is not None:
+                L, code = codes[n]
+                w.bits(code, L)
+                if n:
+                    w.bits(diff if diff > 0 else diff + (1 << n) - 1, n)
+        return syms
+
+    def ac_first_walk(blocks, grid, w=None, codes=None):
+        syms = set()
+        for key in grid:
+            zz = blocks[key]
+            mags = [abs(int(v)) >> 1 for v in zz]
+            last = max((k for k in range(1, 64) if mags[k]), default=0)
+            run = 0
+            for k in range(1, last + 1):
+                if mags[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    syms.add(0xF0)
+                    if w is not None:
+                        L, c = codes[0xF0]; w.bits(c, L)
+                    run -= 16
+                n = mags[k].bit_length()
+                syms.add((run << 4) | n)
+                if w is not None:
+                    L, c = codes[(run << 4) | n]; w.bits(c, L)
+                    val = mags[k] if int(zz[k]) > 0 else -mags[k]
+                    w.bits(val if val > 0 else val + (1 << n) - 1, n)
+                run = 0
+            if last < 63:
+                syms.add(0x00)
+                if w is not None:
+                    L, c = codes[0x00]; w.bits(c, L)
+        return syms
+
+    def ac_refine_walk(blocks, grid, w=None, codes=None):
+        syms = set()
+        for key in grid:
+            zz = blocks[key]
+            absv = [abs(int(v)) for v in zz]
+            hist = [a >> 1 for a in absv]
+            run, br = 0, []
+            newly = [k for k in range(1, 64) if absv[k] == 1]
+            last_new = newly[-1] if newly else 0
+            for k in range(1, last_new + 1):
+                if hist[k] != 0:
+                    br.append(absv[k] & 1)
+                    continue
+                if absv[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    syms.add(0xF0)
+                    if w is not None:
+                        L, c = codes[0xF0]; w.bits(c, L)
+                        for b in br:
+                            w.bits(b, 1)
+                    br = []
+                    run -= 16
+                syms.add((run << 4) | 1)
+                if w is not None:
+                    L, c = codes[(run << 4) | 1]; w.bits(c, L)
+                    w.bits(1 if int(zz[k]) > 0 else 0, 1)
+                    for b in br:
+                        w.bits(b, 1)
+                br = []
+                run = 0
+            tail = [absv[k] & 1 for k in range(last_new + 1, 64) if hist[k]]
+            if last_new < 63:
+                syms.add(0x00)
+                if w is not None:
+                    L, c = codes[0x00]; w.bits(c, L)
+                    for b in br + tail:
+                        w.bits(b, 1)
+        return syms
+
+    # ---- stream assembly ----
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload)
+
+    seg(0xDB, bytes([0]) + bytes(int(x) for x in QFLAT))
+    sof = bytes([8]) + struct.pack(">HH", H, W) + bytes([3])
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    seg(0xC2, sof)
+
+    def sos(comps, ss, se, ahal):
+        body = bytes([len(comps)])
+        for cid in comps:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, ahal])
+        seg(0xDA, body)
+
+    def emit_scan(walk, tc, comps, ss, se, ahal):
+        syms = walk()
+        counts, symlist, codes = _canonical(syms or {0})
+        seg(0xC4, bytes([tc << 4]) + bytes(counts) + bytes(symlist))
+        sos(comps, ss, se, ahal)
+        w = _Writer()
+        walk(w, codes)
+        w.pad()
+        out.extend(w.out)
+
+    emit_scan(lambda w=None, c=None: dc_first_syms_and_emit(w, c),
+              0, [1, 2, 3], 0, 0, 0x01)
+    # DC refine: raw bits, no table
+    sos([1, 2, 3], 0, 0, 0x10)
+    w = _Writer()
+    for ci, bl, key in mcu_blocks:
+        w.bits(int(bl[key][0]) & 1, 1)
+    w.pad()
+    out.extend(w.out)
+    for comp, bl, grid in ((1, YB, y_grid), (2, CBB, c_grid), (3, CRB, c_grid)):
+        emit_scan(lambda w=None, c=None, b=bl, g=grid: ac_first_walk(b, g, w, c),
+                  1, [comp], 1, 63, 0x01)
+    for comp, bl, grid in ((1, YB, y_grid), (2, CBB, c_grid), (3, CRB, c_grid)):
+        emit_scan(lambda w=None, c=None, b=bl, g=grid: ac_refine_walk(b, g, w, c),
+                  1, [comp], 1, 63, 0x10)
+    out.extend(b"\xff\xd9")
+
+    got = decode_jpeg(bytes(out))
+
+    # ---- expected: padding blocks carry DC only; AC only inside grids ----
+    def recon_plane(blocks, size, grid):
+        plane = np.zeros((size, size))
+        nb = size // 8
+        for by in range(nb):
+            for bx in range(nb):
+                zz = blocks[(by, bx)].copy()
+                if (by, bx) not in grid:
+                    zz[1:] = 0  # never visited by the AC scans
+                deq = np.zeros(64)
+                deq[ZIGZAG] = zz * QFLAT
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _idct2_ref(deq.reshape(8, 8)) + 128.0
+        return plane
+
+    yv = recon_plane(YB, 32, set(y_grid))[:H, :W]
+    cbv = np.repeat(np.repeat(recon_plane(CBB, 16, set(c_grid))[:12, :12], 2, 0), 2, 1) - 128.0
+    crv = np.repeat(np.repeat(recon_plane(CRB, 16, set(c_grid))[:12, :12], 2, 0), 2, 1) - 128.0
+    want = np.stack([
+        yv + 1.402 * crv,
+        yv - 0.344136 * cbv - 0.714136 * crv,
+        yv + 1.772 * cbv,
+    ], axis=-1)
+    want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+    assert got.shape == (H, W, 3)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
