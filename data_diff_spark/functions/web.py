@@ -120,3 +120,23 @@ def dedup_by_url(df, url_col: str = "url"):
         .select("__curl", "__r.*")
         .withColumnRenamed("__curl", "canonical_url")
     )
+
+
+def html_to_text(col) -> Column:
+    """Visible text from an HTML document — the extraction step between
+    WARC ingestion (sources/warc.py) and every text operator in this
+    repo (C4 runs exactly this shape of pipeline). Pure regexp Columns
+    inside codegen: script/style/comment blocks go first (their contents
+    are not text), then tags, then the common entities, then whitespace
+    normalization. A DOM parser it is not — boilerplate removal beyond
+    this (nav/footer heuristics) belongs to a trafilatura-class library;
+    this is the deterministic, dependency-free 95% case."""
+    c = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
