@@ -719,9 +719,13 @@ def snm_pairs(
     the O(n * window) neighbor pairs, never a cross product.
     """
     spark = df.sparkSession
+    # a null sort key has no position in the total order (and would fall
+    # out of the bucket join silently) — exclude it explicitly
     keyed = df.select(
         F.col(id_col).alias("id"), F.col(sort_col).alias("_k")
-    ).withColumn("_pfx", F.substring("_k", 1, prefix_len))
+    ).filter(F.col("_k").isNotNull()).withColumn(
+        "_pfx", F.substring("_k", 1, prefix_len)
+    )
 
     census = keyed.groupBy("_pfx").count().orderBy("_pfx").collect()
     if not census:
