@@ -1,0 +1,135 @@
+"""Training-export shards: Arrow IPC and WebDataset tars from DataFrames.
+
+The last step of a training-data pipeline is not a table — it is a
+directory of SHARDS a dataloader streams: Arrow IPC files (zero-copy
+mmap for tabular/token data) or WebDataset tars (the de-facto format
+for multimodal samples: one tar member per field, grouped by key —
+public: Aizman et al., "High Performance I/O For Large Scale Deep
+Learning"). Spark writes neither natively; both are a per-partition
+file-writing pass.
+
+Design: the writer is `mapInPandas` whose OUTPUT is the manifest — one
+row per shard file (path, rows, bytes). The action that materializes
+the manifest performs the writes; shard names are deterministic
+(shard-{partition:05d}-{seq:04d}) so a retried task overwrites its own
+files instead of duplicating them (write-to-temp + atomic rename per
+file closes the torn-file window). Shard sizing is rows-per-shard
+within each partition — repartition upstream to set the shard count's
+order of magnitude; a partition's final shard may run short.
+
+No shuffle, no driver involvement, no external deps (pyarrow ships with
+Spark; tarfile is stdlib).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional
+
+from pyspark.sql import DataFrame
+
+MANIFEST_SCHEMA = "path string, rows long, bytes long"
+
+
+def _shard_writer(out_dir: str, rows_per_shard: int, write_fn):
+    """mapInPandas body factory: chunk the partition's batches into
+    shards, write each via write_fn(pdf, tmp_path), emit manifest rows."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        buf: list = []
+        buffered = 0
+
+        def flush():
+            nonlocal seq, buf, buffered
+            if not buffered:
+                return None
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            name = f"shard-{pid:05d}-{seq:04d}"
+            final = os.path.join(out_dir, name + write_fn.ext)
+            tmp = final + ".tmp"
+            write_fn(pdf, tmp)
+            os.replace(tmp, final)
+            seq += 1
+            buf, buffered = [], 0
+            return {"path": final, "rows": len(pdf), "bytes": os.path.getsize(final)}
+
+        manifest = []
+        for pdf in batches:
+            start = 0
+            while start < len(pdf):
+                take = min(rows_per_shard - buffered, len(pdf) - start)
+                buf.append(pdf.iloc[start:start + take])
+                buffered += take
+                start += take
+                if buffered >= rows_per_shard:
+                    manifest.append(flush())
+        last = flush()
+        if last:
+            manifest.append(last)
+        yield pd.DataFrame(manifest or [], columns=["path", "rows", "bytes"])
+
+    return gen
+
+
+def write_arrow_shards(
+    df: DataFrame, path: str, rows_per_shard: int = 100_000
+) -> DataFrame:
+    """Arrow IPC (Feather v2) shard files; returns the manifest
+    DataFrame — materializing it performs the export."""
+    os.makedirs(path, exist_ok=True)
+
+    def write(pdf, p):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        with ipc.new_file(p, table.schema) as w:
+            w.write_table(table)
+
+    write.ext = ".arrow"
+    return df.mapInPandas(_shard_writer(path, rows_per_shard, write), MANIFEST_SCHEMA)
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    extensions: Dict[str, str],
+    rows_per_shard: int = 10_000,
+) -> DataFrame:
+    """WebDataset tar shards: each row becomes members
+    '{key}.{ext}' per mapped column — binary columns raw, strings utf-8,
+    everything else JSON. Returns the manifest DataFrame; materializing
+    it performs the export. Keys must be unique per row (they are the
+    sample identity inside the tar)."""
+    os.makedirs(path, exist_ok=True)
+    exts = dict(extensions)
+
+    def write(pdf, p):
+        import io
+        import json
+        import tarfile
+
+        with tarfile.open(p, "w") as tar:
+            for _, row in pdf.iterrows():
+                key = str(row[key_col])
+                for col, ext in exts.items():
+                    v = row[col]
+                    if v is None:
+                        continue
+                    if isinstance(v, (bytes, bytearray)):
+                        data = bytes(v)
+                    elif isinstance(v, str):
+                        data = v.encode("utf-8")
+                    else:
+                        data = json.dumps(v, default=str).encode("utf-8")
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(data)
+                    tar.addfile(info, io.BytesIO(data))
+
+    write.ext = ".tar"
+    return df.mapInPandas(_shard_writer(path, rows_per_shard, write), MANIFEST_SCHEMA)
