@@ -337,10 +337,90 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _g711_ulaw_table():
+    """256-entry mu-law -> int16 LUT (ITU-T G.711 decode algorithm)."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        val = (((mant << 3) + 0x84) << exp) - 0x84
+        out[b] = -val if sign else val
+    return out
+
+
+def _g711_alaw_table():
+    """256-entry A-law -> int16 LUT (ITU-T G.711, even-bit inversion)."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if exp == 0:
+            val = (mant << 4) + 8
+        else:
+            val = ((mant << 4) + 0x108) << (exp - 1)
+        # A-law's sign convention is inverted vs mu-law: bit 7 SET = positive
+        out[b] = val if sign else -val
+    return out
+
+
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _decode_ima_adpcm(raw: bytes, block_align: int):
+    """Mono IMA/DVI ADPCM (WAV format tag 0x11): per block a 4-byte
+    header (int16 predictor = first sample, step index, reserved), then
+    nibbles low-first, two samples per byte."""
+    import struct
+
+    import numpy as np
+
+    out = []
+    for b0 in range(0, len(raw) - 3, block_align):
+        block = raw[b0:b0 + block_align]
+        pred, index, _ = struct.unpack("<hBB", block[:4])
+        index = min(max(index, 0), 88)
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):  # low nibble first
+                step = _IMA_STEPS[index]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = min(max(index + _IMA_INDEX[nib], 0), 88)
+                out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
 def decode_audio(data: bytes):
-    """Decode a mono PCM16 RIFF/WAVE blob -> (sample_rate, int16 numpy
-    array). Walks the chunk list (tolerates extra chunks like LIST/fact).
-    Compressed audio (mp3/ogg/aac) needs librosa/ffmpeg — not in this
+    """Decode a mono RIFF/WAVE blob -> (sample_rate, int16 numpy array).
+    Native formats: PCM16 (tag 1), G.711 A-law (6) and mu-law (7) via
+    exact ITU LUTs, IMA/DVI ADPCM (0x11) via the block nibble walk —
+    i.e. the uncompressed-and-telephony WAV family, no codec library.
+    Walks the chunk list (tolerates extra chunks like LIST/fact).
+    Perceptual codecs (mp3/ogg/aac) need librosa/ffmpeg — not in this
     container; same swap-in contract as decode_image."""
     import struct
 
@@ -348,20 +428,32 @@ def decode_audio(data: bytes):
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE decodes natively; compressed audio needs librosa/ffmpeg")
-    pos, rate, raw = 12, None, None
+    pos, fmt, raw = 12, None, None
     while pos + 8 <= len(data):
         cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if audio_fmt != 1 or channels != 1 or bits != 16:
-                raise NotImplementedError("only mono PCM16 WAV is supported")
+            fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or raw is None:
+    if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return rate, np.frombuffer(raw, dtype=np.int16)
+    audio_fmt, channels, rate, _br, block_align, bits = fmt
+    if channels != 1:
+        raise NotImplementedError("only mono WAV is supported")
+    if audio_fmt == 1 and bits == 16:
+        return rate, np.frombuffer(raw, dtype=np.int16)
+    if audio_fmt == 6 and bits == 8:  # A-law
+        return rate, _g711_alaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    if audio_fmt == 7 and bits == 8:  # mu-law
+        return rate, _g711_ulaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    if audio_fmt == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        return rate, _decode_ima_adpcm(raw, block_align)
+    raise NotImplementedError(
+        f"WAV format tag {audio_fmt}/{bits}-bit not supported natively "
+        "(PCM16, G.711 A-law/mu-law, IMA ADPCM are); use librosa/ffmpeg"
+    )
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(

@@ -590,3 +590,84 @@ def test_progressive_420_component_grids():
     want = np.clip(np.round(want), 0, 255).astype(np.uint8)
     assert got.shape == (H, W, 3)
     assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+class TestWavTelephonyFormats:
+    """G.711 mu-law/A-law and IMA ADPCM WAV decode, pinned byte-exact
+    against CPython's audioop (an independent public implementation).
+    Lives here with the other codec tests."""
+
+    def _wav(self, fmt_tag, bits, payload, block_align=2, rate=8000):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", fmt_tag, 1, rate, rate, block_align, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_g711_tables_match_audioop(self):
+        import warnings
+
+        import numpy as np
+
+        from data_diff_spark.functions.multimodal import (
+            _g711_alaw_table, _g711_ulaw_table)
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+        all_bytes = bytes(range(256))
+        assert np.array_equal(
+            _g711_ulaw_table(),
+            np.frombuffer(audioop.ulaw2lin(all_bytes, 2), dtype=np.int16),
+        )
+        assert np.array_equal(
+            _g711_alaw_table(),
+            np.frombuffer(audioop.alaw2lin(all_bytes, 2), dtype=np.int16),
+        )
+
+    def test_g711_wav_decode(self):
+        import numpy as np
+
+        from data_diff_spark.functions.multimodal import decode_audio
+
+        payload = bytes(range(256))
+        rate, mu = decode_audio(self._wav(7, 8, payload, 1))
+        assert rate == 8000 and len(mu) == 256 and mu.dtype == np.int16
+        rate, al = decode_audio(self._wav(6, 8, payload, 1))
+        assert len(al) == 256 and int(al[0x55]) == -8 and int(al[0xD5]) == 8
+
+    def test_ima_adpcm_matches_audioop(self):
+        import struct
+        import warnings
+
+        import numpy as np
+
+        from data_diff_spark.functions.multimodal import decode_audio
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+        rng = np.random.default_rng(10)
+        pcm = rng.integers(-8000, 8000, size=401).astype(np.int16)
+        frag, _ = audioop.lin2adpcm(pcm.tobytes(), 2, (0, 0))
+        ref = np.frombuffer(audioop.adpcm2lin(frag, 2, (0, 0))[0], dtype=np.int16)
+        # repack audioop's high-nibble-first stream into WAV low-first
+        nib = []
+        for byte in frag:
+            nib += [(byte >> 4) & 0xF, byte & 0xF]
+        wav_nibs = bytearray(
+            nib[i] | (nib[i + 1] << 4) for i in range(0, len(nib) - 1, 2)
+        )
+        block = struct.pack("<hBB", 0, 0, 0) + bytes(wav_nibs)
+        rate, got = decode_audio(self._wav(0x11, 4, bytes(block), len(block)))
+        n = min(len(got) - 1, len(ref))
+        assert np.array_equal(got[1:n + 1], ref[:n])
+
+    def test_unknown_format_still_gated(self):
+        import pytest as _pytest
+
+        from data_diff_spark.functions.multimodal import decode_audio
+
+        with _pytest.raises(NotImplementedError, match="librosa"):
+            decode_audio(self._wav(0x55, 16, b"\x00\x00"))  # MPEG tag
