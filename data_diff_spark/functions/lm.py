@@ -86,9 +86,15 @@ def train_ngram_lm(
         for k in range(1, n + 1):
             padded = F.concat(F.array(*[F.lit(BOS)] * (k - 1)), F.col("_toks")) \
                 if k > 1 else F.col("_toks")
+            # sequence(a, b) DESCENDS when a > b, so an empty/short doc
+            # (padded size < k) must short-circuit to [] — same guard as
+            # _doc_ngrams; without it slice() gets start 0 and raises
+            idx = F.when(
+                F.size(padded) >= k,
+                F.sequence(F.lit(1), F.size(padded) - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
             grams = F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(padded) - (k - 1), F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(padded, i, k)),
+                idx, lambda i: F.concat_ws(" ", F.slice(padded, i, k))
             )
             parts.append(
                 toks.select(F.explode(grams).alias("gram"))

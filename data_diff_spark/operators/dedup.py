@@ -39,6 +39,7 @@ from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 logger = logging.getLogger(__name__)
 
@@ -729,8 +730,18 @@ def snm_pairs(
 
     census = keyed.groupBy("_pfx").count().orderBy("_pfx").collect()
     if not census:
+        # the empty frame's id columns must match the non-empty path's
+        # types (whatever id_col is — long, string, ...), not a hardcoded
+        # long, or callers get an input-dependent schema
+        id_t = df.schema[id_col].dataType
         return spark.createDataFrame(
-            [], "id_a long, id_b long, edit_dist int, max_len int"
+            [],
+            T.StructType([
+                T.StructField("id_a", id_t),
+                T.StructField("id_b", id_t),
+                T.StructField("edit_dist", T.IntegerType()),
+                T.StructField("max_len", T.IntegerType()),
+            ]),
         )
     # driver fold over the (bounded) prefix list: a bucket absorbs the next
     # prefix until it holds > window rows, so carries never need to hop twice

@@ -76,10 +76,18 @@ def duplicate_spans(
     """Maximal duplicated word spans per document.
 
     Returns (id_col, span_start, span_end, span_words) with 1-based
-    inclusive word positions; a span is emitted iff every k-window it
-    contains occurs in at least 2 distinct documents. Overlapping and
-    adjacent duplicated windows are merged, so spans are maximal and
-    disjoint within a document.
+    inclusive word positions. A span is the union of COVERED positions:
+    every word inside some k-window that occurs in >= 2 distinct
+    documents, with overlapping AND abutting (pos == prev_end + 1)
+    windows merged into one reported span, so spans are maximal and
+    disjoint within a document. Note the boundary semantics: when two
+    duplicated windows merely abut, the merged span's interior k-windows
+    bridging the seam need not themselves be duplicated — the guarantee
+    is on covered word positions, not on every sub-window of the span.
+    Duplication is CROSS-document only: a passage repeated twice inside
+    a single document is never flagged (the >= 2-distinct-docs witness
+    is min(id) != max(id)); within-doc repetition detection is
+    with_repetition_stats' job (functions/text.py).
 
     The duplicated-gram set is joined back by shuffle (left_semi on the
     digest), NOT broadcast: at corpus scale the set is proportional to the

@@ -12,8 +12,10 @@ Design: the writer is `mapInPandas` whose OUTPUT is the manifest — one
 row per shard file (path, rows, bytes). The action that materializes
 the manifest performs the writes; shard names are deterministic
 (shard-{partition:05d}-{seq:04d}) so a retried task overwrites its own
-files instead of duplicating them (write-to-temp + atomic rename per
-file closes the torn-file window). Shard sizing is rows-per-shard
+files instead of duplicating them; each attempt writes to a PRIVATE
+temp file (suffixed with the task attempt id, so concurrent speculative
+attempts never share a tmp path) then atomically renames, closing the
+torn-file window. Shard sizing is rows-per-shard
 within each partition — repartition upstream to set the shard count's
 order of magnitude; a partition's final shard may run short.
 
@@ -38,7 +40,12 @@ def _shard_writer(out_dir: str, rows_per_shard: int, write_fn):
     from pyspark import TaskContext
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # the tmp name must be private to THIS attempt: with speculative
+        # execution two attempts of one partition run concurrently, and a
+        # shared tmp path could publish interleaved bytes via os.replace
+        attempt = ctx.taskAttemptId()
         seq = 0
         buf: list = []
         buffered = 0
@@ -50,7 +57,7 @@ def _shard_writer(out_dir: str, rows_per_shard: int, write_fn):
             pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
             name = f"shard-{pid:05d}-{seq:04d}"
             final = os.path.join(out_dir, name + write_fn.ext)
-            tmp = final + ".tmp"
+            tmp = f"{final}.{attempt}.tmp"
             write_fn(pdf, tmp)
             os.replace(tmp, final)
             seq += 1

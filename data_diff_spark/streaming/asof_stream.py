@@ -95,10 +95,18 @@ def _asof_update(
     # emit the current floor match for every pending left row
     out = None
     if len(pend_id):
-        idx = np.searchsorted(hist_us, pend_us, side="right") - 1
-        has = idx >= 0
-        m_us = np.where(has, hist_us[np.clip(idx, 0, None)], 0)
-        m_val = np.where(has, hist_val[np.clip(idx, 0, None)], np.nan)
+        if len(hist_us):
+            idx = np.searchsorted(hist_us, pend_us, side="right") - 1
+            has = idx >= 0
+            m_us = np.where(has, hist_us[np.clip(idx, 0, None)], 0)
+            m_val = np.where(has, hist_val[np.clip(idx, 0, None)], np.nan)
+        else:
+            # no right history yet for this key: every pending left is a
+            # (provisional) left-outer null match — indexing an empty
+            # array would raise, so short-circuit
+            has = np.zeros(len(pend_id), dtype=bool)
+            m_us = np.zeros(len(pend_id), dtype=np.int64)
+            m_val = np.full(len(pend_id), np.nan)
         out = pd.DataFrame({
             "user_id": np.full(len(pend_id), key[0], dtype=np.int64),
             "event_id": pend_id,

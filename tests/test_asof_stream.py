@@ -150,3 +150,37 @@ def test_no_match_stays_null(spark, tmp_path):
     }
     # the view at t=10 precedes every purchase: left-outer null match
     assert got == {(1, None, None), (100, 20_000_000, 9.0)}
+
+
+def test_key_with_no_right_rows_ever(spark, tmp_path):
+    """A key whose right history is EMPTY when its left rows are scored
+    (user 2 never purchases): the state update must emit all-null matches
+    instead of indexing into a size-0 history array (r4 advice, high)."""
+    d = tmp_path / "flat3"
+    d.mkdir()
+    rows = pd.DataFrame({
+        "event_id": [1, 2, 100],
+        "user_id": [2, 2, 1],
+        "ts": pd.to_datetime([10, 20, 15], unit="s", utc=True),
+        "event_type": ["view", "view", "purchase"],
+        "value": [np.nan, np.nan, 5.0],
+    })
+    spark.createDataFrame(rows).coalesce(1).write.parquet(str(d / "x"))
+    schema = spark.read.parquet(str(d / "x")).schema
+    stream = spark.readStream.schema(schema).parquet(str(d / "x"))
+    from data_diff_spark.streaming.asof_stream import asof_join_stream
+    from data_diff_spark.streaming.events_stream import run_to_completion
+
+    sink = run_to_completion(
+        asof_join_stream(stream, stream.filter(F.col("event_type") == "purchase")),
+        mode="update",
+    )
+    got = {
+        (r.event_id, r.purchase_us, r.purchase_value)
+        for r in reduce_to_final(sink).collect()
+    }
+    assert got == {
+        (1, None, None),
+        (2, None, None),
+        (100, 15_000_000, 5.0),
+    }

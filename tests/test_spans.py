@@ -200,6 +200,20 @@ class TestSnmPairs:
         docs = _docs(spark, [])
         assert snm_pairs(docs).count() == 0
 
+    def test_empty_input_schema_matches_nonempty(self, spark):
+        """The empty-census path must emit id columns typed like the
+        input's id_col (string here), not a hardcoded long (r4 advice)."""
+        empty = spark.createDataFrame([], "doc_id string, text string")
+        full = spark.createDataFrame(
+            [("a", "xx same words here"), ("b", "xx same words here")],
+            "doc_id string, text string",
+        )
+        got_empty = snm_pairs(empty)
+        got_full = snm_pairs(full)
+        assert got_empty.schema == got_full.schema
+        assert got_empty.count() == 0
+        assert {(r.id_a, r.id_b) for r in got_full.collect()} == {("a", "b")}
+
     def test_duckdb_parity_sf(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         got = sorted(
