@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_diff_spark.functions.text import tokens
+from data_diff_spark.planutil import project_barrier
 
 ALPHA = 0.4  # Brants et al.'s backoff multiplier
 BOS = "<s>"
@@ -58,9 +59,14 @@ def _doc_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
         F.size(t) >= n, F.sequence(F.lit(n), F.size(t))
     ).otherwise(F.array().cast("array<int>"))
     slices = F.transform(idx, lambda i: F.slice(t, i - (n - 1), n))
+    # barrier: keeps the slice-array projection staged so the tokenize +
+    # slice chain is not inlined into the Generate (shape pinned in
+    # tests/test_plans.py::test_lm_ngram_slices_stay_staged)
+    staged = project_barrier(
+        df.select(F.col(id_col).alias("id"), slices.alias("_sl"))
+    )
     return (
-        df.select(F.col(id_col).alias("id"), slices.alias("_sl"),
-                  F.expr("uuid()").alias("_nd"))
+        staged
         .select("id", F.posexplode("_sl").alias("pos", "_gram"))
         .select(
             "id", "pos",

@@ -188,7 +188,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
@@ -198,6 +198,10 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # caller-managed cache lifecycle (operators/hashdiff.py contract): the
+    # shingle cache must outlive the lazy result; release via this handle
+    out._ddspark_persisted = [s]
+    return out
 
 
 # --- MinHash + LSH ----------------------------------------------------------
@@ -280,12 +284,15 @@ def minhash_lsh_dedup(
     sb = s.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # caller-managed cache lifecycle (operators/hashdiff.py contract)
+    out._ddspark_persisted = [s]
+    return out
 
 
 # --- SimHash ----------------------------------------------------------------

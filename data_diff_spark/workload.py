@@ -15,6 +15,7 @@ Determinism rules used throughout so Spark and DuckDB hash-match bit-for-bit:
 from __future__ import annotations
 
 import os
+import weakref
 from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,7 @@ from data_diff_spark import diff_tables, table_segment
 from data_diff_spark.sources.connect import normalize_event_ts
 from data_diff_spark.operators import joindiff as jd
 from data_diff_spark.operators import hashdiff as hd
+from data_diff_spark.planutil import project_barrier
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -120,11 +122,47 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _must_equal(primary: DataFrame, *others: DataFrame) -> DataFrame:
+    # Each variant is persisted AND eagerly materialized (count) before the
+    # union references it: the output plan scans `p` from 3 branches and each
+    # `a` from 2, and Spark's cache offers no cross-task lock — concurrent
+    # first readers in one action each recompute an uncached partition, so a
+    # lazily-persisted 7s variant pipeline could run up to 3x inside the
+    # gate. Materializing up front runs each pipeline exactly once; the
+    # union job then only reads cache.
     p = primary.persist()
+    p.count()
+    handles = [p]
     out = p
     for o in others:
         a = o.select(*p.columns).persist()
+        a.count()
+        handles.append(a)
         out = out.unionAll(p.exceptAll(a)).unionAll(a.exceptAll(p))
+    return _track_persisted(out, handles, primary, *others)
+
+
+def _track_persisted(out: DataFrame, handles, *inputs) -> DataFrame:
+    """Attach persisted-cache handles to `out` (the `_ddspark_persisted`
+    contract from operators/hashdiff.py) and auto-release them when the
+    result object is garbage-collected. The driver's correctness harness
+    runs 50 entries in one session without calling unpersist; without the
+    finalizer each gate's caches would accumulate for the whole run."""
+    all_handles = list(getattr(out, "_ddspark_persisted", []))
+    all_handles += list(handles)
+    for src in inputs:
+        all_handles += list(getattr(src, "_ddspark_persisted", []))
+    out._ddspark_persisted = all_handles
+    out._ddspark_finalized = True
+    jdfs = [h._jdf for h in all_handles]
+
+    def _release(jdfs=jdfs):
+        try:
+            for j in jdfs:
+                j.unpersist(False)
+        except Exception:  # noqa: BLE001 - interpreter/JVM teardown races
+            pass
+
+    weakref.finalize(out, _release)
     return out
 
 
@@ -2076,10 +2114,11 @@ def q_text_analysis_docs(spark, sf_dir):
     base = spark.table("documents").select("doc_id", "text")
     base = DD.with_simhash(base, "text", out="simhash")
     base = TX.hashed_vector(base, dim=64)
-    # pushdown/collapse barrier: without it CollapseProject folds the
-    # final scalar select into the simhash/vector projections and the
-    # token-hash arrays re-evaluate per reference (measured 5.0s vs 1.3s)
-    base = base.withColumn("_nd", F.expr("uuid()")).drop("_nd")
+    # collapse barrier: without it CollapseProject folds the final scalar
+    # select into the simhash/vector projections and the token-hash arrays
+    # re-evaluate per reference (measured 5.0s vs 1.3s); shape pinned in
+    # tests/test_plans.py::test_text_analysis_stays_staged
+    base = project_barrier(base)
     qf = TX.quality_filter(
         base, min_tokens=20, min_quality=0.25, allowed_langs=["en", "und"]
     )
@@ -2153,9 +2192,10 @@ def q_dedup_resolve_all(spark, sf_dir):
     pairs = DD.minhash_lsh_dedup(docs, threshold=0.8).persist()
     clusters = DD.assign_clusters(docs, pairs).select("doc_id", "cluster_id")
     resolved = DD.dedup_resolve(docs, pairs)
-    return clusters.join(resolved, "cluster_id").select(
+    out = clusters.join(resolved, "cluster_id").select(
         "doc_id", "cluster_id", "kept_id", "n_members", "kept_score"
     )
+    return _track_persisted(out, [pairs])
 
 
 def _dedup_resolve_all_oracle() -> str:
@@ -2278,3 +2318,26 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "mix_corpora_docs": (q_mix_corpora, _mix_corpora_oracle()),
     "repetition_stats_docs": (q_repetition_stats, _repetition_stats_oracle()),
 }
+
+
+def _with_cache_release(fn: QueryFn) -> QueryFn:
+    """Wrap a registry entry so any `_ddspark_persisted` handles on its
+    result are auto-released when the result DataFrame is GC'd. The
+    driver's correctness harness and bench run 50 entries in one session
+    without ever calling DiffResult.unpersist(); without this, every
+    diff/dedup entry's operator caches would accumulate for the whole run."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = fn(spark, sf_dir)
+        if getattr(out, "_ddspark_persisted", None) and not getattr(
+            out, "_ddspark_finalized", False
+        ):
+            _track_persisted(out, [])
+        return out
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+WORKLOAD = {name: (_with_cache_release(fn), sql) for name, (fn, sql) in WORKLOAD.items()}

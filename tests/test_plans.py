@@ -204,3 +204,30 @@ def test_exists_decorrelates_to_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed range filter
+
+
+def test_text_analysis_stays_staged(spark, sf_dir):
+    """The simhash/hashed-vector token-hash arrays must stay in their own
+    projection stage: collapsed, the md5-based hash chain is re-inlined
+    into every one of the 64 vector dims + 60 simhash bits and the plan
+    string explodes with md5 copies (measured 5.0s vs 1.3s at sf0.1).
+    Guards both the planutil.project_barrier fence and CollapseProject's
+    non-cheap-multiply-referenced rule across Spark upgrades."""
+    from data_diff_spark.workload import WORKLOAD
+
+    plan = plan_of(WORKLOAD["text_analysis_docs"][0](spark, sf_dir))
+    # staged plan shows 4 md5 call sites (hash arrays + fingerprints);
+    # a collapsed plan shows >100 (one per downstream reference)
+    assert plan.count("md5(") <= 10, f"md5 expansion count {plan.count('md5(')}"
+
+
+def test_lm_ngram_slices_stay_staged(spark):
+    """_doc_ngrams' slice-array projection must not be inlined into the
+    Generate: the tokenize+slice chain would re-evaluate per n-gram
+    reference. Staged, split() appears a bounded number of times."""
+    from data_diff_spark.functions.lm import _doc_ngrams
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = plan_of(_doc_ngrams(docs, 3, "text", "doc_id"))
+    assert "Generate" in plan
+    assert plan.count("split(") <= 12, f"split expansion count {plan.count('split(')}"
