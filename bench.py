@@ -53,9 +53,17 @@ def main() -> None:
         pass
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # Optional comma-separated entry filter (scale probes re-run just the
+    # expensive entries at sf1.0; the driver's per-round run leaves it unset).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    selected = (
+        {k: v for k, v in WORKLOAD.items() if k in set(only.split(","))}
+        if only
+        else WORKLOAD
+    )
     timings = {}
     errors = {}
-    for name, (fn, _oracle) in WORKLOAD.items():
+    for name, (fn, _oracle) in selected.items():
         best = None
         # One failing query must degrade to an `errors` entry, never zero
         # the whole benchmark (round 2 lost its entire BENCH to one

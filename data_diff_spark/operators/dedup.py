@@ -35,7 +35,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import logging
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -690,6 +690,7 @@ def snm_pairs(
     window: int = 4,
     max_edit_pct: int = 20,
     prefix_len: int = 2,
+    compare_col: Optional[str] = None,
 ) -> DataFrame:
     """Sorted-neighborhood near-duplicate pairs, verified by edit distance.
 
@@ -722,6 +723,11 @@ def snm_pairs(
     never spans more than one boundary. Ties in the sort key are broken
     by id, so the order (and the pair set) is deterministic.
 
+    `compare_col` (default: the sort column) is the column the edit
+    distance verifies — multi-pass merge/purge sorts on different blocking
+    keys per pass while matching on one record representation
+    (snm_pairs_multi below).
+
     Cost: one census agg, one broadcast of the tiny prefix->bucket map,
     one shuffle on bucket id, per-bucket windows; Levenshtein runs only on
     the O(n * window) neighbor pairs, never a cross product.
@@ -730,7 +736,9 @@ def snm_pairs(
     # a null sort key has no position in the total order (and would fall
     # out of the bucket join silently) — exclude it explicitly
     keyed = df.select(
-        F.col(id_col).alias("id"), F.col(sort_col).alias("_k")
+        F.col(id_col).alias("id"),
+        F.col(sort_col).alias("_k"),
+        F.col(compare_col or sort_col).alias("_c"),
     ).filter(F.col("_k").isNotNull()).withColumn(
         "_pfx", F.substring("_k", 1, prefix_len)
     )
@@ -768,13 +776,13 @@ def snm_pairs(
         [(p, i) for i, (ps, _) in enumerate(buckets) for p in ps],
         "_pfx string, _b int",
     )
-    keyed = keyed.join(F.broadcast(bmap), "_pfx").select("_b", "id", "_k")
+    keyed = keyed.join(F.broadcast(bmap), "_pfx").select("_b", "id", "_k", "_c")
 
     wdesc = Window.partitionBy("_b").orderBy(F.desc("_k"), F.desc("id"))
     carries = (
         keyed.withColumn("_rn", F.row_number().over(wdesc))
         .filter((F.col("_rn") <= window) & (F.col("_b") < n_buckets - 1))
-        .select((F.col("_b") + 1).alias("_b"), "id", "_k")
+        .select((F.col("_b") + 1).alias("_b"), "id", "_k", "_c")
         .withColumn("_carry", F.lit(True))
     )
     allr = keyed.withColumn("_carry", F.lit(False)).unionByName(carries)
@@ -784,7 +792,7 @@ def snm_pairs(
         F.lead(
             F.struct(
                 F.col("id").alias("oid"),
-                F.col("_k").alias("ok"),
+                F.col("_c").alias("ok"),
                 F.col("_carry").alias("oc"),
             ),
             i,
@@ -793,7 +801,7 @@ def snm_pairs(
     ])
     pairs = (
         allr.withColumn("_nbrs", nbr)
-        .select("id", "_k", "_carry", F.explode("_nbrs").alias("_o"))
+        .select("id", F.col("_c").alias("_k"), "_carry", F.explode("_nbrs").alias("_o"))
         .filter(F.col("_o").isNotNull())
         .filter(~(F.col("_carry") & F.col("_o.oc")))
     )
@@ -822,3 +830,49 @@ def snm_pairs(
         .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist", "max_len")
     )
+
+
+def snm_pairs_multi(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    compare_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    max_edit_pct: int = 20,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood pairs — the standard merge/purge
+    configuration (Hernandez & Stolfo SIGMOD'95 §3: "several independent
+    runs ... each time using a different key"): one SNM pass per sort key,
+    matching every pass on the same `compare_col`, pair sets unioned.
+
+    A single sort key misses near-duplicates whose differences fall in the
+    key's prefix (two records differing in the first word sort far apart);
+    a second pass keyed on, e.g., the reversed text or a different field
+    recovers them. Output schema matches snm_pairs, with pairs
+    canonicalized to (least, greatest) id order so the same pair found by
+    two passes dedups — edit_dist and max_len are orientation-invariant,
+    so distinct() is exact, not heuristic.
+
+    Scale: N independent passes of the single-pass plan (each fully
+    parallel, no global sort), one distinct shuffle on the (small) pair
+    set. Union-of-windows coverage is pinned against the naive
+    sort-and-scan oracle in tests/test_spans.py.
+    """
+    out = None
+    for sc in sort_cols:
+        p = snm_pairs(
+            df, sort_col=sc, id_col=id_col, window=window,
+            max_edit_pct=max_edit_pct, prefix_len=prefix_len,
+            compare_col=compare_col,
+        )
+        canon = p.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "edit_dist",
+            "max_len",
+        )
+        out = canon if out is None else out.unionByName(canon)
+    if out is None:
+        raise ValueError("snm_pairs_multi needs at least one sort column")
+    return out.distinct()

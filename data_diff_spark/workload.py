@@ -407,7 +407,10 @@ def q_hashdiff_cross_engine(spark, sf_dir):
     )
     con = duckdb.connect()
     for t in ("orders",):
-        con.execute(f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):  # directory-style parquet (scale-probe replicas)
+            src = f"{src}/*.parquet"
+        con.execute(f"create view {t} as select * from read_parquet('{src}')")
     con.execute(f"create view t2 as {MODIFIED_ORDERS_SQL}")
     remote = DuckDBSide("t2", ["o_orderkey"], ORDERS_COLS, con=con)
     return hash_diff_remote(t1, remote)

@@ -181,8 +181,10 @@ def test_all_dialects_digest_sql_golden():
         "vertica": "HEX_TO_INTEGER(SUBSTRING(MD5(x), 21))",
         "duckdb": "substring(md5(x), 21, 12)",
         "postgresql": "('x' || substring(md5(x), 21))::bit(48)::bigint",
+        # the one dialect this sandbox executes LIVE (tests/test_jdbc_derby.py)
+        "derby": "HEXLONG(substr(MD5HEX(x), 21, 12), 16)",
     }
-    assert set(DIALECTS) == set(want_md5)  # 11 engines + Spark-native = 12/13
+    assert set(DIALECTS) == set(want_md5)  # 12 engines + Spark-native = 13/14
     for name, d in DIALECTS.items():
         s = d.md5_as_int_sql("x")
         assert want_md5[name] in s, (name, s)
@@ -192,7 +194,9 @@ def test_all_dialects_digest_sql_golden():
         # every dialect renders a complete one-pass digest query
         q = digest_query_sql(d, "t", ["id"], ["id", "v"],
                              {"id": "BIGINT", "v": "DOUBLE"}, 16)
-        assert q.strip().startswith("select") and "group by 1" in q, name
+        assert q.strip().startswith("select"), name
+        assert ("group by 1" in q) == d.group_by_ordinal, name
+        assert "group by" in q, name
 
 
 def test_dialect_timestamp_canonical_forms():
@@ -212,6 +216,9 @@ def test_dialect_timestamp_canonical_forms():
         "vertica": "HH24:MI:SS.US",
         "duckdb": "%H:%M:%S.%f",
         "postgresql": "HH24:MI:SS.US",
+        # Derby has no format function: substr-reassembled cast with the
+        # fraction right-padded to 6 digits (live-verified in test_jdbc_derby)
+        "derby": "|| '000000', 1, 6)",
     }
     for name, d in DIALECTS.items():
         assert marks[name] in d.norm_timestamp_sql("c"), name

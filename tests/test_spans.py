@@ -10,7 +10,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from data_diff_spark.operators.dedup import snm_pairs
+from data_diff_spark.operators.dedup import snm_pairs, snm_pairs_multi
 from data_diff_spark.operators.spans import duplicate_spans, strip_duplicate_spans
 
 
@@ -236,6 +236,111 @@ select * from p where edit_dist*100 <= 20*max_len
 """).fetchall()
         )
         assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _naive_snm(rows, key_fn, window, max_edit_pct):
+    """Sort-and-scan oracle: full in-memory sort per pass, no bucketing."""
+    order = sorted(rows, key=lambda r: (key_fn(r), r[0]))
+    pairs = set()
+    for i, (ida, _, ca) in enumerate(order):
+        for j in range(i + 1, min(i + 1 + window, len(order))):
+            idb, _, cb = order[j]
+            d, ml = _lev(ca, cb), max(len(ca), len(cb))
+            if d * 100 <= max_edit_pct * ml:
+                pairs.add((min(ida, idb), max(ida, idb), d, ml))
+    return pairs
+
+
+class TestSnmPairsMulti:
+    # corpus designed so pass 1 (sort by text) misses the pair that differs
+    # in the first word, and pass 2 (sort by reversed text) recovers it
+    ROWS = [
+        (1, "apple banana cherry date elderberry"),
+        (2, "apfle banana cherry date elderberry"),   # near-dup of 1, close prefix
+        (3, "zebra banana cherry date elderberry"),   # near-dup of 1, far prefix
+        (4, "quite different words entirely here now"),
+        (5, "unrelated filler row sorts in between k"),
+        (6, "more padding text to push sort distance"),
+    ]
+
+    def _df(self, spark):
+        return (
+            _docs(spark, self.ROWS)
+            .withColumn("rtext", F.reverse("text"))
+        )
+
+    def test_second_pass_recovers_prefix_divergent_pair(self, spark):
+        df = self._df(spark)
+        one = {
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+            for r in snm_pairs(df, window=2, max_edit_pct=20).collect()
+        }
+        multi = {
+            (r.id_a, r.id_b)
+            for r in snm_pairs_multi(
+                df, ["text", "rtext"], compare_col="text", window=2, max_edit_pct=20
+            ).collect()
+        }
+        # (1,3) differ only in the first word: sorted forward they sit 4
+        # apart (2,1,6,4,5,3 — outside window 2); sorted by reversed text
+        # (6,5,4,3,2,1) they are 2 apart and the second pass finds them
+        assert (1, 3) not in one
+        assert (1, 3) in multi
+        assert one <= multi
+
+    def test_matches_naive_union_oracle(self, spark):
+        df = self._df(spark)
+        rows = [(i, t, t) for i, t in self.ROWS]
+        want = _naive_snm(rows, lambda r: r[1], 2, 25) | _naive_snm(
+            [(i, t[::-1], t) for i, t, _ in rows], lambda r: r[1], 2, 25
+        )
+        got = {
+            tuple(r)
+            for r in snm_pairs_multi(
+                df, ["text", "rtext"], compare_col="text", window=2, max_edit_pct=25
+            ).collect()
+        }
+        assert got == want
+
+    def test_union_invariant_at_sf(self, spark, sf_dir):
+        """Multi-pass == canonicalized union of the single passes, on real
+        corpus data (the pair-set union invariant, r4 verdict ask #8)."""
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("rtext", F.reverse("text"))
+        )
+        single = set()
+        for sc in ("text", "rtext"):
+            for r in snm_pairs(
+                docs, sort_col=sc, compare_col="text", window=2
+            ).collect():
+                a, b = sorted((r.id_a, r.id_b))
+                single.add((a, b, r.edit_dist, r.max_len))
+        multi = {
+            tuple(r)
+            for r in snm_pairs_multi(docs, ["text", "rtext"], window=2).collect()
+        }
+        assert multi == single and len(multi) > 0
+
+    def test_compare_col_defaults_keep_single_pass_semantics(self, spark):
+        """compare_col=None must leave the original snm_pairs result
+        byte-identical (the workload entry depends on it)."""
+        df = self._df(spark)
+        a = sorted(tuple(r) for r in snm_pairs(df, window=2).collect())
+        b = sorted(
+            tuple(r) for r in snm_pairs(df, window=2, compare_col="text").collect()
+        )
+        assert a == b
 
 
 class TestInvariants:

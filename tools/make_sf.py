@@ -1,0 +1,122 @@
+"""Generate a larger-SF replica of the driver's testdata by key-offset
+replication of sf0.1 (VERDICT r4 ask #1: scale-validate the expensive
+workload entries at sf1.0).
+
+Scaling rules (factor N, default 10), designed so every workload entry's
+*semantic* load scales linearly — the point is to measure the PLAN, not to
+manufacture quadratic blow-ups in the data:
+
+- region/nation: fixed dims, copied as-is (TPC-H keeps them constant
+  across SFs).
+- customer/supplier/part/orders/lineitem/events: replica i adds a
+  per-table key offset (multiples of 100, so every `key % 100` pattern in
+  MODIFIED_*_SQL is preserved exactly) to the PK and to every FK,
+  keeping referential integrity within each replica.
+- documents: replica i>0 prefixes every whitespace token with `r{i}·`,
+  so replicas are fully shingle-disjoint: near-dup/minhash/SNM pair
+  structure replicates per-copy (linear), instead of every doc gaining
+  N-1 spurious near-twins (quadratic in the data, which would measure the
+  corpus, not the operator). n_chars is recomputed to stay consistent.
+- embeddings: replica i adds i*1e-3 to element 0 — distinct vectors,
+  near-identical geometry, so top-k work scales with row count.
+
+Output: .scratch/sf{N/10}/TABLE.parquet next to the repo. Never touches
+/root/testdata. Usage: python tools/make_sf.py [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+SRC = os.environ.get("SPARK_GRAFT_SRC_SF_DIR", "/root/testdata/sf0.1")
+
+# key column -> per-replica offset (all ≡ 0 mod 100; big enough that no
+# replica's key range — including MODIFIED_*_SQL's +10M insert shift on
+# orderkeys — can collide with the next replica's)
+OFFSETS = {
+    "c_custkey": 1_000_000,
+    "s_suppkey": 1_000_000,
+    "p_partkey": 1_000_000,
+    "o_orderkey": 100_000_000,
+    "o_custkey": 1_000_000,
+    "l_orderkey": 100_000_000,
+    "l_partkey": 1_000_000,
+    "l_suppkey": 1_000_000,
+    "event_id": 100_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+FIXED_DIMS = ("region", "nation")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def replicate(df, table: str, i: int):
+    if i == 0:
+        return df
+    out = df
+    for c in df.columns:
+        if c in OFFSETS:
+            out = out.withColumn(c, (F.col(c) + F.lit(i * OFFSETS[c])).cast(df.schema[c].dataType))
+    if table == "documents":
+        tag = F.lit(f"r{i}·")
+        out = out.withColumn(
+            "text",
+            F.array_join(F.transform(F.split(F.col("text"), " "), lambda t: F.concat(tag, t)), " "),
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    if table == "embeddings":
+        out = out.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, idx: F.when(idx == 0, x + F.lit(i * 1e-3)).otherwise(x).cast("float"),
+            ),
+        )
+    return out
+
+
+def main():
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dest_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", f"sf{factor / 10:g}",
+    )
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    os.makedirs(dest_root, exist_ok=True)
+    for t in TABLES:
+        dest = os.path.join(dest_root, f"{t}.parquet")
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            print(f"{t}: exists, skipped")
+            continue
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t in FIXED_DIMS:
+            big = base
+        else:
+            big = None
+            for i in range(factor):
+                rep = replicate(base, t, i)
+                big = rep if big is None else big.unionAll(rep)
+        nparts = 1 if t in FIXED_DIMS else 64
+        big.repartition(nparts).write.mode("overwrite").parquet(dest)
+        print(f"{t}: {spark.read.parquet(dest).count()} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
