@@ -238,11 +238,12 @@ def encode_png(arr) -> bytes:
 def decode_image(data: bytes):
     """Decode an image to a numpy array: (h, w) uint8 for P5 grayscale /
     8-bit grey PNG / greyscale JPEG, (h, w, 3|4) uint8 for P6 RGB /
-    RGB(A) PNG / color baseline or progressive JPEG. Remaining formats
-    (webp, arithmetic-coded JPEG, 16-bit/interlaced PNG) require PIL/cv2 — not in
-    this container; swap in
+    RGB(A) PNG / color baseline or progressive JPEG / WebP (libwebp via
+    ctypes when present — covering lossy VP8 too — else the native VP8L
+    decoder in functions/webp.py). Remaining gates: lossy VP8 without
+    libwebp, arithmetic-coded JPEG, 16-bit/interlaced PNG — swap in
     `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that
-    ships them."""
+    ships PIL/cv2."""
     import numpy as np
 
     if data[:2] in (b"P5", b"P6"):
@@ -256,9 +257,14 @@ def decode_image(data: bytes):
         from data_diff_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from data_diff_spark.functions.webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
-        "netpbm (P5/P6), 8-bit PNG, and baseline JPEG decode natively; "
-        "webp and exotic variants need PIL/cv2"
+        "netpbm (P5/P6), 8-bit PNG, baseline/progressive JPEG, and WebP "
+        "(VP8L always; VP8 when libwebp is installed) decode natively; "
+        "exotic variants need PIL/cv2"
     )
 
 

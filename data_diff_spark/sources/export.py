@@ -33,9 +33,11 @@ from pyspark.sql import DataFrame
 MANIFEST_SCHEMA = "path string, rows long, bytes long"
 
 
-def _shard_writer(out_dir: str, rows_per_shard: int, write_fn):
+def _shard_writer(out_dir: str, rows_per_shard: int, write_fn, prefix: str = "shard"):
     """mapInPandas body factory: chunk the partition's batches into
-    shards, write each via write_fn(pdf, tmp_path), emit manifest rows."""
+    shards, write each via write_fn(pdf, tmp_path), emit manifest rows.
+    `prefix` qualifies shard names (streaming sinks pass a batch-id
+    prefix so a replayed micro-batch rewrites its own files)."""
     import pandas as pd
     from pyspark import TaskContext
 
@@ -55,7 +57,7 @@ def _shard_writer(out_dir: str, rows_per_shard: int, write_fn):
             if not buffered:
                 return None
             pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            name = f"shard-{pid:05d}-{seq:04d}"
+            name = f"{prefix}-{pid:05d}-{seq:04d}"
             final = os.path.join(out_dir, name + write_fn.ext)
             tmp = f"{final}.{attempt}.tmp"
             write_fn(pdf, tmp)
@@ -83,7 +85,8 @@ def _shard_writer(out_dir: str, rows_per_shard: int, write_fn):
 
 
 def write_arrow_shards(
-    df: DataFrame, path: str, rows_per_shard: int = 100_000
+    df: DataFrame, path: str, rows_per_shard: int = 100_000,
+    shard_prefix: str = "shard",
 ) -> DataFrame:
     """Arrow IPC (Feather v2) shard files; returns the manifest
     DataFrame — materializing it performs the export."""
@@ -98,7 +101,9 @@ def write_arrow_shards(
             w.write_table(table)
 
     write.ext = ".arrow"
-    return df.mapInPandas(_shard_writer(path, rows_per_shard, write), MANIFEST_SCHEMA)
+    return df.mapInPandas(
+        _shard_writer(path, rows_per_shard, write, shard_prefix), MANIFEST_SCHEMA
+    )
 
 
 def write_webdataset(
@@ -107,6 +112,7 @@ def write_webdataset(
     key_col: str,
     extensions: Dict[str, str],
     rows_per_shard: int = 10_000,
+    shard_prefix: str = "shard",
 ) -> DataFrame:
     """WebDataset tar shards: each row becomes members
     '{key}.{ext}' per mapped column — binary columns raw, strings utf-8,
@@ -139,4 +145,6 @@ def write_webdataset(
                     tar.addfile(info, io.BytesIO(data))
 
     write.ext = ".tar"
-    return df.mapInPandas(_shard_writer(path, rows_per_shard, write), MANIFEST_SCHEMA)
+    return df.mapInPandas(
+        _shard_writer(path, rows_per_shard, write, shard_prefix), MANIFEST_SCHEMA
+    )

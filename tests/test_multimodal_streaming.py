@@ -43,9 +43,9 @@ def test_extract_features_null_and_empty(spark):
 
 
 def test_compressed_formats_are_explicit_stubs():
-    # webp genuinely needs PIL/cv2; netpbm, 8-bit PNG AND baseline JPEG
-    # decode natively now
-    with pytest.raises(NotImplementedError):
+    # webp decodes natively now (functions/webp.py); a truncated container
+    # is malformed, not unsupported
+    with pytest.raises((ValueError, NotImplementedError)):
         MM.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     # a bare PNG signature without chunks is malformed, not unsupported
     with pytest.raises(ValueError):

@@ -86,8 +86,10 @@ def test_roundtrip(shape):
 def test_decode_image_dispatch_and_gates():
     a = np.arange(12, dtype=np.uint8).reshape(4, 3)
     assert np.array_equal(decode_image(encode_png(a)), a)
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"RIFF....WEBPVP8 ")  # webp stays gated; jpeg is native now
+    # webp decodes natively now (tests/test_webp.py); a truncated
+    # container is malformed, not unsupported
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(b"RIFF....WEBPVP8 ")
     # 16-bit png refused with the PIL pointer, not mis-decoded
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     deep = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
