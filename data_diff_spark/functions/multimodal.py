@@ -556,18 +556,23 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _synth_ppm(doc_id: int) -> bytes:
-    """Deterministic P6 image for a doc: W=(id%4+1)*8, H=(id%3+1)*4, pixel
-    channel c at (x,y) = (x + y + id + c) % 256 — a pure integer function
-    the DuckDB oracle recomputes arithmetically (no codec on the oracle
-    side, which is the point: two independent routes to the same pixels)."""
+def _synth_pixels(doc_id: int):
+    """Deterministic RGB raster for a doc: W=(id%4+1)*8, H=(id%3+1)*4,
+    pixel channel c at (x,y) = (x + y + id + c) % 256 — a pure integer
+    function the DuckDB oracle recomputes arithmetically (no codec on the
+    oracle side, which is the point: two independent routes to the same
+    pixels). Shared by the P6 and lossless-WebP fixture generators."""
     import numpy as np
 
     w, h = (doc_id % 4 + 1) * 8, (doc_id % 3 + 1) * 4
     x = np.arange(w, dtype=np.int64)[None, :, None]
     y = np.arange(h, dtype=np.int64)[:, None, None]
     c = np.arange(3, dtype=np.int64)[None, None, :]
-    return encode_image(((x + y + doc_id + c) % 256).astype("uint8"))
+    return ((x + y + doc_id + c) % 256).astype("uint8")
+
+
+def _synth_ppm(doc_id: int) -> bytes:
+    return encode_image(_synth_pixels(doc_id))
 
 
 def attach_ppm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -581,6 +586,34 @@ def attach_ppm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     id_col: pdf[id_col].values,
                     "media": [_synth_ppm(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(_gen, schema)
+
+
+def attach_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, media: binary) with the SAME deterministic pixels as the P6
+    fixtures, containerized as lossless WebP (libwebp encoder via ctypes).
+    Losslessness is the contract: the DuckDB oracle's arithmetic pixel
+    replay applies unchanged, while the decode side runs the full
+    RIFF -> WebP path (functions/webp.py: libwebp when present, native
+    VP8L otherwise). Requires libwebp.so for the ENCODE side — machines
+    without it should use attach_ppm_media."""
+    from data_diff_spark.functions.webp import encode_webp_lossless
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [
+                        encode_webp_lossless(_synth_pixels(int(i)))
+                        for i in pdf[id_col]
+                    ],
                 }
             )
 

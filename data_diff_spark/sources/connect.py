@@ -81,6 +81,32 @@ def _read_json(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
     return spark.read.options(**opts).json(rest)
 
 
+@register_scheme("arrowshards")
+def _read_arrowshards(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    """arrowshards://<dir> — a training-export Arrow IPC shard directory
+    (sources/export.py) read back as a source: exported corpora are
+    diffable/cleanable inputs again, not a write-only terminal."""
+    from data_diff_spark.sources.export import read_arrow_shards
+
+    return read_arrow_shards(spark, rest)
+
+
+@register_scheme("webdataset")
+def _read_webdataset(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    """webdataset://<dir> — WebDataset tar shards read back; options:
+    key_col (default 'key'), extensions (col->ext mapping, required),
+    text_cols (iterable of columns to utf-8 decode)."""
+    from data_diff_spark.sources.export import read_webdataset
+
+    exts = opts.get("extensions")
+    if not exts:
+        raise ValueError("webdataset source needs an 'extensions' col->ext mapping")
+    return read_webdataset(
+        spark, rest, opts.get("key_col", "key"), exts,
+        text_cols=opts.get("text_cols"),
+    )
+
+
 @register_scheme("orc")
 def _read_orc(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
     return spark.read.options(**opts).orc(rest)

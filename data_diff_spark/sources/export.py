@@ -1,4 +1,4 @@
-"""Training-export shards: Arrow IPC and WebDataset tars from DataFrames.
+"""Training-export shards: Arrow IPC and WebDataset tars, write AND read.
 
 The last step of a training-data pipeline is not a table — it is a
 directory of SHARDS a dataloader streams: Arrow IPC files (zero-copy
@@ -21,6 +21,15 @@ order of magnitude; a partition's final shard may run short.
 
 No shuffle, no driver involvement, no external deps (pyarrow ships with
 Spark; tarfile is stdlib).
+
+Read-back (read_arrow_shards / read_webdataset) closes the round trip:
+exported corpora are first-class SOURCES again — inspectable, diffable,
+re-cleanable — not a write-only terminal. Distribution unit is the shard
+file (binaryFile rows decoded in mapInPandas), the same
+one-file-one-task shape as WARC ingestion: shards are sized by the
+writer (rows_per_shard), so tasks are bounded by construction. The Arrow
+schema is probed from one shard's FOOTER on the driver — metadata-only,
+no data rows driver-side.
 """
 
 from __future__ import annotations
@@ -148,3 +157,93 @@ def write_webdataset(
     return df.mapInPandas(
         _shard_writer(path, rows_per_shard, write, shard_prefix), MANIFEST_SCHEMA
     )
+
+
+# --- read-back sources ------------------------------------------------------
+
+
+def read_arrow_shards(df_or_spark, path: str) -> DataFrame:
+    """Arrow IPC shard directory -> DataFrame. One task per shard file;
+    schema from the first shard's footer (driver reads metadata only)."""
+    import glob as _glob
+
+    import pyarrow.ipc as ipc
+
+    spark = df_or_spark
+    shards = sorted(_glob.glob(os.path.join(path, "*.arrow")))
+    if not shards:
+        raise FileNotFoundError(f"no *.arrow shards under {path}")
+    arrow_schema = ipc.open_file(shards[0]).schema
+    try:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema = from_arrow_schema(arrow_schema)
+    except Exception:  # API moved: derive via an empty slice
+        schema = spark.createDataFrame(
+            ipc.open_file(shards[0]).read_all().slice(0, 0).to_pandas()
+        ).schema
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                yield ipc.open_file(io.BytesIO(content)).read_all().to_pandas()
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "*.arrow"))
+        .select("content")
+    )
+    return files.mapInPandas(_decode, schema)
+
+
+def read_webdataset(
+    spark,
+    path: str,
+    key_col: str,
+    extensions: Dict[str, str],
+    text_cols: Optional[set] = None,
+) -> DataFrame:
+    """WebDataset tar directory -> DataFrame: `key_col` (string, the member
+    basename) plus one column per mapped extension — binary by default,
+    utf-8-decoded for columns named in text_cols. Missing members are
+    null (the writer skips null fields). One task per tar shard."""
+    cols = list(extensions)
+    text_cols = set(text_cols or ())
+    by_ext = {ext: col for col, ext in extensions.items()}
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows: Dict[str, dict] = {}
+            for content in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(content)) as tar:
+                    for m in tar.getmembers():
+                        key, _, ext = m.name.partition(".")
+                        col = by_ext.get(ext)
+                        if col is None:
+                            continue
+                        data = tar.extractfile(m).read()
+                        rows.setdefault(key, {})[col] = (
+                            data.decode("utf-8") if col in text_cols else data
+                        )
+            out = [
+                {key_col: k, **{c: v.get(c) for c in cols}}
+                for k, v in rows.items()
+            ]
+            yield pd.DataFrame(out, columns=[key_col] + cols)
+
+    fields = ", ".join(
+        f"{c} {'string' if c in text_cols else 'binary'}" for c in cols
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "*.tar"))
+        .select("content")
+    )
+    return files.mapInPandas(_decode, f"{key_col} string, {fields}")

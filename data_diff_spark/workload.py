@@ -1218,6 +1218,25 @@ def q_image_decode_features(spark, sf_dir):
     return MM.extract_image_features(media)
 
 
+def q_webp_decode_features(spark, sf_dir):
+    """REAL WebP decode path: the same deterministic pixels as the P6 leg,
+    round-tripped through LOSSLESS WebP (libwebp encode via ctypes; decode
+    through the full RIFF dispatch in functions/webp.py, whose native VP8L
+    implementation is conformance-pinned against libwebp in
+    tests/test_webp.py). Lossless means the arithmetic pixel oracle of the
+    P6 leg applies to this container format unchanged."""
+    load_views(spark, sf_dir)
+    media = MM.attach_webp_media(spark.table("documents"))
+    return MM.extract_image_features(media).select(
+        "doc_id",
+        F.col("width").alias("webp_width"),
+        F.col("height").alias("webp_height"),
+        F.col("mean_r").alias("webp_mean_r"),
+        F.col("mean_g").alias("webp_mean_g"),
+        F.col("mean_b").alias("webp_mean_b"),
+    )
+
+
 def q_audio_decode_features(spark, sf_dir):
     """REAL audio decode path: deterministic mono PCM16 WAV clips generated
     per doc, RIFF-parsed by the pure-numpy codec inside mapInPandas; RMS
@@ -1948,27 +1967,43 @@ from isl2 group by doc_id, grp
 
 
 def q_snm_pairs(spark, sf_dir):
-    """Sorted-neighborhood near-dup pairs (dedup.py:snm_pairs) — the
-    blocking strategy that needs a TOTAL order, executed as monotone
-    prefix buckets + carry rows instead of a single-task global sort.
-    The oracle IS the naive global row_number formulation, so the gate
-    proves the bucketed plan reproduces the total-order semantics
-    exactly; Levenshtein similarity kept integer (dist, max_len) so the
-    hash compare is float-free."""
-    from data_diff_spark.operators.dedup import snm_pairs
+    """MULTI-PASS sorted-neighborhood near-dup pairs (dedup.py:
+    snm_pairs_multi, the Hernandez-Stolfo merge/purge configuration):
+    pass 1 sorts by the text, pass 2 by its 10-char-offset suffix (so
+    records differing only in their opening words still meet), pair sets
+    canonicalized and unioned. Each pass is the blocking strategy that
+    needs a TOTAL order, executed as monotone prefix buckets + carry rows
+    instead of a single-task global sort. The oracle IS the naive global
+    row_number formulation of both passes, so the gate proves the bucketed
+    plan reproduces the total-order semantics exactly; Levenshtein
+    similarity kept integer (dist, max_len) so the hash compare is
+    float-free."""
+    from data_diff_spark.operators.dedup import snm_pairs_multi
 
     load_views(spark, sf_dir)
-    return snm_pairs(spark.table("documents"), window=4, max_edit_pct=20)
+    docs = spark.table("documents").withColumn("k2", F.expr("substring(text, 11)"))
+    return snm_pairs_multi(
+        docs, ["text", "k2"], compare_col="text", window=4, max_edit_pct=20
+    )
 
 
 ORACLE_SNM_PAIRS = """
 with s as (select doc_id, text, row_number() over (order by text, doc_id) as rn
            from documents),
-p as (select a.doc_id as id_a, b.doc_id as id_b,
-             levenshtein(a.text, b.text)::INT as edit_dist,
-             greatest(length(a.text), length(b.text))::INT as max_len
-      from s a join s b on b.rn > a.rn and b.rn <= a.rn + 4)
-select id_a, id_b, edit_dist, max_len from p
+p1 as (select a.doc_id as id_a, b.doc_id as id_b,
+              levenshtein(a.text, b.text)::INT as edit_dist,
+              greatest(length(a.text), length(b.text))::INT as max_len
+       from s a join s b on b.rn > a.rn and b.rn <= a.rn + 4),
+s2 as (select doc_id, text,
+              row_number() over (order by substring(text, 11), doc_id) as rn
+       from documents),
+p2 as (select a.doc_id as id_a, b.doc_id as id_b,
+              levenshtein(a.text, b.text)::INT as edit_dist,
+              greatest(length(a.text), length(b.text))::INT as max_len
+       from s2 a join s2 b on b.rn > a.rn and b.rn <= a.rn + 4)
+select distinct least(id_a, id_b) as id_a, greatest(id_a, id_b) as id_b,
+       edit_dist, max_len
+from (select * from p1 union all select * from p2)
 where edit_dist*100 <= 20*max_len
 """
 
@@ -2162,13 +2197,15 @@ join s4 using (doc_id)
 
 
 def q_multimodal_decode_all(spark, sf_dir):
-    """All three multimodal decode paths joined on doc_id: the deterministic
+    """All four multimodal decode paths joined on doc_id: the deterministic
     fake-decoder template (byte stats), the REAL netpbm image codec
-    (per-channel pixel means) and the REAL RIFF/WAV audio codec
-    (RMS/zero-crossings) — each an Arrow-batched mapInPandas pipeline."""
+    (per-channel pixel means), the REAL RIFF/WAV audio codec
+    (RMS/zero-crossings), and the REAL WebP container round-trip — each an
+    Arrow-batched mapInPandas pipeline."""
     out = q_multimodal_features(spark, sf_dir)
     out = out.join(q_image_decode_features(spark, sf_dir), "doc_id")
     out = out.join(q_audio_decode_features(spark, sf_dir), "doc_id")
+    out = out.join(q_webp_decode_features(spark, sf_dir), "doc_id")
     return out
 
 
@@ -2176,13 +2213,18 @@ def _multimodal_all_oracle() -> str:
     return f"""
 with s1 as ({ORACLE_MULTIMODAL}),
 s2 as ({MM.ORACLE_IMAGE_FEATURES}),
-s3 as ({MM.ORACLE_AUDIO_FEATURES})
+s3 as ({MM.ORACLE_AUDIO_FEATURES}),
+s4 as ({MM.ORACLE_IMAGE_FEATURES})
 select s1.doc_id, s1.n_bytes, s1.content_md5, s1.byte_mean,
        s2.width, s2.height, s2.mean_r, s2.mean_g, s2.mean_b,
-       s3.sample_rate, s3.n_samples, s3.rms, s3.n_zero_cross
+       s3.sample_rate, s3.n_samples, s3.rms, s3.n_zero_cross,
+       s4.width as webp_width, s4.height as webp_height,
+       s4.mean_r as webp_mean_r, s4.mean_g as webp_mean_g,
+       s4.mean_b as webp_mean_b
 from s1
 join s2 using (doc_id)
 join s3 using (doc_id)
+join s4 using (doc_id)
 """
 
 

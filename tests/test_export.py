@@ -72,3 +72,47 @@ def test_shard_names_deterministic_per_partition(spark, tmp_path):
     # re-running overwrites in place (retry semantics), no duplicates
     write_arrow_shards(df, out, rows_per_shard=1000).collect()
     assert len(glob.glob(out + "/*")) == 3
+
+
+def test_arrow_shards_read_back(spark, tmp_path):
+    """Write -> read_arrow_shards -> identical rows and schema (the export
+    format as a first-class SOURCE, sources/export.py read side)."""
+    from data_diff_spark.sources.connect import read_uri
+    from data_diff_spark.sources.export import read_arrow_shards
+
+    out = str(tmp_path / "rb")
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", float(i) / 3, bytes([i % 256])) for i in range(500)],
+        "id long, text string, score double, blob binary",
+    ).repartition(3)
+    write_arrow_shards(df, out, rows_per_shard=100).collect()
+    back = read_arrow_shards(spark, out)
+    assert back.schema == df.schema
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+    # and via the URI registry
+    uri = sorted(tuple(r) for r in read_uri(spark, f"arrowshards://{out}").collect())
+    assert uri == a
+
+
+def test_webdataset_read_back(spark, tmp_path):
+    from data_diff_spark.sources.connect import read_uri
+
+    out = str(tmp_path / "wdsrb")
+    df = spark.createDataFrame(
+        [(f"s{i:03d}", f"text {i}", bytes([i % 256, 9])) for i in range(40)],
+        "key string, text string, img binary",
+    ).repartition(2)
+    write_webdataset(
+        df, out, key_col="key", extensions={"text": "txt", "img": "jpg"},
+        rows_per_shard=16,
+    ).collect()
+    back = read_uri(
+        spark, f"webdataset://{out}",
+        key_col="key", extensions={"text": "txt", "img": "jpg"},
+        text_cols={"text"},
+    )
+    a = sorted((r.key, r.text, bytes(r.img)) for r in back.collect())
+    b = sorted((r.key, r.text, bytes(r.img)) for r in df.collect())
+    assert a == b
