@@ -86,6 +86,12 @@ class RemoteDialect:
         reject leading underscores (Derby) override with quoting."""
         return name
 
+    def select_col_sql(self, col: str, sql_type: str) -> str:
+        """Render a column for the phase-2 row fetch. Engines whose JDBC
+        driver cannot hand certain types to the reader as-is (Derby CLOB
+        -> getString raises 22005) override with a cast."""
+        return col
+
     def norm_sql(self, col: str, sql_type: str) -> str:
         """Render a column to the canonical comparison string of
         normalize.py (reference NormalizeAsString)."""
@@ -402,6 +408,14 @@ class DerbyDialect(RemoteDialect):
     def alias_sql(self, name: str) -> str:
         return f'"{name}"'
 
+    def select_col_sql(self, col: str, sql_type: str) -> str:
+        # Derby's driver refuses getString on a CLOB (22005); ship the
+        # fetched rows as VARCHAR, aliased back to the column name (Spark's
+        # JDBC source re-projects the wrapped query BY NAME)
+        if sql_type.upper() == "CLOB":
+            return f"cast({col} as varchar(32672)) as {col}"
+        return col
+
     def norm_sql(self, col: str, sql_type: str) -> str:
         t = sql_type.upper()
         if t.startswith(("DECIMAL", "NUMERIC")):
@@ -420,7 +434,9 @@ class DerbyDialect(RemoteDialect):
         if t == "DATE":
             return self.norm_date_sql(col)
         if t == "BOOLEAN":
-            return f"(case when {col} then '1' when not {col} then '0' end)"
+            # trim() forces VARCHAR: a bare CASE of CHAR literals would
+            # coalesce with the CHAR(6) '<null>' filler and blank-pad
+            return f"trim(case when {col} then '1' when not {col} then '0' end)"
         if t in ("BIGINT", "INTEGER", "SMALLINT", "INT"):
             return f"trim(cast({col} as char(24)))"
         if t == "CLOB":  # Spark's JDBC writer maps unbounded StringType here
@@ -494,10 +510,15 @@ def jdbc_probe_types(spark: SparkSession, url: str, relation_sql: str) -> dict:
             f"select * from {relation_sql} where 1=0"
         )
         md = rs.getMetaData()
-        return {
-            md.getColumnName(i + 1): md.getColumnTypeName(i + 1)
-            for i in range(md.getColumnCount())
-        }
+        out = {}
+        for i in range(md.getColumnCount()):
+            name = md.getColumnName(i + 1)
+            t = md.getColumnTypeName(i + 1)
+            if t.upper() in ("DECIMAL", "NUMERIC"):
+                # type-name alone loses the scale the normalization needs
+                t = f"{t}({md.getPrecision(i + 1)},{md.getScale(i + 1)})"
+            out[name] = t
+        return out
     finally:
         con.close()
 
@@ -565,8 +586,9 @@ def fetch_query_sql(dialect: RemoteDialect, relation_sql: str,
         ids = ", ".join(str(int(b)) for b in bucket_ids)
         where = f" where {bucket} in ({ids})"
     a = dialect.alias_sql
+    sel = ", ".join(dialect.select_col_sql(c, types[c]) for c in columns)
     return (
-        f"select {', '.join(columns)}, {cks} as {a(_CKS)}, {bucket} as {a(_BUCKET)} "
+        f"select {sel}, {cks} as {a(_CKS)}, {bucket} as {a(_BUCKET)} "
         f"from {relation_sql}{where}"
     )
 
