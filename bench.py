@@ -56,11 +56,17 @@ def main() -> None:
     # Optional comma-separated entry filter (scale probes re-run just the
     # expensive entries at sf1.0; the driver's per-round run leaves it unset).
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    selected = (
-        {k: v for k, v in WORKLOAD.items() if k in set(only.split(","))}
-        if only
-        else WORKLOAD
-    )
+    if only:
+        names = [t.strip() for t in only.split(",") if t.strip()]
+        unknown = [n for n in names if n not in WORKLOAD]
+        if unknown:
+            # a typo'd filter must fail loudly, not record a 0-second run
+            print(json.dumps({"error": f"unknown bench entries: {unknown}",
+                              "known": sorted(WORKLOAD)}))
+            sys.exit(2)
+        selected = {k: WORKLOAD[k] for k in names}
+    else:
+        selected = WORKLOAD
     timings = {}
     errors = {}
     for name, (fn, _oracle) in selected.items():

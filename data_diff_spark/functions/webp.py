@@ -135,20 +135,23 @@ _CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 
 
 
 class _Bits:
-    """LSB-first bit reader over the whole payload as one big int (fast
-    enough for the native path's role; the hot path is libwebp)."""
+    """LSB-first bit reader. Each read slices only the <=4 bytes it
+    touches (k <= 14 anywhere in VP8L), keeping decode O(n) — a
+    whole-payload big-int shift would re-materialize the remaining
+    integer per read and turn multi-MB payloads quadratic."""
 
     def __init__(self, data: bytes):
-        self.v = int.from_bytes(data, "little")
+        self.d = data
         self.n = len(data) * 8
         self.pos = 0
 
     def read(self, k: int) -> int:
-        if self.pos + k > self.n:
+        pos = self.pos
+        if pos + k > self.n:
             raise ValueError("VP8L: bitstream overrun")
-        out = (self.v >> self.pos) & ((1 << k) - 1)
-        self.pos += k
-        return out
+        chunk = int.from_bytes(self.d[pos >> 3:(pos + k + 7) >> 3], "little")
+        self.pos = pos + k
+        return (chunk >> (pos & 7)) & ((1 << k) - 1)
 
 
 class _Prefix:

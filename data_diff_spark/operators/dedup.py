@@ -151,6 +151,7 @@ def jaccard_pairs(
     s = shingle_sets(df, n, text_col, id_col).persist()
     ex = s.select("id", F.explode("shingles").alias("sh"))
     pruned = False
+    handles = [s]
     if max_shingle_freq is not None:
         viral = (
             ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
@@ -168,6 +169,7 @@ def jaccard_pairs(
             )
             ex = ex.join(F.broadcast(viral), "sh", "left_anti")
             pruned = True
+            handles.append(viral)  # released with the shingle cache
         else:
             logger.info(
                 "jaccard_pairs: no shingle exceeds max_shingle_freq=%d; "
@@ -199,8 +201,9 @@ def jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     # caller-managed cache lifecycle (operators/hashdiff.py contract): the
-    # shingle cache must outlive the lazy result; release via this handle
-    out._ddspark_persisted = [s]
+    # shingle cache (and the viral-shingle set when pruning engaged) must
+    # outlive the lazy result; release via these handles
+    out._ddspark_persisted = handles
     return out
 
 

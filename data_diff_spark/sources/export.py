@@ -173,15 +173,12 @@ def read_arrow_shards(df_or_spark, path: str) -> DataFrame:
     shards = sorted(_glob.glob(os.path.join(path, "*.arrow")))
     if not shards:
         raise FileNotFoundError(f"no *.arrow shards under {path}")
-    arrow_schema = ipc.open_file(shards[0]).schema
-    try:
-        from pyspark.sql.pandas.types import from_arrow_schema
+    # hard import: a zero-row pandas fallback cannot infer binary columns,
+    # which is exactly what media exports carry — better a clear ImportError
+    # on an API move than a silently broken fallback
+    from pyspark.sql.pandas.types import from_arrow_schema
 
-        schema = from_arrow_schema(arrow_schema)
-    except Exception:  # API moved: derive via an empty slice
-        schema = spark.createDataFrame(
-            ipc.open_file(shards[0]).read_all().slice(0, 0).to_pandas()
-        ).schema
+    schema = from_arrow_schema(ipc.open_file(shards[0]).schema)
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
@@ -219,14 +216,24 @@ def read_webdataset(
 
         import pandas as pd
 
+        # member names are '{key}.{ext}' with no restriction on dots in the
+        # key (the writer imposes none), so match against the KNOWN ext
+        # suffixes instead of splitting at the first dot — 'img.001.txt'
+        # is key 'img.001', not key 'img' with a dropped member
+        suffixes = sorted(
+            ((f".{ext}", col) for ext, col in by_ext.items()),
+            key=lambda sc: -len(sc[0]),
+        )
         for pdf in batches:
             rows: Dict[str, dict] = {}
             for content in pdf["content"]:
                 with tarfile.open(fileobj=io.BytesIO(content)) as tar:
                     for m in tar.getmembers():
-                        key, _, ext = m.name.partition(".")
-                        col = by_ext.get(ext)
-                        if col is None:
+                        for suf, col in suffixes:
+                            if m.name.endswith(suf):
+                                key = m.name[: -len(suf)]
+                                break
+                        else:
                             continue
                         data = tar.extractfile(m).read()
                         rows.setdefault(key, {})[col] = (

@@ -948,7 +948,10 @@ def q_dedup_clusters(spark, sf_dir):
     load_views(spark, sf_dir)
     docs = spark.table("documents")
     pairs = DD.minhash_lsh_dedup(docs, threshold=0.8)
-    return DD.assign_clusters(docs, pairs).select("doc_id", "cluster_id")
+    out = DD.assign_clusters(docs, pairs).select("doc_id", "cluster_id")
+    # derived DataFrames do not inherit the _ddspark_persisted contract;
+    # re-attach so the shingle cache is released with the result
+    return _track_persisted(out, [], pairs)
 
 
 def q_dedup_resolve(spark, sf_dir):
@@ -958,7 +961,7 @@ def q_dedup_resolve(spark, sf_dir):
     load_views(spark, sf_dir)
     docs = spark.table("documents")
     pairs = DD.minhash_lsh_dedup(docs, threshold=0.8)
-    return DD.dedup_resolve(docs, pairs)
+    return _track_persisted(DD.dedup_resolve(docs, pairs), [], pairs)
 
 
 def _components_cte(threshold: float = 0.8) -> str:
@@ -2240,7 +2243,9 @@ def q_dedup_resolve_all(spark, sf_dir):
     out = clusters.join(resolved, "cluster_id").select(
         "doc_id", "cluster_id", "kept_id", "n_members", "kept_score"
     )
-    return _track_persisted(out, [pairs])
+    # pairs as a handle releases ITS persist; pairs as an input harvests
+    # the shingle cache riding on pairs._ddspark_persisted too
+    return _track_persisted(out, [pairs], pairs)
 
 
 def _dedup_resolve_all_oracle() -> str:

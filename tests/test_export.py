@@ -149,3 +149,24 @@ def test_diff_two_exports(spark, tmp_path):
     plus = {r.id for r in rows if r.sign == "+"}
     assert {i for i in range(300) if i % 100 == 7} <= minus
     assert plus == {i for i in range(300) if i % 50 == 3 and i % 100 != 7}
+
+
+def test_webdataset_dotted_keys_roundtrip(spark, tmp_path):
+    """Keys containing dots must survive: member matching goes by known
+    extension SUFFIX, not first-dot split (review finding r5)."""
+    from data_diff_spark.sources.export import read_webdataset
+
+    out = str(tmp_path / "wdsdot")
+    df = spark.createDataFrame(
+        [("img.001", "a", b"\x01"), ("img.002", "b", b"\x02"),
+         ("v2.final.3", "c", b"\x03")],
+        "key string, text string, img binary",
+    )
+    write_webdataset(df, out, key_col="key",
+                     extensions={"text": "txt", "img": "jpg"},
+                     rows_per_shard=10).collect()
+    back = read_webdataset(spark, out, "key", {"text": "txt", "img": "jpg"},
+                           text_cols={"text"})
+    a = sorted((r.key, r.text, bytes(r.img)) for r in back.collect())
+    b = sorted((r.key, r.text, bytes(r.img)) for r in df.collect())
+    assert a == b

@@ -430,19 +430,44 @@ class TestHandStreams:
         _assert_conformant(b)
 
     def test_cache_updated_by_backref_copies(self):
-        # spec: pixels produced by backward references enter the cache too
+        """Spec rule: pixels produced by BACKWARD REFERENCES enter the
+        color cache too. Pinned non-vacuously: P1 and P2 share a cache
+        slot, P2 overwrites P1's entry, then a backref re-copies P1 — the
+        following cache reference resolves to P1 ONLY if the copy
+        re-inserted it. A decoder that skips insert-on-copy yields P2
+        there and diverges from libwebp."""
         bits = 6
+
+        def slot(argb):
+            return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+        def argb_of(px):
+            a, r, g, bl = px
+            return (a << 24) | (r << 16) | (g << 8) | bl
+
+        p1 = (255, 10, 20, 30)
+        s = slot(argb_of(p1))
+        p2 = next(
+            (255, 10, 20, bl) for bl in range(256)
+            if bl != 30 and slot(argb_of((255, 10, 20, bl))) == s
+        )
+        # fillers must not touch slot s, or they would overwrite the entry
+        fillers = [
+            px for px in (_lit(p)[1] for p in range(40, 400))
+            if slot(argb_of(px)) != s
+        ]
         w, h = 8, 4
-        ops = [_lit(p) for p in range(w)]
-        ops.append(("ref", w, 121))  # plain distance 1? no: 121 -> dist 1
-        px = _lit(3)[1]
-        a, r, g, bl = px
-        argb = (a << 24) | (r << 16) | (g << 8) | bl
-        idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
-        ops += [("cache", idx)] * (w * h - 2 * w)
+        ops = [("lit", p1), ("lit", p2)]
+        ops += [("lit", f) for f in fillers[: w - 2]]  # finish row 0
+        # plain distance back to p1 (pos=w, p1 at pos 0): dist w -> code w+120
+        ops.append(("ref", 1, w + 120))
+        ops.append(("cache", s))  # must resolve to p1, not p2
+        ops += [("lit", f) for f in fillers[w - 2: w - 2 + (w * h - w - 2)]]
         b = _StreamBuilder(w, h, cache_bits=bits)
         b.body(ops)
-        _assert_conformant(b)
+        want = _assert_conformant(b)
+        assert tuple(want[1, 0]) == (p1[1], p1[2], p1[3], p1[0])  # the copy
+        assert tuple(want[1, 1]) == (p1[1], p1[2], p1[3], p1[0])  # cache hit
 
 
 class TestMutationCoverage:
