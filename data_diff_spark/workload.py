@@ -41,6 +41,13 @@ _LOADED_VIEWS: set = set()
 _INGEST_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "ingest")
 
 
+# (sf_dir-independent) src path -> materialized multi-file copy dir; lets the
+# DuckDB oracle/cross-engine side scan the SAME re-laid copy Spark scans —
+# DuckDB parallelizes parquet by row group, so the driver's single-row-group
+# file pins its md5 pipeline to ONE thread otherwise
+_INGEST_PATHS: dict = {}
+
+
 def _materialize_rebalanced(spark: SparkSession, df: DataFrame, src: str, nparts: int) -> DataFrame:
     """Write a rebalanced copy of a single-row-group source next to the
     repo and scan that instead. A per-query round-robin Exchange is pure
@@ -67,6 +74,7 @@ def _materialize_rebalanced(spark: SparkSession, df: DataFrame, src: str, nparts
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
+        _INGEST_PATHS[src] = dest
         return spark.read.parquet(dest)
     except Exception:  # scratch unwritable etc. — correctness never depends on it
         return df.repartition(nparts)
@@ -408,7 +416,12 @@ def q_hashdiff_cross_engine(spark, sf_dir):
     con = duckdb.connect()
     for t in ("orders",):
         src = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(src):  # directory-style parquet (scale-probe replicas)
+        # scan the re-laid multi-file ingest copy when one exists: DuckDB
+        # parallelizes parquet by ROW GROUP, so the driver's
+        # single-row-group file would pin the remote md5 pipeline to one
+        # thread — the layout-at-ingest step pays off on both engines
+        src = _INGEST_PATHS.get(src, src)
+        if os.path.isdir(src):  # directory-style parquet
             src = f"{src}/*.parquet"
         con.execute(f"create view {t} as select * from read_parquet('{src}')")
     con.execute(f"create view t2 as {MODIFIED_ORDERS_SQL}")
