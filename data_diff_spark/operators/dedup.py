@@ -233,10 +233,9 @@ def minhash_signatures(
     return ex.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32, rows: int = 4) -> DataFrame:
-    """Banding: hash each band of `rows` consecutive minhashes; docs sharing
-    any (band_idx, band_hash) become a candidate pair. P(candidate) =
-    1-(1-s^rows)^bands — at s=0.8, 32x4 gives miss probability ~5e-8."""
+def _band_rows(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band_idx, band_hash) rows — the LSH bucket membership relation,
+    shared by the one-shot pair join and the persisted incremental index."""
     k = bands * rows
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh{b*rows + r}") for r in range(rows)]))
@@ -244,7 +243,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32, rows: int = 4) -
         for b in range(bands)
     ]
     assert f"mh{k-1}" in signatures.columns, "signature too short for bands*rows"
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.explode(
             F.array(*[
@@ -253,6 +252,13 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32, rows: int = 4) -
             ])
         ).alias("bb"),
     ).select("id", "bb.band_idx", "bb.band_hash")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32, rows: int = 4) -> DataFrame:
+    """Banding: hash each band of `rows` consecutive minhashes; docs sharing
+    any (band_idx, band_hash) become a candidate pair. P(candidate) =
+    1-(1-s^rows)^bands — at s=0.8, 32x4 gives miss probability ~5e-8."""
+    banded = _band_rows(signatures, bands, rows)
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -295,6 +301,118 @@ def minhash_lsh_dedup(
     )
     # caller-managed cache lifecycle (operators/hashdiff.py contract)
     out._ddspark_persisted = [s]
+    return out
+
+
+# --- persisted LSH index: incremental corpus dedup --------------------------
+# At 100 TB the corpus is not re-deduplicated per ingest batch: the band
+# membership and shingle sets are WRITTEN ONCE as tables, and each daily
+# increment probes them — pair discovery cost is O(new x matching buckets),
+# never O(corpus x corpus) again. The invariant (pinned in
+# tests/test_text_dedup.py): pairs(old ∪ new) == pairs(old) ∪
+# incremental_pairs(new vs index), because every pair with >=1 new doc has a
+# new doc whose band rows are probed, and old-old pairs were found when the
+# index was built.
+
+
+def lsh_index_write(
+    df: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the dedup index for a corpus: bands/ (id, band_idx,
+    band_hash) and shingles/ (id, shingles) parquet tables plus a params
+    manifest (a probe with different k/bands/rows/n would silently find
+    nothing — refused instead). Layout note: at scale, write bands/
+    bucketed by band_hash (sources.connect.write_bucketed) so increment
+    probes co-locate."""
+    import json as _json
+
+    s = shingle_sets(df, n, text_col, id_col)
+    sig = minhash_signatures(df, k, n, text_col, id_col, _shingles=s)
+    _band_rows(sig, bands, rows).write.mode("overwrite").parquet(f"{path}/bands")
+    s.write.mode("overwrite").parquet(f"{path}/shingles")
+    meta = {"threshold": threshold, "k": k, "bands": bands, "rows": rows, "n": n}
+    with open(f"{path}/params.json", "w") as f:
+        _json.dump(meta, f)
+
+
+def _lsh_index_params(path: str) -> dict:
+    import json as _json
+
+    with open(f"{path}/params.json") as f:
+        return _json.load(f)
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
+) -> DataFrame:
+    """Near-dup pairs involving AT LEAST ONE new document, against a
+    persisted index: the new docs' band rows probe (stored ∪ new) band
+    rows; candidates verify with exact Jaccard over stored + fresh
+    shingle sets. Output shape matches minhash_lsh_dedup, canonicalized
+    to id_a < id_b. With append=True the new band/shingle rows are added
+    to the index afterwards, so the next increment sees this one.
+
+    append is two plain parquet appends (idempotence is the caller's
+    retry concern; route through a versioned:// table for exactly-once)."""
+    spark = new_docs.sparkSession
+    p = _lsh_index_params(index_path)
+    threshold, k, bands, rows, n = (
+        p["threshold"], p["k"], p["bands"], p["rows"], p["n"]
+    )
+    s_new = shingle_sets(new_docs, n, text_col, id_col).persist()
+    sig = minhash_signatures(new_docs, k, n, text_col, id_col, _shingles=s_new)
+    new_bands = _band_rows(sig, bands, rows).persist()
+
+    old_bands = spark.read.parquet(f"{index_path}/bands")
+    all_bands = old_bands.unionByName(new_bands)
+    cand = (
+        new_bands.alias("a")
+        .join(
+            all_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    shingles = spark.read.parquet(f"{index_path}/shingles").unionByName(s_new)
+    sa = shingles.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingles.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    if append:
+        # materialize pairs BEFORE mutating the index: the lazy plan reads
+        # the index tables, and appending to a parquet dir a running scan
+        # is also reading is undefined
+        out = out.persist()
+        out.count()
+        new_bands.write.mode("append").parquet(f"{index_path}/bands")
+        s_new.write.mode("append").parquet(f"{index_path}/shingles")
+        out._ddspark_persisted = [s_new, new_bands, out]
+    else:
+        out._ddspark_persisted = [s_new, new_bands]
     return out
 
 

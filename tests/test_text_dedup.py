@@ -307,3 +307,71 @@ def test_dedup_resolve_keeps_best_per_cluster(spark):
     tie_pairs = spark.createDataFrame([(5, 6)], "id_a int, id_b int")
     (row,) = DD.dedup_resolve(tie, tie_pairs).collect()
     assert row["kept_id"] == 6 and row["n_members"] == 2
+
+
+class TestIncrementalLshIndex:
+    """Persisted-index incremental dedup (dedup.py:lsh_index_write /
+    minhash_lsh_incremental): the at-scale contract is pairs(old ∪ new) ==
+    pairs(old) ∪ incremental(new vs index) — daily increments never re-pair
+    the existing corpus."""
+
+    @staticmethod
+    def _corpus(spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    OLD = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),   # ~dup of 1
+        (3, "completely different text about distributed query engines"),
+        (4, "yet another unrelated document mentioning parquet files"),
+    ]
+    NEW = [
+        (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+        (11, "completely different text about distributed query planes"),  # ~3
+        (12, "fresh content that matches nothing in the old corpus"),
+        (13, "fresh content that matches nothing in the old corpusx"),  # ~12
+    ]
+
+    def _pairset(self, df):
+        return {
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b), round(r.jaccard, 9))
+            for r in df.collect()
+        }
+
+    def test_union_invariant(self, spark, tmp_path):
+        old = self._corpus(spark, self.OLD)
+        new = self._corpus(spark, self.NEW)
+        both = self._corpus(spark, self.OLD + self.NEW)
+        idx = str(tmp_path / "idx")
+        DD.lsh_index_write(old, idx, threshold=0.6)
+        full = self._pairset(DD.minhash_lsh_dedup(both, threshold=0.6))
+        old_pairs = self._pairset(DD.minhash_lsh_dedup(old, threshold=0.6))
+        inc = self._pairset(DD.minhash_lsh_incremental(new, idx))
+        assert old_pairs | inc == full
+        # increments find old-new AND new-new pairs, never old-old ones
+        assert any(a < 10 <= b for a, b, _ in inc)
+        assert any(a >= 10 for a, b, _ in inc if b >= 10)
+        assert not any(b < 10 for _, b, _ in inc)
+
+    def test_append_chains_increments(self, spark, tmp_path):
+        """After append=True, a SECOND increment sees the first one's docs."""
+        old = self._corpus(spark, self.OLD)
+        idx = str(tmp_path / "idx")
+        DD.lsh_index_write(old, idx, threshold=0.6)
+        first = self._corpus(spark, [self.NEW[0], self.NEW[2]])   # 10, 12
+        DD.minhash_lsh_incremental(first, idx, append=True).collect()
+        second = self._corpus(spark, [self.NEW[3]])               # 13 ~ 12
+        inc2 = self._pairset(DD.minhash_lsh_incremental(second, idx))
+        assert (12, 13) in {(a, b) for a, b, _ in inc2}
+
+    def test_probing_sees_stored_corpus_only_through_index(self, spark, tmp_path):
+        """The increment never scans the old corpus DataFrame — only the
+        index tables. (API proof: old docs are not even passed in.)"""
+        old = self._corpus(spark, self.OLD)
+        idx = str(tmp_path / "idx")
+        DD.lsh_index_write(old, idx, threshold=0.6)
+        lone = self._corpus(spark, [(20, "the quick brown fox jumps over the lazy dog today")])
+        inc = self._pairset(DD.minhash_lsh_incremental(lone, idx))
+        # doc 1 is an exact dup (jaccard 1.0); doc 2's one-word change
+        # shifts 3 of 8 shingles (jaccard ~0.45, below the 0.6 threshold)
+        assert {(a, b) for a, b, _ in inc} == {(1, 20)}
