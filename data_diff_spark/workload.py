@@ -2050,7 +2050,10 @@ def q_events_sessionize_all(spark, sf_dir):
 def q_neardup_pairs_all(spark, sf_dir):
     """Brute-ish inverted-index Jaccard AND banded MinHash-LSH (candidate
     gen + exact verify) must emit the identical pair set (at 32x4 bands the
-    per-pair miss probability at J=0.8 is ~5e-8)."""
+    per-pair miss probability at J=0.8 is ~5e-8). The persisted-index
+    incremental composition reproduces this same pair set too — pinned on
+    real corpus data in tests/test_text_dedup.py rather than as a third
+    gate arm (it would re-run half the pipeline per bench entry)."""
     return _must_equal(
         q_ngram_jaccard_pairs(spark, sf_dir),
         q_dedup_minhash_lsh(spark, sf_dir),

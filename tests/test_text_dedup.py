@@ -375,3 +375,17 @@ class TestIncrementalLshIndex:
         # doc 1 is an exact dup (jaccard 1.0); doc 2's one-word change
         # shifts 3 of 8 shingles (jaccard ~0.45, below the 0.6 threshold)
         assert {(a, b) for a, b, _ in inc} == {(1, 20)}
+
+    def test_union_invariant_on_sf_corpus(self, spark, docs, tmp_path):
+        """The invariant on REAL corpus data (sf0.001 documents): index the
+        even-id half, probe the odd-id half — union must equal the one-shot
+        LSH pair set over the full corpus, including jaccard values."""
+        old = docs.filter("doc_id % 2 = 0")
+        new = docs.filter("doc_id % 2 = 1")
+        idx = str(tmp_path / "sfidx")
+        DD.lsh_index_write(old, idx, threshold=0.8)
+        full = self._pairset(DD.minhash_lsh_dedup(docs, threshold=0.8))
+        old_pairs = self._pairset(DD.minhash_lsh_dedup(old, threshold=0.8))
+        inc = self._pairset(DD.minhash_lsh_incremental(new, idx))
+        assert old_pairs | inc == full
+        assert len(full) > 0
