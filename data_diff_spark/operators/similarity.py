@@ -433,6 +433,9 @@ def write_ivf_layout(
     those directories (partition pruning at the source). Returns the
     centroids to store alongside; ivf_topk_from_layout probes them.
     """
+    import json
+    import os
+
     c = _prepared(df, id_col, vec_col)
     centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
     assigned = (
@@ -441,13 +444,18 @@ def write_ivf_layout(
         .drop("__dists__")
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # centroids ARE the index metadata: store them with the layout so a
+    # later session queries without retraining (they are integer lists —
+    # json round-trips them exactly)
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
     return centroids
 
 
 def ivf_topk_from_layout(
     spark,
     path: str,
-    centroids: List[List[int]],
+    centroids: Optional[List[List[int]]],
     queries: DataFrame,
     k: int = 5,
     n_probe: int = 4,
@@ -456,7 +464,14 @@ def ivf_topk_from_layout(
 ) -> DataFrame:
     """Query a persisted IVF layout (write_ivf_layout). The cell equi-join
     against the partitioned parquet prunes to n_probe directories per query
-    batch — the scan reads only probed cells' files."""
+    batch — the scan reads only probed cells' files. centroids=None loads
+    the stored centroids.json, so a fresh session needs only the path."""
+    if centroids is None:
+        import json
+        import os
+
+        with open(os.path.join(path, "centroids.json")) as f:
+            centroids = json.load(f)
     assigned = spark.read.parquet(path)  # already materialized columns
     probed = _probed_queries(queries, centroids, n_probe, id_col, vec_col)
     out = _topk(_ivf_pairs(assigned, probed), k)

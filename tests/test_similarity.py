@@ -143,3 +143,23 @@ def test_quantize_embeddings_zero_vector(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
     r = SIM.quantize_embeddings(df).collect()[0]
     assert r["scale"] == 0.0 and list(r["qvec"]) == [0, 0, 0]
+
+
+def test_ivf_layout_self_describing(emb, queries, tmp_path):
+    """A fresh session needs only the layout path: centroids are stored
+    with it (centroids.json) and centroids=None loads them."""
+    path = str(tmp_path / "ivf_sd")
+    cents = SIM.write_ivf_layout(emb, path)
+    with_cents = sorted(
+        (r.id_q, r.id_c, r.rank)
+        for r in SIM.ivf_topk_from_layout(
+            emb.sparkSession, path, cents, queries, k=5
+        ).collect()
+    )
+    from_disk = sorted(
+        (r.id_q, r.id_c, r.rank)
+        for r in SIM.ivf_topk_from_layout(
+            emb.sparkSession, path, None, queries, k=5
+        ).collect()
+    )
+    assert from_disk == with_cents
