@@ -240,8 +240,10 @@ def decode_image(data: bytes):
     8-bit grey PNG / greyscale JPEG, (h, w, 3|4) uint8 for P6 RGB /
     RGB(A) PNG / color baseline or progressive JPEG / WebP (libwebp via
     ctypes when present — covering lossy VP8 too — else the native VP8L
-    decoder in functions/webp.py). Remaining gates: lossy VP8 without
-    libwebp, arithmetic-coded JPEG, 16-bit/interlaced PNG — swap in
+    decoder in functions/webp.py) / GIF (functions/gif.py: LZW,
+    interlace, animation compositing — first frame here; use
+    gif.decode_gif_frames for all frames). Remaining gates: lossy VP8
+    without libwebp, arithmetic-coded JPEG, 16-bit/interlaced PNG — swap in
     `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that
     ships PIL/cv2."""
     import numpy as np
@@ -261,10 +263,18 @@ def decode_image(data: bytes):
         from data_diff_spark.functions.webp import decode_webp
 
         return decode_webp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from data_diff_spark.functions.gif import decode_gif
+
+        return decode_gif(data)
+    if data[:2] == b"BM":
+        from data_diff_spark.functions.bmp import decode_bmp
+
+        return decode_bmp(data)
     raise NotImplementedError(
-        "netpbm (P5/P6), 8-bit PNG, baseline/progressive JPEG, and WebP "
-        "(VP8L always; VP8 when libwebp is installed) decode natively; "
-        "exotic variants need PIL/cv2"
+        "netpbm (P5/P6), 8-bit PNG, baseline/progressive JPEG, WebP "
+        "(VP8L always; VP8 when libwebp is installed), and GIF decode "
+        "natively; exotic variants need PIL/cv2"
     )
 
 
@@ -612,6 +622,37 @@ def attach_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     id_col: pdf[id_col].values,
                     "media": [
                         encode_webp_lossless(_synth_pixels(int(i)))
+                        for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(_gen, schema)
+
+
+def attach_gif_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, media: binary) with the SAME deterministic pixels as the P6 /
+    WebP fixtures, containerized as GIF for even ids and BMP for odd ids
+    — one leg exercising BOTH palettized-LZW decode (functions/gif.py)
+    and DIB row decode (functions/bmp.py) through the decode_image
+    dispatch. Both are lossless (the synth pattern has ≤256 distinct
+    colors, so the exact-palette GIF encoder applies), so the arithmetic
+    pixel oracle is unchanged."""
+    from data_diff_spark.functions.bmp import encode_bmp
+    from data_diff_spark.functions.gif import encode_gif
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [
+                        encode_gif(_synth_pixels(int(i)))
+                        if int(i) % 2 == 0
+                        else encode_bmp(_synth_pixels(int(i)))
                         for i in pdf[id_col]
                     ],
                 }

@@ -2215,16 +2215,36 @@ join s4 using (doc_id)
 """
 
 
+def q_gifbmp_decode_features(spark, sf_dir):
+    """REAL GIF + BMP decode paths in one leg: the same deterministic
+    pixels, containerized as exact-palette GIF (even ids — LZW, color
+    table) and 24-bit BMP (odd ids — DIB rows), decoded through the
+    decode_image dispatch (functions/gif.py, functions/bmp.py; both
+    pinned against independent in-test references). Lossless, so the
+    arithmetic pixel oracle applies unchanged."""
+    load_views(spark, sf_dir)
+    media = MM.attach_gif_bmp_media(spark.table("documents"))
+    return MM.extract_image_features(media).select(
+        "doc_id",
+        F.col("width").alias("gifbmp_width"),
+        F.col("height").alias("gifbmp_height"),
+        F.col("mean_r").alias("gifbmp_mean_r"),
+        F.col("mean_g").alias("gifbmp_mean_g"),
+        F.col("mean_b").alias("gifbmp_mean_b"),
+    )
+
+
 def q_multimodal_decode_all(spark, sf_dir):
-    """All four multimodal decode paths joined on doc_id: the deterministic
-    fake-decoder template (byte stats), the REAL netpbm image codec
-    (per-channel pixel means), the REAL RIFF/WAV audio codec
-    (RMS/zero-crossings), and the REAL WebP container round-trip — each an
-    Arrow-batched mapInPandas pipeline."""
+    """All five multimodal decode paths joined on doc_id: the
+    deterministic fake-decoder template (byte stats), the REAL netpbm
+    image codec (per-channel pixel means), the REAL RIFF/WAV audio codec
+    (RMS/zero-crossings), the REAL WebP container round-trip, and the
+    REAL GIF/BMP pair — each an Arrow-batched mapInPandas pipeline."""
     out = q_multimodal_features(spark, sf_dir)
     out = out.join(q_image_decode_features(spark, sf_dir), "doc_id")
     out = out.join(q_audio_decode_features(spark, sf_dir), "doc_id")
     out = out.join(q_webp_decode_features(spark, sf_dir), "doc_id")
+    out = out.join(q_gifbmp_decode_features(spark, sf_dir), "doc_id")
     return out
 
 
@@ -2233,17 +2253,22 @@ def _multimodal_all_oracle() -> str:
 with s1 as ({ORACLE_MULTIMODAL}),
 s2 as ({MM.ORACLE_IMAGE_FEATURES}),
 s3 as ({MM.ORACLE_AUDIO_FEATURES}),
-s4 as ({MM.ORACLE_IMAGE_FEATURES})
+s4 as ({MM.ORACLE_IMAGE_FEATURES}),
+s5 as ({MM.ORACLE_IMAGE_FEATURES})
 select s1.doc_id, s1.n_bytes, s1.content_md5, s1.byte_mean,
        s2.width, s2.height, s2.mean_r, s2.mean_g, s2.mean_b,
        s3.sample_rate, s3.n_samples, s3.rms, s3.n_zero_cross,
        s4.width as webp_width, s4.height as webp_height,
        s4.mean_r as webp_mean_r, s4.mean_g as webp_mean_g,
-       s4.mean_b as webp_mean_b
+       s4.mean_b as webp_mean_b,
+       s5.width as gifbmp_width, s5.height as gifbmp_height,
+       s5.mean_r as gifbmp_mean_r, s5.mean_g as gifbmp_mean_g,
+       s5.mean_b as gifbmp_mean_b
 from s1
 join s2 using (doc_id)
 join s3 using (doc_id)
 join s4 using (doc_id)
+join s5 using (doc_id)
 """
 
 
