@@ -479,6 +479,80 @@ def ivf_topk_from_layout(
     return out
 
 
+# --- SemDeDup (semantic near-dup removal) ------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    train_cap: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove semantic
+    duplicates by k-means clustering the embeddings and comparing pairs
+    ONLY within each cluster — the paper's observation is that semantic
+    duplicates land in the same cluster, so the quadratic pair search
+    shrinks from corpus² to sum(cell²).
+
+    Deterministic variant: the clusterer is the same exact-integer Lloyd
+    quantizer as IVF (train_ivf_centroids — md5-ordered bounded sample,
+    int64 arithmetic, ties to lowest cell), and instead of the paper's
+    "keep one random member per duplicate group" we mark row j a
+    duplicate of the SMALLEST lower id i in its cell with
+    cosine(i, j) >= threshold. Both choices make the whole pipeline a
+    pure function of the data, replayable in SQL by the DuckDB oracle.
+
+    Returns (id, cell, dup_of, dup_cosine): dup_of null = row is kept;
+    filter `dup_of is null` for the deduplicated corpus.
+
+    Scale shape: training reads a bounded sample; assignment is map-only
+    against the broadcast centroid literal; the intra-cell self-join is
+    an equi-join on cell — quadratic only WITHIN a cell, which is the
+    published algorithm's own cost model (n_cells must grow with the
+    corpus: the paper uses 50k clusters for LAION-scale; a hot cell is
+    a data-skew signal, not a plan defect)."""
+    c = _prepared(df, id_col, vec_col)
+    centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
+    assigned = (
+        _with_dists(c, "qv", centroids)
+        .withColumn("cell", F.array_min(_cell_structs(len(centroids)))["c"])
+        .drop("__dists__")
+        .persist()
+    )
+    other = assigned.select(
+        F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
+        F.col("nrm").alias("nrm_b"), "cell",
+    )
+    pairs = (
+        assigned.join(other, "cell")
+        .filter(F.col("id_b") < F.col("id"))
+        .select(
+            "id", "cell", "id_b",
+            (_qdot(F.col("qv"), F.col("qv_b")).cast("double")
+             / (F.col("nrm") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    best = pairs.groupBy("id").agg(
+        F.min(F.struct(F.col("id_b").alias("d"), F.col("cosine").alias("c"))).alias("m")
+    )
+    out = (
+        assigned.select("id", "cell")
+        .join(best, "id", "left")
+        .select(
+            "id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("m.d").alias("dup_of"),
+            F.col("m.c").alias("dup_cosine"),
+        )
+    )
+    out._ddspark_persisted = [assigned]
+    return out
+
+
 # --- DuckDB oracle builders -------------------------------------------------
 
 

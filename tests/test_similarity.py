@@ -163,3 +163,76 @@ def test_ivf_layout_self_describing(emb, queries, tmp_path):
         ).collect()
     )
     assert from_disk == with_cents
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+
+def _np_semdedup(rows, threshold, centroids):
+    """Independent brute-force replay of semdedup GIVEN the trained
+    centroids (training itself is pinned by the IVF oracle replay):
+    quantize, assign to nearest cell (ties to lowest), then per cell mark
+    each id's smallest lower-id neighbor with cosine >= threshold."""
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.round(np.array([r[1] for r in rows], dtype=np.float64) * SIM.QUANT_SCALE).astype(np.int64)
+    C = np.array(centroids, dtype=np.int64)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cell = d.argmin(axis=1)
+    nrm = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+    out = {}
+    order = np.argsort(ids)
+    for i in order:
+        dup_of, dup_cos = None, None
+        for j in order:
+            if ids[j] >= ids[i] or cell[j] != cell[i]:
+                continue
+            cos = float(X[i] @ X[j]) / (nrm[i] * nrm[j])
+            if cos >= threshold:
+                dup_of, dup_cos = int(ids[j]), cos
+                break  # smallest lower id wins
+        out[int(ids[i])] = (int(cell[i]), dup_of, dup_cos)
+    return out
+
+
+def test_semdedup_matches_bruteforce(emb):
+    sub = emb.filter(F.col("vec_id") < 200)
+    got = {r.id: (r.cell, r.dup_of, r.dup_cosine)
+           for r in SIM.semdedup(sub, threshold=0.9, n_cells=4).collect()}
+    cents = SIM.train_ivf_centroids(
+        SIM._prepared(sub, "vec_id", "embedding"), n_cells=4, n_iter=2
+    )
+    rows = [(r.vec_id, list(r.embedding)) for r in sub.collect()]
+    want = _np_semdedup(rows, 0.9, cents)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0], f"cell mismatch at {i}"
+        assert got[i][1] == want[i][1], f"dup_of mismatch at {i}"
+        if want[i][2] is not None:
+            assert abs(got[i][2] - want[i][2]) < 1e-12
+
+
+def test_semdedup_exact_copies_collapse(emb):
+    """Planted exact copies must always be marked duplicates of their
+    original (same vector -> same cell, cosine exactly 1)."""
+    copies = emb.limit(7).select(
+        (F.col("vec_id") + 555000).alias("vec_id"), "embedding"
+    )
+    out = SIM.semdedup(emb.unionAll(copies), threshold=0.999).collect()
+    by_id = {r.id: r for r in out}
+    for r in emb.limit(7).collect():
+        dup = by_id[r.vec_id + 555000]
+        assert dup.dup_of is not None
+        assert abs(dup.dup_cosine - 1.0) < 1e-9
+    # kept set is exactly the rows with dup_of null, and the planted
+    # copies are never kept
+    kept = {r.id for r in out if r.dup_of is None}
+    assert not kept & {r.vec_id + 555000 for r in emb.limit(7).collect()}
+
+
+def test_semdedup_impossible_threshold_keeps_all(emb):
+    sub = emb.filter(F.col("vec_id") < 100)
+    out = SIM.semdedup(sub, threshold=1.5).collect()
+    assert all(r.dup_of is None for r in out)
+    assert len(out) == sub.count()
