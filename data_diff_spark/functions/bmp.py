@@ -71,6 +71,11 @@ def decode_bmp(data: bytes):
         )
 
     if bpp == 8:
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError(
+                f"BMP pixel index {int(idx.max(initial=0))} beyond color "
+                f"table ({len(palette)} entries)"
+            )
         out = palette[idx]  # (h, w, 3)
         if (palette[:, 0] == palette[:, 1]).all() and (
             palette[:, 1] == palette[:, 2]

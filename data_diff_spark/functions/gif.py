@@ -450,6 +450,10 @@ def encode_gif(frames, delays_cs=None, disposal: int = 1,
         # animation marker): 11-byte identifier block, one 3-byte data
         # sub-block (id 1 + loop count 0 = forever), terminator
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    if delays_cs is not None and len(delays_cs) != len(arrs):
+        raise ValueError(
+            f"delays_cs has {len(delays_cs)} entries for {len(arrs)} frames"
+        )
     delays = delays_cs or [0] * len(arrs)
     mcs = max(bits, 2)
     for a, delay in zip(arrs, delays):

@@ -273,8 +273,8 @@ def decode_image(data: bytes):
         return decode_bmp(data)
     raise NotImplementedError(
         "netpbm (P5/P6), 8-bit PNG, baseline/progressive JPEG, WebP "
-        "(VP8L always; VP8 when libwebp is installed), and GIF decode "
-        "natively; exotic variants need PIL/cv2"
+        "(VP8L always; VP8 when libwebp is installed), GIF, and BMP "
+        "decode natively; exotic variants need PIL/cv2"
     )
 
 

@@ -29,7 +29,10 @@ module (SURVEY.md §7 step 7).
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import List, Optional
+
+logger = logging.getLogger(__name__)
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -490,6 +493,7 @@ def semdedup(
     train_cap: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    warn_cell_size: int = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove semantic
     duplicates by k-means clustering the embeddings and comparing pairs
@@ -526,8 +530,28 @@ def semdedup(
         F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
         F.col("nrm").alias("nrm_b"), "cell",
     )
+    if warn_cell_size:
+        hot = (
+            assigned.groupBy("cell").count()
+            .filter(F.col("count") > warn_cell_size)
+            .orderBy(F.desc("count")).limit(5).collect()
+        )
+        if hot:
+            logger.warning(
+                "semdedup: %d cell(s) exceed warn_cell_size=%d (top: %s). "
+                "The intra-cell pair join is quadratic within a cell; raise "
+                "n_cells (the paper scales cluster count with corpus size).",
+                len(hot), warn_cell_size,
+                [(int(r["cell"]), int(r["count"])) for r in hot],
+            )
     pairs = (
-        assigned.join(other, "cell")
+        # zero-norm guard: a vector quantizing to all zeros has nrm=0, and
+        # 0/0 cosine = NaN, which Spark orders ABOVE any double, so
+        # `NaN >= threshold` would be true; treat zero-norm rows as
+        # never-duplicate (matching the numpy/SQL oracles, where nan >= t
+        # is false)
+        assigned.filter(F.col("nrm") > 0)
+        .join(other.filter(F.col("nrm_b") > 0), "cell")
         .filter(F.col("id_b") < F.col("id"))
         .select(
             "id", "cell", "id_b",

@@ -140,3 +140,19 @@ def test_mutated_pixel_detected():
     data = bytearray(encode_bmp(img))
     data[-1] ^= 0xFF
     assert not (decode_bmp(bytes(data)) == img).all()
+
+
+def test_index_beyond_color_table_raises():
+    """A malformed BMP declaring biClrUsed=16 with pixel bytes >= 16 must
+    raise ValueError (the GIF path's contract), not a numpy IndexError."""
+    pal = bytes(bytearray([c for i in range(16) for c in (i, i, i, 0)]))
+    w, h = 4, 2
+    body = np.full((h, 4), 200, dtype=np.uint8)  # index 200 >= 16
+    pix_off = 14 + 40 + len(pal)
+    data = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, pix_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0, 0, 0, 16, 0)
+        + pal + body.tobytes()
+    )
+    with pytest.raises(ValueError, match="beyond color table"):
+        decode_bmp(data)

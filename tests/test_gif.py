@@ -398,3 +398,11 @@ def test_too_many_colors_refused():
     assert len(np.unique(img.reshape(-1, 3), axis=0)) > 256
     with pytest.raises(ValueError, match="quantize"):
         encode_gif(img)
+
+
+def test_delays_length_mismatch_raises():
+    """delays_cs shorter than the frame list must raise, not silently
+    zip-truncate frames out of the animation."""
+    frames = [ramp_rgb(4, 4), ramp_rgb(4, 4), ramp_rgb(4, 4)]
+    with pytest.raises(ValueError, match="3 frames"):
+        encode_gif(frames, delays_cs=[10, 10])

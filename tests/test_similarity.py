@@ -236,3 +236,21 @@ def test_semdedup_impossible_threshold_keeps_all(emb):
     out = SIM.semdedup(sub, threshold=1.5).collect()
     assert all(r.dup_of is None for r in out)
     assert len(out) == sub.count()
+
+
+def test_semdedup_zero_norm_never_duplicate(emb):
+    """Zero-norm embeddings (all-zero after quantization) must never be
+    marked duplicates: 0/0 cosine is NaN and Spark orders NaN above any
+    double, so without the guard `NaN >= threshold` would pair every
+    zero vector with every other zero vector in its cell."""
+    spark = emb.sparkSession
+    dim = len(emb.first()["embedding"])
+    zeros = spark.createDataFrame(
+        [(100001, [0.0] * dim), (100002, [0.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.id: r.dup_of
+           for r in SIM.semdedup(
+               emb.filter(F.col("vec_id") < 50).unionAll(zeros),
+               threshold=0.9, n_cells=2).collect()}
+    assert out[100001] is None and out[100002] is None
