@@ -33,10 +33,103 @@ def build_session(cpus: str) -> SparkSession:
     )
 
 
+def run_interleaved(ref: str, sf_dir: str, cpus: str, repeats: int,
+                    names, sf) -> None:
+    """A/B mode (SPARK_GRAFT_BENCH_BASELINE=<git-ref>): two persistent
+    workers — HEAD tree and a worktree of `ref` — each holding a warm
+    SparkSession; every entry runs ALTERNATELY on both, repeats times, in
+    one machine state. Reported per-entry ratios (head/base, min-of-repeats
+    each side) are drift-free: any cross-run claim ("X regressed 2x") made
+    from two separate bench runs conflates code with machine state, which
+    is exactly how two past rounds misread their trajectories."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    wt = os.path.join(root, ".scratch", "benchref",
+                      ref.replace("/", "_").replace("~", "_"))
+    if not os.path.isdir(os.path.join(wt, "data_diff_spark")):
+        subprocess.run(["git", "worktree", "add", "--detach", "-f", wt, ref],
+                       cwd=root, check=True, capture_output=True)
+
+    def spawn(tree: str) -> subprocess.Popen:
+        env = dict(os.environ, SPARK_GRAFT_BENCH_TREE=tree,
+                   SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=cpus)
+        return subprocess.Popen(
+            [sys.executable, os.path.join(root, "tools", "bench_worker.py")],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, env=env, cwd=tree,
+        )
+
+    def ask(w: subprocess.Popen, name: str) -> dict:
+        if name is not None:
+            w.stdin.write(name + "\n")
+            w.stdin.flush()
+        while True:
+            line = w.stdout.readline()
+            if not line:
+                return {"entry": name, "err": "worker died"}
+            if line.startswith("##AB## "):
+                return json.loads(line[7:])
+
+    head_w, base_w = spawn(root), spawn(wt)
+    ask(head_w, None), ask(base_w, None)  # wait for both ready lines
+    head, base, ratios, errors = {}, {}, {}, {}
+    for name in names:
+        hs, bs = [], []
+        for _ in range(repeats):
+            for w, acc in ((head_w, hs), (base_w, bs)):
+                r = ask(w, name)
+                if "sec" in r:
+                    acc.append(r["sec"])
+                elif "err" in r:
+                    errors.setdefault(name, r["err"])
+        if hs:
+            head[name] = min(hs)
+        if bs:
+            base[name] = min(bs)
+        if hs and bs:
+            ratios[name] = round(min(hs) / min(bs), 3)
+    for w in (head_w, base_w):
+        try:
+            w.stdin.write("QUIT\n")
+            w.stdin.flush()
+            w.wait(timeout=60)
+        except Exception:  # noqa: BLE001
+            w.kill()
+    common = [n for n in head if n in base]
+    th, tb = sum(head[n] for n in common), sum(base[n] for n in common)
+    out = {
+        "metric": "workload_ab", "ref": ref, "unit": "sec", "sf": sf,
+        "total_head": round(th, 3), "total_base": round(tb, 3),
+        "ratio_total": round(th / tb, 3) if tb else None,
+        "queries": head, "baseline": base, "ratios": ratios,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    baseline = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if baseline:
+        from data_diff_spark.workload import WORKLOAD as _W
+
+        only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        names = ([t.strip() for t in only.split(",") if t.strip()]
+                 if only else list(_W))
+        unknown = [n for n in names if n not in _W]
+        if unknown:
+            print(json.dumps({"error": f"unknown bench entries: {unknown}"}))
+            sys.exit(2)
+        run_interleaved(
+            baseline, sf_dir, cpus,
+            int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")), names, sf)
+        return
 
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -96,7 +189,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf,
     }
     if errors:
         out["errors"] = errors

@@ -15,7 +15,6 @@ Determinism rules used throughout so Spark and DuckDB hash-match bit-for-bit:
 from __future__ import annotations
 
 import os
-import weakref
 from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,40 +136,45 @@ def _must_equal(primary: DataFrame, *others: DataFrame) -> DataFrame:
     # lazily-persisted 7s variant pipeline could run up to 3x inside the
     # gate. Materializing up front runs each pipeline exactly once; the
     # union job then only reads cache.
+    #
+    # The counts are submitted CONCURRENTLY (one thread per variant): Spark
+    # accepts jobs from multiple driver threads, so gate wall-clock is
+    # max(variant), not sum(variant) — with FIFO scheduling the later jobs
+    # fill task slots the earlier ones leave idle at stage barriers.
     p = primary.persist()
-    p.count()
     handles = [p]
-    out = p
     for o in others:
-        a = o.select(*p.columns).persist()
-        a.count()
-        handles.append(a)
+        handles.append(o.select(*p.columns).persist())
+    if len(handles) == 1:
+        p.count()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(handles)) as ex:
+            # list() propagates the first exception, like the serial loop did
+            list(ex.map(lambda h: h.count(), handles))
+    out = p
+    for a in handles[1:]:
         out = out.unionAll(p.exceptAll(a)).unionAll(a.exceptAll(p))
     return _track_persisted(out, handles, primary, *others)
 
 
 def _track_persisted(out: DataFrame, handles, *inputs) -> DataFrame:
     """Attach persisted-cache handles to `out` (the `_ddspark_persisted`
-    contract from operators/hashdiff.py) and auto-release them when the
-    result object is garbage-collected. The driver's correctness harness
-    runs 50 entries in one session without calling unpersist; without the
-    finalizer each gate's caches would accumulate for the whole run."""
+    contract from operators/hashdiff.py), merging in any handles carried by
+    the inputs, so _with_cache_release can free them all deterministically.
+
+    Deliberately NOT a GC finalizer: releasing caches from weakref callbacks
+    fires py4j unpersist calls at arbitrary GC moments — including from
+    other threads mid-action — where they contend with the running job's
+    CacheManager/plan locks (measured: multi-second to 50s stalls on
+    queries whose own code was byte-identical). Release must happen on the
+    main thread between entries, never at GC time."""
     all_handles = list(getattr(out, "_ddspark_persisted", []))
     all_handles += list(handles)
     for src in inputs:
         all_handles += list(getattr(src, "_ddspark_persisted", []))
     out._ddspark_persisted = all_handles
-    out._ddspark_finalized = True
-    jdfs = [h._jdf for h in all_handles]
-
-    def _release(jdfs=jdfs):
-        try:
-            for j in jdfs:
-                j.unpersist(False)
-        except Exception:  # noqa: BLE001 - interpreter/JVM teardown races
-            pass
-
-    weakref.finalize(out, _release)
     return out
 
 
@@ -2411,19 +2415,31 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 }
 
 
+# Persisted handles from the most recently returned entry, released on the
+# main thread when the NEXT entry is invoked (by which point the previous
+# result has been drained — the driver/bench run entries strictly
+# sequentially). Deterministic release between entries is the replacement
+# for the GC-finalizer design, which stalled running jobs (see
+# _track_persisted).
+_PENDING_RELEASE: list = []
+
+
 def _with_cache_release(fn: QueryFn) -> QueryFn:
-    """Wrap a registry entry so any `_ddspark_persisted` handles on its
-    result are auto-released when the result DataFrame is GC'd. The
-    driver's correctness harness and bench run 50 entries in one session
-    without ever calling DiffResult.unpersist(); without this, every
-    diff/dedup entry's operator caches would accumulate for the whole run."""
+    """Wrap a registry entry so the PREVIOUS entry's `_ddspark_persisted`
+    handles are released before this entry runs. The driver's correctness
+    harness and bench run 50 entries in one session without ever calling
+    DiffResult.unpersist(); without this, every diff/dedup entry's operator
+    caches would accumulate for the whole run."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        while _PENDING_RELEASE:
+            h = _PENDING_RELEASE.pop()
+            try:
+                h.unpersist(False)
+            except Exception:  # noqa: BLE001 - session teardown races
+                pass
         out = fn(spark, sf_dir)
-        if getattr(out, "_ddspark_persisted", None) and not getattr(
-            out, "_ddspark_finalized", False
-        ):
-            _track_persisted(out, [])
+        _PENDING_RELEASE.extend(getattr(out, "_ddspark_persisted", []))
         return out
 
     wrapped.__name__ = fn.__name__
