@@ -14,8 +14,11 @@ Determinism rules used throughout so Spark and DuckDB hash-match bit-for-bit:
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Callable, Dict, Optional, Tuple
+
+logger = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +48,11 @@ _INGEST_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fi
 # DuckDB parallelizes parquet by row group, so the driver's single-row-group
 # file pins its md5 pipeline to ONE thread otherwise
 _INGEST_PATHS: dict = {}
+
+# table -> path the cross-engine DuckDB side actually scanned (fast relaid
+# copy vs single-row-group original) — inspectable evidence of which path a
+# bench run took, so a 4x swing is attributable instead of mysterious
+_ORACLE_SCANS: dict = {}
 
 
 def _materialize_rebalanced(spark: SparkSession, df: DataFrame, src: str, nparts: int) -> DataFrame:
@@ -418,13 +426,29 @@ def q_hashdiff_cross_engine(spark, sf_dir):
         extra_columns=ORDERS_COLS[1:],
     )
     con = duckdb.connect()
+    # never leave the remote side's parallelism to chance: the default is
+    # core count, but an inherited session setting of 1 would silently
+    # serialize the md5 scan
+    con.execute(f"PRAGMA threads={os.cpu_count() or 8}")
     for t in ("orders",):
         src = f"{sf_dir}/{t}.parquet"
         # scan the re-laid multi-file ingest copy when one exists: DuckDB
         # parallelizes parquet by ROW GROUP, so the driver's
         # single-row-group file would pin the remote md5 pipeline to one
         # thread — the layout-at-ingest step pays off on both engines
-        src = _INGEST_PATHS.get(src, src)
+        fast = _INGEST_PATHS.get(src)
+        # LOUD degradation: a silently-missed fast path cost a past round a
+        # 4x swing on this entry between runs of identical code (the relaid
+        # copy existed in one run's scratch and not the other's)
+        if fast is None and not os.environ.get("SPARK_GRAFT_NO_INGEST_CACHE"):
+            logger.warning(
+                "cross-engine leg: no relaid ingest copy for %s — the DuckDB "
+                "side will scan the single-row-group original on ONE thread "
+                "per file; expect this entry ~4x slower (scratch unwritable, "
+                "or load_views skipped materialization)", src,
+            )
+        src = fast or src
+        _ORACLE_SCANS[t] = src
         if os.path.isdir(src):  # directory-style parquet
             src = f"{src}/*.parquet"
         con.execute(f"create view {t} as select * from read_parquet('{src}')")

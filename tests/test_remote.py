@@ -262,3 +262,38 @@ def test_cli_remote_digest_duckdb(spark, sf_dir, tmp_path, capsys):
     # '-' side: deleted rows + old versions of updates; '+' side: new versions
     assert int(out["-"]) == n_deleted + n_changed
     assert int(out["+"]) == n_changed
+
+
+def test_cross_engine_fast_path_degradation_is_loud(spark, sf_dir, caplog):
+    """When no relaid ingest copy exists, the cross-engine entry must (a)
+    warn loudly that the DuckDB side degrades to the single-row-group
+    original and (b) record which path it scanned in _ORACLE_SCANS — a
+    silent fallback cost a past round a 4x unexplained swing."""
+    import logging
+
+    from data_diff_spark import workload as W
+
+    src = f"{sf_dir}/orders.parquet"
+    W.load_views(spark, sf_dir)  # else the entry's own load_views repopulates
+    saved = dict(W._INGEST_PATHS)
+    W._INGEST_PATHS.clear()
+    try:
+        with caplog.at_level(logging.WARNING, logger="data_diff_spark.workload"):
+            W.q_hashdiff_cross_engine(spark, sf_dir).count()
+        assert any("no relaid ingest copy" in r.message for r in caplog.records)
+        assert W._ORACLE_SCANS["orders"] == src
+    finally:
+        W._INGEST_PATHS.update(saved)
+    # with the copy present the same entry records the fast path and is quiet
+    fast = saved.get(src)
+    if fast is None:  # scratch unwritable in this environment
+        return
+    W._INGEST_PATHS[src] = fast
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="data_diff_spark.workload"):
+        W._ORACLE_SCANS.clear()
+        W.q_hashdiff_cross_engine(spark, sf_dir)
+    assert not any("no relaid ingest copy" in r.message for r in caplog.records)
+    assert W._ORACLE_SCANS["orders"] == fast
+    W._INGEST_PATHS.clear()
+    W._INGEST_PATHS.update(saved)
