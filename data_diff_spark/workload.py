@@ -1142,6 +1142,88 @@ select id_a, id_b, cosine from p where cosine >= 0.99
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the near-dup-augmented corpus:
+    deterministic Lloyd cells, intra-cell cosine pairs, each row marked
+    with its smallest lower-id duplicate. The planted copies (vec_id%10
+    re-scaled by 1.01, cosine ~1) guarantee real duplicate structure for
+    the gate to verify."""
+    load_views(spark, sf_dir)
+    return SIM.semdedup(_emb_augmented(spark), threshold=0.99, n_cells=16)
+
+
+def _semdedup_oracle(threshold=0.99, n_cells=16, n_iter=2, train_cap=2048,
+                     dim=EMB_DIM) -> str:
+    """DuckDB replay of semdedup INCLUDING its training loop (the same
+    Lloyd-CTE machinery as _ann_ivf_oracle, over the augmented corpus):
+    assign every row to its nearest cell, compute intra-cell cosine pairs
+    (zero-norm rows excluded — NaN cosine must never qualify), and mark
+    each id's smallest lower-id neighbor at cosine >= threshold."""
+    def dist(a, b):
+        return SIM.duckdb_int_l2(a, b, dim)
+
+    iter_sql, prev = _lloyd_iter_ctes(n_iter, dim)
+    return f"""
+with corpus as (
+  select vec_id, list_transform(embedding, x -> x::double) as emb from embeddings
+  union all
+  select vec_id + 1000000, list_transform(embedding, x -> x::double * 1.01)
+  from embeddings where vec_id % 10 = 0
+),
+q0 as (select vec_id as id,
+        list_transform(emb, x -> round(x * {SIM.QUANT_SCALE})::bigint) as qv
+       from corpus),
+m as (select id, qv, {SIM.duckdb_norm('qv', dim)} as nrm from q0),
+samp as (select qv, row_number() over (order by md5(id::varchar), id) as rn
+         from m order by md5(id::varchar), id limit {train_cap}),
+c0 as (select rn - 1 as cell, qv as cv from samp where rn <= {n_cells}),
+{iter_sql},
+acorp as (select id, qv, nrm, cell from (
+            select m.id, m.qv, m.nrm, c.cell,
+                   row_number() over (partition by m.id order by {dist('m.qv', 'c.cv')}, c.cell) as rk
+            from m cross join {prev} c) t where rk = 1),
+p as (select a.id, b.id as id_b,
+             {SIM.duckdb_dot('a.qv', 'b.qv', dim)}::double / (a.nrm * b.nrm) as cosine
+      from acorp a join acorp b on a.cell = b.cell and b.id < a.id
+      where a.nrm > 0 and b.nrm > 0),
+best as (select id, id_b, cosine,
+                row_number() over (partition by id order by id_b, cosine) as rk
+         from p where cosine >= {threshold})
+select a.id, a.cell::BIGINT as cell, b.id_b as dup_of, b.cosine as dup_cosine
+from acorp a left join (select * from best where rk = 1) b using (id)
+"""
+
+
+def q_embedding_neardup_all(spark, sf_dir):
+    """LSH-bucketed cosine near-dup pairs AND SemDeDup's cluster-scoped
+    duplicate marking over the same planted-duplicate corpus, as one
+    scope-tagged relation (both are embedding near-dup semantics; the
+    registry is capped at 50 entries). Columns are aligned: the semdedup
+    leg reports (id, dup_of, dup_cosine) as (id_a, id_b, cosine) plus its
+    cell; the pairs leg carries a null cell."""
+    raw_pairs = q_embedding_neardup(spark, sf_dir)
+    raw_sem = q_semdedup(spark, sf_dir)  # derived selects drop the
+    pairs = raw_pairs.select(           # _ddspark_persisted attr, so keep
+        F.lit("pairs").alias("scope"), "id_a", "id_b", "cosine",  # the raw
+        F.lit(None).cast("long").alias("cell"),                   # handles
+    )
+    sem = raw_sem.select(
+        F.lit("semdedup").alias("scope"), F.col("id").alias("id_a"),
+        F.col("dup_of").alias("id_b"), F.col("dup_cosine").alias("cosine"),
+        "cell",
+    )
+    return _track_persisted(pairs.unionAll(sem), [], raw_pairs, raw_sem)
+
+
+ORACLE_EMBEDDING_NEARDUP_ALL = f"""
+select 'pairs' as scope, id_a, id_b, cosine, NULL::BIGINT as cell
+from ({{pairs}})
+union all
+select 'semdedup' as scope, id as id_a, dup_of as id_b, dup_cosine as cosine, cell
+from ({{sem}})
+"""
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF approximate top-k. The coarse quantizer is the deterministic
     integer Lloyd of train_ivf_centroids (md5-ordered bounded sample, exact
@@ -1151,11 +1233,12 @@ def q_ann_topk_ivf(spark, sf_dir):
     return SIM.ivf_topk(_emb_base(spark), _emb_queries(spark), k=5)
 
 
-def _ann_ivf_oracle(k=5, n_cells=16, n_probe=4, n_iter=2, train_cap=2048, dim=EMB_DIM) -> str:
-    """DuckDB replay of ivf_topk including its training loop: seeds = first
-    n_cells rows in md5(id) order, n_iter unrolled Lloyd iterations with
-    floored integer centroid means, ties broken to the lowest cell —
-    bit-identical to train_ivf_centroids' numpy int64 arithmetic."""
+def _lloyd_iter_ctes(n_iter: int, dim: int) -> Tuple[str, str]:
+    """Unrolled deterministic integer Lloyd iterations as DuckDB CTEs —
+    bit-identical replay of train_ivf_centroids' numpy int64 arithmetic
+    (floored integer centroid means, assignment ties to the lowest cell).
+    Assumes CTEs `samp` (rn, qv — the md5-ordered bounded sample) and `c0`
+    (cell, cv — the seeds) exist. Returns (iter_sql, final_cte_name)."""
     def dist(a, b):
         return SIM.duckdb_int_l2(a, b, dim)
 
@@ -1174,7 +1257,18 @@ u{it} as (select cell, list(cv order by dim) as cv from (
 c{it} as (select {prev}.cell, coalesce(u{it}.cv, {prev}.cv) as cv
           from {prev} left join u{it} using (cell))""")
         prev = f"c{it}"
-    iter_sql = ",".join(iters)
+    return ",".join(iters), prev
+
+
+def _ann_ivf_oracle(k=5, n_cells=16, n_probe=4, n_iter=2, train_cap=2048, dim=EMB_DIM) -> str:
+    """DuckDB replay of ivf_topk including its training loop: seeds = first
+    n_cells rows in md5(id) order, n_iter unrolled Lloyd iterations with
+    floored integer centroid means, ties broken to the lowest cell —
+    bit-identical to train_ivf_centroids' numpy int64 arithmetic."""
+    def dist(a, b):
+        return SIM.duckdb_int_l2(a, b, dim)
+
+    iter_sql, prev = _lloyd_iter_ctes(n_iter, dim)
     return f"""
 with n as (select vec_id as id,
             list_transform(embedding, x -> round(x::double * {SIM.QUANT_SCALE})::bigint) as qv
@@ -2411,7 +2505,11 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_resolve": (q_dedup_resolve_all, _dedup_resolve_all_oracle()),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, _simhash_pairs_oracle()),
     "cosine_topk_exact": (q_cosine_topk, ORACLE_COSINE_TOPK),
-    "embedding_neardup_lsh": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
+    "embedding_neardup_lsh": (
+        q_embedding_neardup_all,
+        ORACLE_EMBEDDING_NEARDUP_ALL.format(
+            pairs=ORACLE_EMBEDDING_NEARDUP, sem=_semdedup_oracle()),
+    ),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_lsh_oracle()),
     "ann_topk_ivf": (q_ann_topk_ivf, _ann_ivf_oracle()),
     "multimodal_decode": (q_multimodal_decode_all, _multimodal_all_oracle()),
