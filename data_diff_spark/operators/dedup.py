@@ -315,6 +315,13 @@ def minhash_lsh_dedup(
 # index was built.
 
 
+def _bands_table_name(path: str) -> str:
+    import hashlib as _hl
+    import os as _os
+
+    return "lsh_bands_" + _hl.md5(_os.path.abspath(path).encode()).hexdigest()[:12]
+
+
 def lsh_index_write(
     df: DataFrame,
     path: str,
@@ -325,22 +332,58 @@ def lsh_index_write(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = 32,
 ) -> None:
     """Materialize the dedup index for a corpus: bands/ (id, band_idx,
-    band_hash) and shingles/ (id, shingles) parquet tables plus a params
-    manifest (a probe with different k/bands/rows/n would silently find
-    nothing — refused instead). Layout note: at scale, write bands/
-    bucketed by band_hash (sources.connect.write_bucketed) so increment
-    probes co-locate."""
+    band_hash) BUCKETED by band_hash (external Spark bucketed table at
+    <path>/bands, name + bucket count in the manifest) and shingles/
+    (id, shingles) parquet, plus a params manifest (a probe with
+    different k/bands/rows/n would silently find nothing — refused
+    instead). Bucketing-on-write is the at-scale point of a persisted
+    index: increment probes join the stored side WITHOUT an Exchange —
+    only the (small) new batch shuffles, to the bucket layout — pinned
+    in tests/test_plans.py::test_lsh_incremental_stored_side_no_exchange."""
     import json as _json
 
+    spark = df.sparkSession
     s = shingle_sets(df, n, text_col, id_col)
     sig = minhash_signatures(df, k, n, text_col, id_col, _shingles=s)
-    _band_rows(sig, bands, rows).write.mode("overwrite").parquet(f"{path}/bands")
+    tbl = _bands_table_name(path)
+    spark.sql(f"drop table if exists {tbl}")
+    (
+        _band_rows(sig, bands, rows)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .option("path", f"{path}/bands")
+        .saveAsTable(tbl)
+    )
     s.write.mode("overwrite").parquet(f"{path}/shingles")
-    meta = {"threshold": threshold, "k": k, "bands": bands, "rows": rows, "n": n}
+    meta = {"threshold": threshold, "k": k, "bands": bands, "rows": rows,
+            "n": n, "bands_table": tbl, "bands_buckets": n_buckets}
     with open(f"{path}/params.json", "w") as f:
         _json.dump(meta, f)
+
+
+def _bands_table(spark, index_path: str, p: dict) -> DataFrame:
+    """The stored bands relation, bucket-aligned: re-registers the external
+    bucketed table in a fresh session (the index is self-describing — the
+    manifest carries name + bucket count; the DDL re-derives the schema
+    from the files). Legacy manifests without a bucket spec fall back to a
+    plain parquet scan (correct, just shuffles on probe)."""
+    tbl = p.get("bands_table")
+    if not tbl:
+        return spark.read.parquet(f"{index_path}/bands")
+    if not spark.catalog.tableExists(tbl):
+        schema = spark.read.parquet(f"{index_path}/bands").schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"create table {tbl} ({cols}) using parquet "
+            f"clustered by (band_idx, band_hash) sorted by (band_idx, band_hash) "
+            f"into {p['bands_buckets']} buckets "
+            f"location '{index_path}/bands'"
+        )
+    return spark.table(tbl)
 
 
 def _lsh_index_params(path: str) -> dict:
@@ -375,22 +418,31 @@ def minhash_lsh_incremental(
     sig = minhash_signatures(new_docs, k, n, text_col, id_col, _shingles=s_new)
     new_bands = _band_rows(sig, bands, rows).persist()
 
-    old_bands = spark.read.parquet(f"{index_path}/bands")
-    all_bands = old_bands.unionByName(new_bands)
-    cand = (
+    # Probe new x stored and new x new SEPARATELY: a union of (bucketed
+    # stored ∪ new) would discard the stored side's bucket partitioning and
+    # shuffle the WHOLE index per increment. Split, the stored side joins
+    # Exchange-free (HashPartitioning(band_idx, band_hash) matches the
+    # probe-join keys exactly) and only the new batch
+    # shuffles — O(new), not O(corpus), per ingest.
+    old_bands = _bands_table(spark, index_path, p)
+    join_keys = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+    )
+    cand_old = (
         new_bands.alias("a")
-        .join(
-            all_bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
+        .join(old_bands.alias("b"), join_keys & (F.col("a.id") != F.col("b.id")))
         .select(
             F.least("a.id", "b.id").alias("id_a"),
             F.greatest("a.id", "b.id").alias("id_b"),
         )
-        .distinct()
     )
+    cand_new = (
+        new_bands.alias("a")
+        .join(new_bands.alias("b"), join_keys & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = cand_old.unionAll(cand_new).distinct()
     shingles = spark.read.parquet(f"{index_path}/shingles").unionByName(s_new)
     sa = shingles.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingles.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -408,7 +460,19 @@ def minhash_lsh_incremental(
         # is also reading is undefined
         out = out.persist()
         out.count()
-        new_bands.write.mode("append").parquet(f"{index_path}/bands")
+        if p.get("bands_table"):
+            # append THROUGH the bucketed table (spec must match the
+            # catalog's): a raw parquet append would break the bucket
+            # layout every later increment relies on
+            (
+                new_bands.write.mode("append")
+                .bucketBy(p["bands_buckets"], "band_idx", "band_hash")
+                .sortBy("band_idx", "band_hash")
+                .format("parquet")
+                .saveAsTable(p["bands_table"])
+            )
+        else:
+            new_bands.write.mode("append").parquet(f"{index_path}/bands")
         s_new.write.mode("append").parquet(f"{index_path}/shingles")
         out._ddspark_persisted = [s_new, new_bands, out]
     else:

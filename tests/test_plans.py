@@ -231,3 +231,62 @@ def test_lm_ngram_slices_stay_staged(spark):
     plan = plan_of(_doc_ngrams(docs, 3, "text", "doc_id"))
     assert "Generate" in plan
     assert plan.count("split(") <= 12, f"split expansion count {plan.count('split(')}"
+
+
+def test_lsh_incremental_stored_side_no_exchange(spark, sf_dir, tmp_path_factory):
+    """The persisted LSH index's bands table is bucketed by band_hash on
+    write, so an increment's probe join must read the STORED side with no
+    Exchange — only the new batch shuffles (to the bucket layout). At
+    100 TB this is the difference between O(new) and re-shuffling the
+    whole index per ingest."""
+    from data_diff_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path_factory.mktemp("lshidx") / "index")
+    DD.lsh_index_write(docs.filter(F.col("doc_id") % 3 != 0), idx)
+    p = DD._lsh_index_params(idx)
+    assert p["bands_table"] and p["bands_buckets"] > 0
+
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    s_new = DD.shingle_sets(new_docs, p["n"])
+    sig = DD.minhash_signatures(new_docs, p["k"], p["n"], _shingles=s_new)
+    new_bands = DD._band_rows(sig, p["bands"], p["rows"])
+    old_bands = DD._bands_table(spark, idx, p)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = new_bands.alias("a").join(
+            old_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        def stored_side_lines(plan):
+            # tree section lines NOT inside the left (probe) subtree, which
+            # explain prints with ':' continuation markers
+            tree = plan.split("\n\n")[0].splitlines()
+            return [ln for ln in tree if ":" not in ln]
+
+        plan = plan_of(j)
+        assert "lsh_bands_" in plan
+        # the stored side must join with NO Exchange: its bucketed scan's
+        # HashPartitioning(band_idx, band_hash) matches the join keys; the
+        # probe batch shuffles to the bucket layout instead
+        bad = [ln for ln in stored_side_lines(plan) if "Exchange" in ln]
+        assert not bad, plan
+        # and in a FRESH catalog the manifest re-registers the same layout
+        spark.sql(f"drop table if exists {p['bands_table']}")
+        re_reg = DD._bands_table(spark, idx, p)
+        plan2 = plan_of(
+            new_bands.alias("a").join(
+                re_reg.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            )
+        )
+        assert "lsh_bands_" in plan2
+        assert not [ln for ln in stored_side_lines(plan2) if "Exchange" in ln], plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"drop table if exists {p['bands_table']}")
