@@ -143,9 +143,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remote-dialect", default=None,
                    metavar="|".join(sorted(
                        ("duckdb", "postgresql", "mysql", "clickhouse", "snowflake",
-                        "mssql", "oracle", "bigquery", "trino", "redshift", "vertica"))),
+                        "mssql", "oracle", "bigquery", "trino", "redshift",
+                        "vertica", "derby"))),
                    help="SQL dialect for the remote side's digest query "
                         "(default: inferred from the URI scheme/subprotocol)")
+    p.add_argument("--remote-where", default=None,
+                   help="--where override for the REMOTE side, in the remote "
+                        "engine's SQL dialect (default: --where verbatim; "
+                        "needed when identifier quoting rules differ)")
     p.add_argument("--no-refine", action="store_true",
                    help="skip the 64-row sampling refinement of string "
                         "columns (uuid/json/alphanum kind detection)")
@@ -412,6 +417,7 @@ _JDBC_DIALECTS = {
     "sqlserver": "mssql", "oracle": "oracle", "clickhouse": "clickhouse",
     "redshift": "redshift", "vertica": "vertica", "trino": "trino",
     "presto": "trino", "snowflake": "snowflake", "bigquery": "bigquery",
+    "derby": "derby",
 }
 
 
@@ -428,14 +434,61 @@ def _spark_type_to_sql(dt) -> str:
     }.get(type(dt), "VARCHAR")
 
 
+def _remote_age_bounds(spark, args) -> dict:
+    """min/max-age boundaries computed ONCE client-side, so both engines
+    compare against the SAME instant — two engine-local now() calls would
+    disagree by query latency and misalign the windows (the reference also
+    computes min_update/max_update client-side, table_segment.py)."""
+    out = {}
+    if args.update_column and (args.min_age or args.max_age):
+        from datetime import timedelta
+
+        now = spark.sql("select current_timestamp() as t").first()["t"]
+        if args.min_age:
+            out["lt"] = now - timedelta(seconds=parse_duration_seconds(args.min_age))
+        if args.max_age:
+            out["gt"] = now - timedelta(seconds=parse_duration_seconds(args.max_age))
+    return out
+
+
+def _remote_relation(rel: str, args, bounds: dict, dialect) -> str:
+    """Wrap the remote relation in a subquery applying the SAME restriction
+    the Spark side gets: --remote-where (or --where) verbatim, plus the
+    update-column age window as shared literal boundaries. Without this,
+    every row outside the Spark side's window would surface as a spurious
+    exclusive '+' row."""
+    preds = []
+    where = args.remote_where or args.where
+    if where:
+        preds.append(f"({where})")
+    if bounds:
+        u = dialect.ident(args.update_column)
+        if "lt" in bounds:
+            preds.append(f"{u} < {dialect.ts_literal(bounds['lt'])}")
+        if "gt" in bounds:
+            preds.append(f"{u} > {dialect.ts_literal(bounds['gt'])}")
+    if not preds:
+        return rel
+    return f"(select * from {rel} where {' and '.join(preds)}) seg0"
+
+
 def _remote_digest_diff(spark, args, keys) -> int:
     """uri1 stays a Spark-side segment; uri2 becomes a RemoteSide that
     computes its own bucket digests (reference hashdiff deployment shape:
     only checksums + mismatched-bucket rows cross the wire)."""
+    from pyspark.sql import functions as F
+
     from data_diff_spark.operators import remote as RM
     from data_diff_spark.sources.connect import connect_to_table
 
     t1 = connect_to_table(spark, args.uri1, keys, args.update_column, None, args.where)
+    bounds = _remote_age_bounds(spark, args)
+    if bounds:  # batch mode applies this after its own branch; remote here
+        upd = F.col(args.update_column)
+        if "lt" in bounds:
+            t1 = t1.with_(df=t1.df.filter(upd < F.lit(bounds["lt"])))
+        if "gt" in bounds:
+            t1 = t1.with_(df=t1.df.filter(upd > F.lit(bounds["gt"])))
     uri = args.uri2
     if uri.startswith("duckdb://"):
         import duckdb
@@ -444,9 +497,14 @@ def _remote_digest_diff(spark, args, keys) -> int:
         if not rel:
             raise SystemExit("error: duckdb remote needs '#<table-or-query>'")
         con = duckdb.connect(db) if db else duckdb.connect()
+        rel = _remote_relation(rel, args, bounds, RM.DuckDBDialect())
         remote_cols = [r[0] for r in con.execute(f"describe select * from {rel}").fetchall()]
         compare = _remote_compare_columns(args, t1, remote_cols, keys)
-        side = RM.DuckDBSide(rel, keys, keys + compare, con=con)
+        t1 = t1.with_(extra_columns=tuple(compare))
+        # the remote column list mirrors the Spark side's relevant_columns
+        # (keys, update column, extras) POSITIONALLY — with -t set, a plain
+        # keys+compare order would misalign every checksum column
+        side = RM.DuckDBSide(rel, keys, list(t1.relevant_columns), con=con)
     elif uri.startswith("jdbc:"):
         sub = uri.split(":", 2)[1]
         name = args.remote_dialect or _JDBC_DIALECTS.get(sub)
@@ -459,22 +517,32 @@ def _remote_digest_diff(spark, args, keys) -> int:
 
         base, _, qs = uri.partition("?")
         opts = dict(parse_qsl(qs))
-        dbtable = opts.get("dbtable")
+        dbtable = opts.pop("dbtable", None)
         if not dbtable:
             raise SystemExit("error: jdbc remote needs ?dbtable=schema.tbl on the URI")
         uri = base
-        probe = (
-            spark.read.format("jdbc").option("url", uri)
-            .option("query", f"select * from {dbtable} where 1=0").load()
-        )
-        types = {f.name: _spark_type_to_sql(f.dataType) for f in probe.schema.fields}
-        compare = _remote_compare_columns(args, t1, list(types), keys)
-        side = RM.JdbcSide(spark, uri, dbtable, keys, keys + compare, types,
-                           dialect=RM.DIALECTS[name])
+        dia = RM.DIALECTS[name]
+        probe = spark.read.format("jdbc").option("url", uri).option(
+            "query", f"select * from {dbtable} where 1=0")
+        for k, v in opts.items():  # driver/user/password/... ride along
+            probe = probe.option(k, v)
+        probe = probe.load()
+        # remote identifiers rendered per the engine's fold rules: Spark's
+        # JDBC writer creates quoted-lowercase columns, which e.g. Derby's
+        # upper-fold only reaches quoted (verified live in test_cli_derby)
+        types = {dia.ident(f.name): _spark_type_to_sql(f.dataType)
+                 for f in probe.schema.fields}
+        raw_cols = [f.name for f in probe.schema.fields]
+        compare = _remote_compare_columns(args, t1, raw_cols, keys)
+        t1 = t1.with_(extra_columns=tuple(compare))
+        rel = _remote_relation(dbtable, args, bounds, dia)
+        side = RM.JdbcSide(spark, uri, rel,
+                           [dia.ident(k) for k in keys],
+                           [dia.ident(c) for c in t1.relevant_columns], types,
+                           dialect=dia, properties=opts)
     else:
         raise SystemExit("error: --remote-digest needs uri2 = duckdb://… or jdbc:…")
 
-    t1 = t1.with_(extra_columns=tuple(compare))
     diff = RM.hash_diff_remote(t1, side, n_buckets=args.n_buckets)
     try:
         if args.stats:

@@ -75,6 +75,30 @@ class RemoteDialect:
     name = "generic"
     # Most engines accept GROUP BY <ordinal>; Derby needs the expression.
     group_by_ordinal = True
+    # How the engine folds UNQUOTED identifiers: 'upper' | 'lower' | None.
+    # Set only where execution-verified (Derby); drives ident() below.
+    fold = None
+
+    def ident(self, name: str) -> str:
+        """Render a column identifier: quote it iff the engine's unquoted
+        fold could not find it. Spark's JDBC writer creates quoted
+        lowercase columns, which an upper-folding engine (Derby) can only
+        reach quoted."""
+        if name.startswith('"'):
+            return name
+        if self.fold == "upper" and name != name.upper():
+            return f'"{name}"'
+        if self.fold == "lower" and name != name.lower():
+            return f'"{name}"'
+        return name
+
+    def ts_literal(self, dt) -> str:
+        """Render a datetime as a SQL timestamp literal (standard form;
+        engines that reject it override — Derby only takes the TIMESTAMP()
+        function form, verified live)."""
+        s = dt.strftime("%Y-%m-%d %H:%M:%S") + (
+            f".{dt.microsecond:06d}" if dt.microsecond else "")
+        return f"TIMESTAMP '{s}'"
 
     def concat_ws_sql(self, parts: Sequence[str]) -> str:
         """'|'-joined fingerprint concatenation (parts are already
@@ -401,6 +425,14 @@ class DerbyDialect(RemoteDialect):
 
     name = "derby"
     group_by_ordinal = False
+    fold = "upper"  # unquoted identifiers fold to UPPERCASE (verified live)
+
+    def ts_literal(self, dt) -> str:
+        # Derby rejects the standard TIMESTAMP '...' literal (42X01);
+        # the TIMESTAMP('...') function form parses fractional seconds too
+        s = dt.strftime("%Y-%m-%d %H:%M:%S") + (
+            f".{dt.microsecond:06d}" if dt.microsecond else "")
+        return f"TIMESTAMP('{s}')"
 
     def concat_ws_sql(self, parts: Sequence[str]) -> str:
         return "(" + " || '|' || ".join(parts) + ")"

@@ -162,3 +162,78 @@ def test_derby_digest_sql_golden():
     assert "MD5HEX" in sql and "HEXLONG" in sql and "DBLSTR" in sql
     assert "concat_ws" not in sql
     assert 'trim(cast("k" as char(24)))' in sql
+
+
+# --- CLI end-to-end over live JDBC -------------------------------------------
+# The reference's remaining CLI scenario (tests/test_cli.py:29-77) never ran
+# against a real second engine; here the CLI binary path drives embedded
+# Derby through its jdbc: URI with a compound key and an update-column age
+# window — both sides restricted consistently, live.
+
+
+def test_cli_compound_key_against_live_derby(spark, orders, derby_orders,
+                                             derby_url, sf_dir, capsys):
+    from data_diff_spark.cli import main
+
+    rc = main([
+        f"parquet://{sf_dir}/orders.parquet",
+        f"{derby_url}?dbtable=orders_mod",
+        "-k", "o_orderkey", "-k", "o_custkey",
+        "--remote-digest", "--stats",
+    ], spark=spark)
+    assert rc == 0
+    out = dict(l.split(": ") for l in capsys.readouterr().out.strip().splitlines())
+    n = orders.count()
+    # 1% deleted + 1% updated -> '-'; 1% updated + 1% inserted -> '+'
+    assert int(out["-"]) == 2 * (n // 100)
+    assert int(out["+"]) == 2 * (n // 100)
+
+
+@pytest.fixture(scope="module")
+def derby_updated(spark, orders, derby_url, tmp_path_factory):
+    """orders + deterministic historic o_updated timestamps, parquet on the
+    Spark side and the 1%-modified copy INSIDE Derby."""
+    derby_setup(spark, derby_url)  # md5/hex/double helper functions
+    upd = F.to_timestamp(
+        F.concat(F.lit("2020-01-"), F.lpad((F.col("o_orderkey") % 28 + 1), 2, "0"))
+    )
+    base = orders.select(*COLS).withColumn("o_updated", upd)
+    p = tmp_path_factory.mktemp("cliupd") / "orders_upd"
+    base.write.mode("overwrite").parquet(str(p))
+    modified = (
+        base.filter("o_orderkey % 100 <> 1")
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 100 == 2, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    _jdbc_write(modified, derby_url, "orders_upd_mod")
+    return str(p)
+
+
+def test_cli_update_column_age_window_live(spark, orders, derby_updated,
+                                           derby_url, capsys):
+    """--max-age 1d excludes every (historic) row on BOTH engines -> zero
+    diffs; if the remote side were not restricted identically, each of its
+    rows would surface as a spurious '+'. --min-age 5min includes all ->
+    the full diff set, over live JDBC."""
+    from data_diff_spark.cli import main
+
+    base_args = [
+        f"parquet://{derby_updated}",
+        f"{derby_url}?dbtable=orders_upd_mod",
+        "-k", "o_orderkey", "--remote-digest", "--stats",
+        "-t", "o_updated",
+    ]
+    rc = main(base_args + ["--max-age", "1d"], spark=spark)
+    assert rc == 0
+    out = dict(l.split(": ") for l in capsys.readouterr().out.strip().splitlines())
+    assert int(out["-"]) == 0 and int(out["+"]) == 0
+
+    rc = main(base_args + ["--min-age", "5min"], spark=spark)
+    assert rc == 0
+    out = dict(l.split(": ") for l in capsys.readouterr().out.strip().splitlines())
+    n = orders.count()
+    assert int(out["-"]) == 2 * (n // 100)  # deletes + updates
+    assert int(out["+"]) == n // 100        # updates
