@@ -15,11 +15,14 @@ bytes), and baseline JPEG (functions/jpeg.py: SOF0, grey + YCbCr
 forward DCT/quantize/Huffman encoder; SOF2 progressive decodes through
 the same coefficient-accumulation core) — no external imaging library
 needed, and the uncompressed stages are deterministic so the DuckDB
-oracle can replay pixel statistics arithmetically. Only webp,
-arithmetic-coded JPEG and 16-bit/interlaced PNG genuinely need PIL/cv2,
-which this container does not ship; for those `decode_image` raises
-NotImplementedError with the swap-in point documented. `fake_decode`
-remains as the format-agnostic byte-stats path.
+oracle can replay pixel statistics arithmetically. WebP decodes natively
+for BOTH codecs (VP8L in functions/webp.py; lossy VP8 key frames in
+functions/vp8.py, RFC 6386 end-to-end), GIF in functions/gif.py, BMP in
+functions/bmp.py. Only arithmetic-coded JPEG and 16-bit/interlaced PNG
+genuinely need PIL/cv2, which this container does not ship; for those
+`decode_image` raises NotImplementedError with the swap-in point
+documented. `fake_decode` remains as the format-agnostic byte-stats
+path.
 
 MEDIA_SCHEMA:
     media:    binary                      raw encoded bytes
@@ -239,11 +242,11 @@ def decode_image(data: bytes):
     """Decode an image to a numpy array: (h, w) uint8 for P5 grayscale /
     8-bit grey PNG / greyscale JPEG, (h, w, 3|4) uint8 for P6 RGB /
     RGB(A) PNG / color baseline or progressive JPEG / WebP (libwebp via
-    ctypes when present — covering lossy VP8 too — else the native VP8L
-    decoder in functions/webp.py) / GIF (functions/gif.py: LZW,
-    interlace, animation compositing — first frame here; use
-    gif.decode_gif_frames for all frames). Remaining gates: lossy VP8
-    without libwebp, arithmetic-coded JPEG, 16-bit/interlaced PNG — swap in
+    ctypes when present, else fully native: VP8L in functions/webp.py,
+    lossy VP8 key frames in functions/vp8.py) / GIF (functions/gif.py:
+    LZW, interlace, animation compositing — first frame here; use
+    gif.decode_gif_frames for all frames). Remaining gates:
+    arithmetic-coded JPEG, 16-bit/interlaced PNG — swap in
     `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that
     ships PIL/cv2."""
     import numpy as np
@@ -273,8 +276,8 @@ def decode_image(data: bytes):
         return decode_bmp(data)
     raise NotImplementedError(
         "netpbm (P5/P6), 8-bit PNG, baseline/progressive JPEG, WebP "
-        "(VP8L always; VP8 when libwebp is installed), GIF, and BMP "
-        "decode natively; exotic variants need PIL/cv2"
+        "(both VP8L and lossy VP8 natively), GIF, and BMP decode "
+        "natively; exotic variants need PIL/cv2"
     )
 
 

@@ -20,8 +20,16 @@ constant in this decoder — the distance map, predictor modes, color
 transform channel layout — is pinned byte-exact against libwebp's decode
 of libwebp-ENCODED bitstreams across fixture families designed to
 exercise those tables (tests/test_webp.py). The native path exists for
-clusters without libwebp and as executable spec documentation; lossy VP8
-(DCT + bool-coder DSP) without libwebp remains the one documented gate.
+clusters without libwebp and as executable spec documentation.
+
+Round 6 closed the remaining gate: lossy VP8 key frames decode NATIVELY
+too (functions/vp8.py, the full RFC 6386 pipeline — bool decoder, token
+trees, dequant, iWHT/iDCT, intra prediction, loop filter), pinned
+bit-exact against libwebp's WebPDecodeYUV across sizes, qualities,
+segmentation states, and content families (tests/test_vp8.py). Without
+libwebp, decode_webp now covers BOTH WebP codecs; the only remaining
+difference is RGB presentation (yuv420_to_rgb uses the standard BT.601
+integer formula; libwebp's own RGB output applies its 'fancy' upsampler).
 
 Reference parity note: the reference engine has no media stack at all;
 this module serves the training-data pipeline story (SURVEY §2's
@@ -108,6 +116,65 @@ def encode_webp_lossless(arr) -> bytes:
         return ctypes.string_at(out, size)
     finally:
         lib.WebPFree(out)
+
+
+def encode_webp_lossy(arr, quality: float = 75.0) -> bytes:
+    """Lossy WebP (VP8 key frame) bytes from an RGB (h, w, 3) uint8 array
+    via libwebp's simple encoder — used to build conformance fixtures for
+    the native VP8 decoder (functions/vp8.py)."""
+    import numpy as np
+
+    lib = libwebp()
+    if lib is None:
+        raise NotImplementedError("libwebp.so not found on this machine")
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.ascontiguousarray(np.stack([a, a, a], axis=-1))
+    if a.shape[2] == 4:
+        a = np.ascontiguousarray(a[:, :, :3])
+    h_, w_ = a.shape[:2]
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = lib.WebPEncodeRGB(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w_, h_, w_ * 3, ctypes.c_float(quality), ctypes.byref(out),
+    )
+    if not size:
+        raise ValueError("libwebp lossy encode failed")
+    try:
+        return ctypes.string_at(out, size)
+    finally:
+        lib.WebPFree(out)
+
+
+def decode_webp_yuv_libwebp(data: bytes):
+    """(Y, U, V) uint8 planes via libwebp — the ORACLE for the native VP8
+    decoder: YUV planes are the normative decoder output (RFC 6386), before
+    any library-specific upsampling/colorspace conversion."""
+    import numpy as np
+
+    lib = libwebp()
+    if lib is None:
+        raise NotImplementedError("libwebp.so not found on this machine")
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    w, h = ctypes.c_int(), ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_uint8)()
+    v = ctypes.POINTER(ctypes.c_uint8)()
+    stride, uv_stride = ctypes.c_int(), ctypes.c_int()
+    buf = lib.WebPDecodeYUV(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                            ctypes.byref(u), ctypes.byref(v),
+                            ctypes.byref(stride), ctypes.byref(uv_stride))
+    if not buf:
+        raise ValueError("libwebp failed to decode the payload")
+    try:
+        W, H, s, us = w.value, h.value, stride.value, uv_stride.value
+        cw, ch = (W + 1) // 2, (H + 1) // 2
+        Y = np.frombuffer(ctypes.string_at(buf, s * H), np.uint8).reshape(H, s)[:, :W].copy()
+        U = np.frombuffer(ctypes.string_at(u, us * ch), np.uint8).reshape(ch, us)[:, :cw].copy()
+        V = np.frombuffer(ctypes.string_at(v, us * ch), np.uint8).reshape(ch, us)[:, :cw].copy()
+        return Y, U, V
+    finally:
+        lib.WebPFree(buf)
 
 
 # --- native VP8L decoder ----------------------------------------------------
@@ -585,10 +652,50 @@ def _find_chunk(data: bytes, fourcc: bytes) -> Optional[bytes]:
     return None
 
 
+def decode_webp_yuv(data: bytes):
+    """(Y, U, V) planes from a lossy WebP via the NATIVE VP8 decoder
+    (functions/vp8.py) — the normative RFC 6386 output, pinned bit-exact
+    against libwebp's WebPDecodeYUV in tests/test_vp8.py. `data` is a full
+    RIFF container or a raw 'VP8 ' chunk payload."""
+    from data_diff_spark.functions.vp8 import decode_vp8
+
+    payload = data
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        payload = _find_chunk(data, b"VP8 ")
+        if payload is None:
+            raise ValueError("container holds no lossy VP8 chunk")
+    return decode_vp8(payload)
+
+
+def yuv420_to_rgb(Y, U, V):
+    """4:2:0 YUV -> RGB (h, w, 3) uint8 with the standard BT.601
+    limited-range integer formula (chroma duplicated 2x2). NOTE: this is a
+    presentation choice, deterministic but NOT bit-identical to libwebp's
+    RGB output (libwebp applies its own 'fancy' chroma upsampler); the
+    normative, conformance-pinned decoder output is the YUV planes."""
+    import numpy as np
+
+    h, w = Y.shape
+    up = lambda P: np.repeat(np.repeat(P, 2, 0), 2, 1)[:h, :w].astype(np.int32)
+    y = 298 * (Y.astype(np.int32) - 16)
+    u = up(U) - 128
+    v = up(V) - 128
+    r = (y + 409 * v + 128) >> 8
+    g = (y - 100 * u - 208 * v + 128) >> 8
+    b = (y + 516 * u + 128) >> 8
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
 def decode_webp(data: bytes):
     """RGBA (h, w, 4) uint8 from a WebP container: libwebp when present
-    (fast, covers lossy VP8 too), else the native VP8L decoder; lossy VP8
-    without libwebp is the remaining documented gate."""
+    (fast path), else fully native — VP8L for lossless, the RFC 6386 VP8
+    decoder + BT.601 conversion for lossy."""
     if libwebp() is not None:
         return decode_webp_libwebp(data)
+    if data[:4] == b"RIFF" and _find_chunk(data, b"VP8 ") is not None:
+        import numpy as np
+
+        rgb = yuv420_to_rgb(*decode_webp_yuv(data))
+        return np.concatenate(
+            [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)], axis=2)
     return decode_vp8l(data)
