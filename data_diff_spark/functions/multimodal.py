@@ -18,7 +18,8 @@ needed, and the uncompressed stages are deterministic so the DuckDB
 oracle can replay pixel statistics arithmetically. WebP decodes natively
 for BOTH codecs (VP8L in functions/webp.py; lossy VP8 key frames in
 functions/vp8.py, RFC 6386 end-to-end), GIF in functions/gif.py, BMP in
-functions/bmp.py. Only arithmetic-coded JPEG and 16-bit/interlaced PNG
+functions/bmp.py; PNG covers 8/16-bit gray/RGB/gray+alpha/RGBA/palette,
+interlaced or not. Only arithmetic-coded JPEG and sub-byte-depth PNG
 genuinely need PIL/cv2, which this container does not ship; for those
 `decode_image` raises NotImplementedError with the swap-in point
 documented. `fake_decode` remains as the format-agnostic byte-stats
@@ -151,13 +152,25 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int):
     return out
 
 
+# Adam7 interlace pass geometry (PNG spec §8.2): (x0, y0, dx, dy) — pass p
+# holds the pixels at (y0 + i*dy, x0 + j*dx)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(data: bytes):
-    """Pure numpy+zlib PNG decode: 8-bit greyscale (color type 0),
-    RGB (2) and RGBA (6), non-interlaced — the shapes synthetic and
-    web-scraped thumbnails overwhelmingly use. Palette/16-bit/interlaced
-    PNGs raise (PIL swap-in applies). Returns (h,w) or (h,w,ch) uint8."""
+    """Pure numpy+zlib PNG decode: greyscale (color type 0), RGB (2),
+    palette (3), grey+alpha (4) and RGBA (6), at 8- OR 16-bit depth,
+    non-interlaced or Adam7-interlaced (each interlace pass unfiltered
+    independently, per spec §8.2). Returns (h,w) or (h,w,ch), uint8 for
+    8-bit and uint16 for 16-bit. Sub-byte depths (1/2/4-bit) raise (PIL
+    swap-in applies)."""
     import struct
     import zlib
+
+    import numpy as np
 
     if data[:8] != _PNG_SIG:
         raise ValueError("not a png")
@@ -172,12 +185,14 @@ def decode_png(data: bytes):
         pos += 12 + length  # length + type + crc
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
+            if depth not in (8, 16) or color not in (0, 2, 3, 4, 6) or (
+                    color == 3 and depth != 8):
                 raise NotImplementedError(
-                    "png: only 8-bit gray/RGB/palette/RGBA non-interlaced "
-                    "decode natively; 16-bit/interlaced need PIL"
+                    "png: 8/16-bit gray/RGB/gray+alpha/RGBA and 8-bit "
+                    "palette decode natively; sub-byte depths need PIL"
                 )
-            meta = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[color], color)
+            meta = (w, h, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color], color,
+                    depth, interlace)
         elif ctype == b"PLTE":
             plte = body
         elif ctype == b"IDAT":
@@ -186,20 +201,44 @@ def decode_png(data: bytes):
             break
     if meta is None:
         raise ValueError("png: missing IHDR")
-    w, h, ch, color = meta
+    w, h, ch, color, depth, interlace = meta
     raw = zlib.decompress(idat)
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("png: IDAT size mismatch")
-    px = _png_unfilter(raw, h, stride, ch)
+    bps = depth // 8
+    bpp = ch * bps  # the byte-level filter unit (spec §6.2)
+
+    def unfilter_sub(raw, off, wp, hp):
+        stride = wp * bpp
+        need = hp * (stride + 1)
+        if off + need > len(raw):
+            raise ValueError("png: IDAT size mismatch")
+        return _png_unfilter(raw[off:off + need], hp, stride, bpp), off + need
+
+    dtype = np.uint8 if depth == 8 else np.dtype(">u2")
+    if interlace == 0:
+        px, off = unfilter_sub(raw, 0, w, h)
+        if off != len(raw):
+            raise ValueError("png: IDAT size mismatch")
+        arr = np.frombuffer(px.tobytes(), dtype=dtype).reshape(h, w, ch)
+    else:
+        arr = np.zeros((h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp == 0 or hp == 0:  # empty pass: no scanlines at all
+                continue
+            px, off = unfilter_sub(raw, off, wp, hp)
+            sub = np.frombuffer(px.tobytes(), dtype=dtype).reshape(hp, wp, ch)
+            arr[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("png: IDAT size mismatch")
+    if depth == 16:
+        arr = arr.astype(np.uint16)
     if color == 3:  # palette lookup: index plane -> RGB
         if plte is None:
             raise ValueError("png: palette image without PLTE")
-        import numpy as np
-
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        return pal[px.reshape(h, w)]
-    arr = px.reshape((h, w, ch))
+        return pal[arr[:, :, 0]]
     return arr[:, :, 0] if ch == 1 else arr
 
 
@@ -246,7 +285,7 @@ def decode_image(data: bytes):
     lossy VP8 key frames in functions/vp8.py) / GIF (functions/gif.py:
     LZW, interlace, animation compositing — first frame here; use
     gif.decode_gif_frames for all frames). Remaining gates:
-    arithmetic-coded JPEG, 16-bit/interlaced PNG — swap in
+    arithmetic-coded JPEG, sub-byte-depth PNG — swap in
     `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that
     ships PIL/cv2."""
     import numpy as np

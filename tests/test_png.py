@@ -90,8 +90,9 @@ def test_decode_image_dispatch_and_gates():
     # container is malformed, not unsupported
     with pytest.raises((ValueError, NotImplementedError)):
         decode_image(b"RIFF....WEBPVP8 ")
-    # 16-bit png refused with the PIL pointer, not mis-decoded
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # sub-byte depth refused with the PIL pointer, not mis-decoded
+    # (16-bit and Adam7 decode natively since round 6)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     deep = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_png(deep)
@@ -110,3 +111,84 @@ def test_palette_png_decodes_via_plte():
         [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
          [[7, 7, 7], [255, 0, 0], [0, 255, 0]]], dtype=np.uint8)
     assert np.array_equal(got, want)
+
+
+# --- 16-bit and Adam7 interlace (round 6) -------------------------------------
+# Forward implementation written independently from the decoder: spec filter
+# direction, spec pass geometry (PNG §8.2), big-endian sample packing.
+
+_ADAM7_FWD = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _filter_rows(flat, stride, bpp):
+    """Forward-filter rows (filter type = row % 5) -> scanline bytes."""
+    scan = b""
+    for y in range(flat.shape[0]):
+        f = y % 5
+        row, out = flat[y], []
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=int)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            v = (row[x], row[x] - a, row[x] - b,
+                 row[x] - ((a + b) >> 1), row[x] - _paeth(a, b, c))[f]
+            out.append(v & 0xFF)
+        scan += bytes([f]) + bytes(out)
+    return scan
+
+
+def _build_png2(pixels, depth, interlace):
+    """pixels: (h, w, ch) ints < 2**depth. Emits a full PNG stream."""
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bps = depth // 8
+    bpp = ch * bps
+    dt = ">u2" if depth == 16 else "u1"
+    scan = b""
+    if interlace == 0:
+        rows = np.asarray(pixels, dtype=dt).reshape(h, -1).view(np.uint8)
+        rows = np.frombuffer(rows.tobytes(), np.uint8).reshape(h, w * bpp)
+        scan = _filter_rows(rows.astype(int), w * bpp, bpp)
+    else:
+        for x0, y0, dx, dy in _ADAM7_FWD:
+            sub = pixels[y0::dy, x0::dx]
+            hp, wp = sub.shape[:2]
+            if hp == 0 or wp == 0:
+                continue
+            rows = np.asarray(sub, dtype=dt).reshape(hp, -1).view(np.uint8)
+            rows = np.frombuffer(rows.tobytes(), np.uint8).reshape(hp, wp * bpp)
+            scan += _filter_rows(rows.astype(int), wp * bpp, bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4], ids=["grey", "greyA", "rgb", "rgba"])
+@pytest.mark.parametrize("depth", [8, 16])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_depth_interlace_matrix(ch, depth, interlace):
+    rng = np.random.default_rng(ch * depth + interlace)
+    px = rng.integers(0, 2 ** depth, size=(13, 11, ch)).astype(
+        np.uint16 if depth == 16 else np.uint8)
+    got = decode_png(_build_png2(px, depth, interlace))
+    want = px[:, :, 0] if ch == 1 else px
+    assert got.dtype == (np.uint16 if depth == 16 else np.uint8)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (2, 3), (7, 9), (8, 8), (9, 17)])
+def test_interlace_odd_sizes(shape):
+    """Adam7 with dimensions that leave some passes EMPTY (no scanlines at
+    all, per spec) — the classic interlace decoder bug."""
+    rng = np.random.default_rng(sum(shape))
+    px = rng.integers(0, 256, size=shape + (3,), dtype=np.uint8)
+    assert np.array_equal(decode_png(_build_png2(px, 8, 1)), px)
+
+
+def test_grey_alpha_noninterlaced():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(6, 5, 2), dtype=np.uint8)
+    got = decode_png(_build_png2(px, 8, 0))
+    assert got.shape == (6, 5, 2) and np.array_equal(got, px)
