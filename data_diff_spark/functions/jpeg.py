@@ -1,23 +1,29 @@
-"""Baseline JPEG decoder, pure numpy — no PIL/cv2/libjpeg.
+"""JPEG decoder, pure numpy — no PIL/cv2/libjpeg at decode time.
 
-Scope: baseline sequential DCT JPEGs (SOF0), 8-bit, grayscale or YCbCr
-with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart markers supported —
-i.e. the overwhelming majority of web-scraped training images.
-Progressive (SOF2), arithmetic coding, and 12-bit raise with the PIL
+Scope: sequential (SOF0) and progressive (SOF2) Huffman streams AND
+sequential (SOF9) / progressive (SOF10) ARITHMETIC-coded streams, 8-bit,
+grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart
+markers in both entropy modes — i.e. every DCT-based JPEG a crawled
+corpus contains. Lossless/hierarchical and 12-bit raise with the PIL
 swap-in pointer, same contract as the PNG/netpbm codecs in
 functions/multimodal.py.
 
-Pipeline (ITU-T T.81): marker parse (DQT/DHT/SOF0/SOS/DRI) → entropy
-decode (Huffman, byte-unstuffed bitstream, per-component DC prediction)
-→ dequantize → inverse zigzag → 8x8 IDCT (exact orthonormal DCT-III
-matrix product) → plane assembly with per-component sampling factors →
-chroma upsample (nearest) → YCbCr→RGB (BT.601) → level clip.
+Pipeline (ITU-T T.81): marker parse (DQT/DHT/DAC/SOF/SOS/DRI) → entropy
+decode (canonical Huffman over the byte-unstuffed bitstream, or the
+Annex D QM arithmetic decoder with the Annex F/G conditioning
+procedures) → dequantize → inverse zigzag → 8x8 IDCT (exact orthonormal
+DCT-III matrix product) → plane assembly with per-component sampling
+factors → chroma upsample (nearest) → YCbCr→RGB (BT.601) → level clip.
 
-Correctness evidence (tests/test_jpeg.py): the TEST implements the
-FORWARD direction — blocks → DCT-II → quantize → zigzag → Huffman
-encode with spec Annex K tables → marker stream — with no shared code,
-and the decoder must recover the coefficients' exact reconstruction.
-The IDCT itself is pinned against the DCT identity on random blocks.
+Correctness evidence: for Huffman (tests/test_jpeg.py) the TEST
+implements the FORWARD direction — blocks → DCT-II → quantize → zigzag
+→ Huffman encode with spec Annex K tables → marker stream — with no
+shared code, and the decoder must recover the coefficients' exact
+reconstruction; the IDCT is pinned against the DCT identity on random
+blocks. For arithmetic (tests/test_jpeg_arith.py) the oracle is the
+system libjpeg driven through a compiled shim: EXACT quantized-
+coefficient equality on libjpeg-encoded SOF9/SOF10 fixtures across
+qualities, sizes, restart intervals, and both grey and color.
 
 Throughput note: this is a correctness-first scalar/numpy decoder
 (~MB/s); at pipeline scale swap in PIL/libjpeg-turbo via decode_image's
@@ -528,6 +534,7 @@ def decode_jpeg(data: bytes):
     pos = 2
     qt: Dict[int, "np.ndarray"] = {}
     hufftabs: Dict[Tuple[int, int], _Huff] = {}  # (class 0=DC/1=AC, id)
+    arith_cond = {"dc_L": {}, "dc_U": {}, "ac_K": {}}  # DAC tables
     frame = None
     store = None  # per-component (blocksY, blocksX, 64) coefficient grids
     restart_interval = 0
@@ -559,7 +566,7 @@ def decode_jpeg(data: bytes):
                 symbols = list(body[p + 17:p + 17 + n])
                 hufftabs[(tc, th)] = _Huff(counts, symbols)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):  # SOF0/SOF2 huffman, SOF9/SOF10 arithmetic
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision; use PIL")
@@ -568,7 +575,8 @@ def decode_jpeg(data: bytes):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2}
+                     "progressive": marker in (0xC2, 0xCA),
+                     "arith": marker in (0xC9, 0xCA)}
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             frame["hmax"], frame["vmax"] = hmax, vmax
@@ -579,14 +587,26 @@ def decode_jpeg(data: bytes):
                          dtype=np.int32)
                 for c in comps
             ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "jpeg: only baseline (SOF0) and progressive (SOF2) huffman "
-                "decode natively; arithmetic/lossless/hierarchical need PIL"
+                "jpeg: baseline/extended/progressive in huffman OR "
+                "arithmetic coding decode natively; lossless/hierarchical "
+                "need PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p + 1 < len(body):
+                tc, tb = body[p] >> 4, body[p] & 0xF
+                cs = body[p + 1]
+                if tc == 0:
+                    arith_cond["dc_L"][tb] = cs & 0xF
+                    arith_cond["dc_U"][tb] = cs >> 4
+                else:
+                    arith_cond["ac_K"][tb] = cs
+                p += 2
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
@@ -598,10 +618,16 @@ def decode_jpeg(data: bytes):
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             params = {"ss": ss, "se": se, "ah": ahal >> 4, "al": ahal & 0xF}
             frame["saw_scan"] = True
-            pos = _decode_scan_coeffs(
-                data, pos + seglen, frame, scan, params, hufftabs,
-                restart_interval, store,
-            )
+            if frame.get("arith"):
+                pos = _decode_scan_coeffs_arith(
+                    data, pos + seglen, frame, scan, params, arith_cond,
+                    restart_interval, store,
+                )
+            else:
+                pos = _decode_scan_coeffs(
+                    data, pos + seglen, frame, scan, params, hufftabs,
+                    restart_interval, store,
+                )
             continue
         pos += seglen
     if frame is None or store is None:
@@ -808,3 +834,324 @@ def _reconstruct(frame, store, qt):
     b_ = y + 1.772 * cb
     rgb = np.stack([r_, g_, b_], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- arithmetic entropy decoding (T.81 Annex D + F.2.4 / G.2) ----------------
+# State-transition table D.3: (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS).
+# Normative constants of the public spec; transcribed from the system
+# libjpeg's exported jpeg_aritab (the same table) and recognizable by its
+# documented landmarks (Qe[0]=0x5A1D with Switch=1, the 0x5A7F/0x5AE1/0x5B12
+# fast-attack states, and the fixed terminal state 113 that transitions to
+# itself — used as the non-adaptive "fixed 0.5" bin for AC sign decisions).
+_ARITH_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0), (0x080B, 18, 4, 0),
+    (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0), (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0),
+    (0x0036, 30, 9, 0), (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1), (0x3F25, 36, 16, 0),
+    (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0), (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0),
+    (0x0CEF, 43, 21, 0), (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0), (0x01B1, 54, 28, 0),
+    (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0), (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0),
+    (0x0068, 62, 33, 0), (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0), (0x2EF1, 67, 40, 0),
+    (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0), (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0),
+    (0x1177, 73, 45, 0), (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0), (0x04DE, 50, 52, 0),
+    (0x040F, 50, 53, 0), (0x0363, 51, 54, 0), (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0),
+    (0x01F8, 54, 57, 0), (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0), (0x008F, 61, 32, 0),
+    (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0), (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0),
+    (0x2FE8, 83, 69, 0), (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0), (0x119C, 74, 76, 0),
+    (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0), (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0),
+    (0x5832, 80, 81, 1), (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0), (0x2516, 86, 71, 0),
+    (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0), (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0),
+    (0x3824, 99, 93, 0), (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0), (0x3C3D, 104, 100, 0),
+    (0x375E, 99, 93, 0), (0x5231, 105, 102, 0), (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0),
+    (0x415E, 103, 99, 0), (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1), (0x5522, 112, 109, 0),
+    (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+_FIXED_STATE = 113  # self-transitioning, never adapts: the 0.5 sign bin
+
+
+class _ArithDecoder:
+    """T.81 Annex D QM-decoder over one scan's entropy segment, in the
+    spec's software-conventions register layout (D.2 with the LPS
+    sub-interval at the top of the range and LAZY renormalization: A is
+    aligned to C with `<< CT` at decision time, and bytes are consumed at
+    the START of the next decision — the layout the reference
+    implementations use, so the lazy-init sequence below reproduces their
+    exact byte cadence). 0xFF00 unstuffs to a data 0xFF; a real marker
+    switches the feeder to zero-stuffing. Statistics bins are bytes in
+    caller-owned bytearrays: bit 7 = MPS sense, bits 0-6 = state index."""
+
+    __slots__ = ("data", "pos", "c", "a", "ct", "marker_at")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.marker_at = None
+        # lazy INITDEC: the first decision's renorm loop pulls the two
+        # initial bytes and leaves A=0x10000, C=(b0<<8)|b1, CT=0
+        self.a = 0
+        self.c = 0
+        self.ct = -16
+
+    def _byte(self) -> int:
+        d = self.data
+        if self.marker_at is not None or self.pos >= len(d):
+            return 0
+        b = d[self.pos]
+        if b == 0xFF:
+            q = self.pos + 1
+            while q < len(d) and d[q] == 0xFF:
+                q += 1
+            if q < len(d) and d[q] == 0x00:
+                self.pos = q + 1  # stuffed: 0xFF data byte
+                return 0xFF
+            self.marker_at = self.pos  # a real marker: feed zeros from now
+            return 0
+        self.pos += 1
+        return b
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        a, c, ct = self.a, self.c, self.ct
+        # renormalize & feed (deferred from the previous decision)
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = ((c << 8) | self._byte()) & 0xFFFFFFFF
+                ct += 8
+                if ct < 0:  # still initializing: two bytes needed
+                    ct += 1
+                    if ct == 0:
+                        a = 0x8000
+            a <<= 1
+        st = stats[i]
+        idx, mps = st & 0x7F, st >> 7
+        qe, nlps, nmps, switch = _ARITH_TAB[idx]
+        a -= qe
+        temp = a << ct  # align the MPS boundary with C's bit position
+        if c >= temp:
+            # LPS sub-interval (top of the range)
+            c -= temp
+            if a < qe:  # conditional exchange
+                d = mps
+                stats[i] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    mps = 1 - mps
+                stats[i] = (mps << 7) | nlps
+            a = qe
+        elif a < 0x8000:
+            if a < qe:  # conditional exchange
+                d = 1 - mps
+                if switch:
+                    mps = 1 - mps
+                stats[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                stats[i] = (mps << 7) | nmps
+        else:
+            d = mps
+        self.a, self.c, self.ct = a, c, ct
+        return d
+
+    def next_marker_pos(self) -> int:
+        if self.marker_at is not None:
+            return self.marker_at
+        d, p = self.data, self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and d[p + 1] != 0x00:
+                return p
+            p += 1
+        return len(d)
+
+
+def _decode_scan_coeffs_arith(data, pos, frame, scan, params, cond, ri, store):
+    """Arithmetic counterpart of _decode_scan_coeffs: sequential (SOF9)
+    full scans and all four progressive (SOF10) scan kinds, interleaved or
+    single-component, with restart intervals (statistics + decoder reset
+    per RSTn, per F.2.1.3). Coefficients land in zigzag order, matching
+    the Huffman path's store convention."""
+    comps = frame["comps"]
+    ss, se = params["ss"], params["se"]
+    ah, al = params["ah"], params["al"]
+    progressive = frame["progressive"]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+
+    # per-scan statistics areas, shared per conditioning-table id (F.1.4.4)
+    dc_stats = {s["dc"]: bytearray(64) for s in scan}
+    ac_stats = {s["ac"]: bytearray(256) for s in scan}
+    fixed = bytearray([_FIXED_STATE])
+    dc_context = [0] * len(comps)
+    last_dc = [0] * len(comps)
+    dec = _ArithDecoder(data, pos)
+
+    def dc_decode(ci, s):
+        tbl = s["dc"]
+        stats = dc_stats[tbl]
+        L = cond["dc_L"].get(tbl, 0)
+        U = cond["dc_U"].get(tbl, 1)
+        base = dc_context[ci]
+        if dec.decode(stats, base) == 0:
+            dc_context[ci] = 0
+            return 0
+        sign = dec.decode(stats, base + 1)
+        stp = base + 2 + sign
+        m = 0
+        if dec.decode(stats, stp):
+            # NB: unlike AC, the DC magnitude chain moves to X1 (bin 20,
+            # Table F.4) IMMEDIATELY for its second decision
+            m = 1
+            stp = 20
+            while dec.decode(stats, stp):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("jpeg: corrupt arithmetic stream")
+                stp += 1
+        # re-classify conditioning for the NEXT block (F.1.4.4.1.2)
+        if m < (1 << L) >> 1:
+            dc_context[ci] = 0
+        elif m > (1 << U) >> 1:
+            dc_context[ci] = 12 + sign * 4
+        else:
+            dc_context[ci] = 4 + sign * 4
+        v = m
+        stp += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(stats, stp):
+                v |= mm
+            mm >>= 1
+        v += 1
+        return -v if sign else v
+
+    def ac_decode_block(coeffs, s, kmin, kmax, shift):
+        tbl = s["ac"]
+        stats = ac_stats[tbl]
+        kx = cond["ac_K"].get(tbl, 5)
+        k = kmin
+        while k <= kmax:
+            stp = 3 * (k - 1)
+            if dec.decode(stats, stp):  # EOB
+                break
+            while dec.decode(stats, stp + 1) == 0:
+                stp += 3
+                k += 1
+                if k > kmax:
+                    raise ValueError("jpeg: corrupt arithmetic stream")
+            sign = dec.decode(fixed, 0)
+            stp += 2
+            m = 0
+            if dec.decode(stats, stp):
+                m = 1
+                if dec.decode(stats, stp):
+                    m = 2
+                    stp = 189 if k <= kx else 217
+                    while dec.decode(stats, stp):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError("jpeg: corrupt arithmetic stream")
+                        stp += 1
+            v = m
+            stp += 14
+            mm = m >> 1
+            while mm:
+                if dec.decode(stats, stp):
+                    v |= mm
+                mm >>= 1
+            v += 1
+            coeffs[k] = (-v if sign else v) << shift
+            k += 1
+
+    def ac_refine_block(coeffs, s, kmin, kmax):
+        tbl = s["ac"]
+        stats = ac_stats[tbl]
+        p1 = 1 << al
+        m1 = -1 << al
+        kex = kmax
+        while kex >= kmin and coeffs[kex] == 0:
+            kex -= 1
+        k = kmin
+        while k <= kmax:
+            stp = 3 * (k - 1)
+            if k > kex:
+                if dec.decode(stats, stp):  # EOB
+                    break
+            while True:
+                if coeffs[k]:  # history coefficient: correction bit
+                    if dec.decode(stats, stp + 2):
+                        coeffs[k] += m1 if coeffs[k] < 0 else p1
+                    break
+                if dec.decode(stats, stp + 1):  # newly nonzero
+                    coeffs[k] = m1 if dec.decode(fixed, 0) else p1
+                    break
+                stp += 3
+                k += 1
+                if k > kmax:
+                    raise ValueError("jpeg: corrupt arithmetic stream")
+            k += 1
+
+    def do_block(ci, by, bx, s):
+        coeffs = store[ci][by, bx]
+        if not progressive:
+            last_dc[ci] += dc_decode(ci, s)
+            coeffs[0] = last_dc[ci]
+            ac_decode_block(coeffs, s, 1, 63, 0)
+        elif ss == 0 and ah == 0:  # DC first
+            last_dc[ci] += dc_decode(ci, s)
+            coeffs[0] = last_dc[ci] << al
+        elif ss == 0:  # DC refinement: one fixed-bin decision
+            if dec.decode(fixed, 0):
+                coeffs[0] |= 1 << al
+        elif ah == 0:
+            ac_decode_block(coeffs, s, ss, se, al)
+        else:
+            ac_refine_block(coeffs, s, ss, se)
+
+    def restart(count):
+        nonlocal dec
+        if ri and count and count % ri == 0:
+            p = dec.next_marker_pos()
+            m = data[p + 1]
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError("jpeg: expected restart marker")
+            for b in dc_stats.values():
+                b[:] = bytes(64)
+            for b in ac_stats.values():
+                b[:] = bytes(256)
+            dc_context[:] = [0] * len(comps)
+            last_dc[:] = [0] * len(comps)
+            dec = _ArithDecoder(data, p + 2)
+
+    if len(scan) == 1:
+        s = scan[0]
+        ci = by_id[s["cs"]]
+        c = comps[ci]
+        cw = -(-frame["w"] * c["h"] // frame["hmax"])
+        ch = -(-frame["h"] * c["v"] // frame["vmax"])
+        wb, hb = -(-cw // 8), -(-ch // 8)
+        n = 0
+        for by in range(hb):
+            for bx in range(wb):
+                restart(n)
+                do_block(ci, by, bx, s)
+                n += 1
+    else:
+        by_cid = {s["cs"]: s for s in scan}
+        n = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                restart(n)
+                for ci, c in enumerate(comps):
+                    s = by_cid[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            do_block(ci, my * c["v"] + by, mx * c["h"] + bx, s)
+                n += 1
+    return dec.next_marker_pos()

@@ -19,8 +19,10 @@ oracle can replay pixel statistics arithmetically. WebP decodes natively
 for BOTH codecs (VP8L in functions/webp.py; lossy VP8 key frames in
 functions/vp8.py, RFC 6386 end-to-end), GIF in functions/gif.py, BMP in
 functions/bmp.py; PNG covers 8/16-bit gray/RGB/gray+alpha/RGBA/palette,
-interlaced or not. Only arithmetic-coded JPEG and sub-byte-depth PNG
-genuinely need PIL/cv2, which this container does not ship; for those
+interlaced or not; JPEG covers both Huffman and ARITHMETIC entropy
+coding, sequential and progressive (functions/jpeg.py). Only
+lossless/hierarchical JPEG and sub-byte-depth PNG genuinely need
+PIL/cv2, which this container does not ship; for those
 `decode_image` raises NotImplementedError with the swap-in point
 documented. `fake_decode` remains as the format-agnostic byte-stats
 path.
@@ -285,7 +287,7 @@ def decode_image(data: bytes):
     lossy VP8 key frames in functions/vp8.py) / GIF (functions/gif.py:
     LZW, interlace, animation compositing — first frame here; use
     gif.decode_gif_frames for all frames). Remaining gates:
-    arithmetic-coded JPEG, sub-byte-depth PNG — swap in
+    lossless/hierarchical JPEG, sub-byte-depth PNG — swap in
     `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that
     ships PIL/cv2."""
     import numpy as np
