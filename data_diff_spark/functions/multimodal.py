@@ -19,10 +19,10 @@ oracle can replay pixel statistics arithmetically. WebP decodes natively
 for BOTH codecs (VP8L in functions/webp.py; lossy VP8 key frames in
 functions/vp8.py, RFC 6386 end-to-end), GIF in functions/gif.py, BMP in
 functions/bmp.py; PNG covers 8/16-bit gray/RGB/gray+alpha/RGBA/palette,
-interlaced or not; JPEG covers both Huffman and ARITHMETIC entropy
-coding, sequential and progressive (functions/jpeg.py). Only
-lossless/hierarchical JPEG and sub-byte-depth PNG genuinely need
-PIL/cv2, which this container does not ship; for those
+interlaced or not, at every practical bit depth (1/2/4/8/16); JPEG
+covers both Huffman and ARITHMETIC entropy coding, sequential and
+progressive (functions/jpeg.py). Only lossless/hierarchical JPEG
+genuinely needs PIL/cv2, which this container does not ship; for that
 `decode_image` raises NotImplementedError with the swap-in point
 documented. `fake_decode` remains as the format-agnostic byte-stats
 path.
@@ -163,12 +163,15 @@ _ADAM7 = (
 
 
 def decode_png(data: bytes):
-    """Pure numpy+zlib PNG decode: greyscale (color type 0), RGB (2),
-    palette (3), grey+alpha (4) and RGBA (6), at 8- OR 16-bit depth,
+    """Pure numpy+zlib PNG decode, the complete practical matrix:
+    greyscale (color type 0) at 1/2/4/8/16 bits, RGB (2) and grey+alpha
+    (4) and RGBA (6) at 8/16 bits, palette (3) at 1/2/4/8 bits,
     non-interlaced or Adam7-interlaced (each interlace pass unfiltered
-    independently, per spec §8.2). Returns (h,w) or (h,w,ch), uint8 for
-    8-bit and uint16 for 16-bit. Sub-byte depths (1/2/4-bit) raise (PIL
-    swap-in applies)."""
+    independently, per spec §8.2; sub-byte rows bit-packed per pass).
+    Returns (h,w) or (h,w,ch): uint8 for depths <= 8 (sub-byte greys
+    scaled to full range by the exact 255/(2^d-1) factor, the standard
+    presentation; palette indices are never scaled) and uint16 for
+    16-bit."""
     import struct
     import zlib
 
@@ -187,11 +190,13 @@ def decode_png(data: bytes):
         pos += 12 + length  # length + type + crc
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth not in (8, 16) or color not in (0, 2, 3, 4, 6) or (
-                    color == 3 and depth != 8):
+            ok = (depth in (8, 16) and color in (0, 2, 4, 6)) or (
+                depth in (1, 2, 4) and color in (0, 3)) or (
+                depth == 8 and color == 3)
+            if not ok:
                 raise NotImplementedError(
-                    "png: 8/16-bit gray/RGB/gray+alpha/RGBA and 8-bit "
-                    "palette decode natively; sub-byte depths need PIL"
+                    "png: unsupported depth/color combination "
+                    f"({depth}-bit, type {color}); use PIL"
                 )
             meta = (w, h, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color], color,
                     depth, interlace)
@@ -205,22 +210,34 @@ def decode_png(data: bytes):
         raise ValueError("png: missing IHDR")
     w, h, ch, color, depth, interlace = meta
     raw = zlib.decompress(idat)
-    bps = depth // 8
-    bpp = ch * bps  # the byte-level filter unit (spec §6.2)
+    # filter unit: max(1, bytes per pixel) — sub-byte rows filter on whole
+    # bytes with bpp=1 (spec §6.2)
+    bpp = max(1, ch * (depth // 8))
 
     def unfilter_sub(raw, off, wp, hp):
-        stride = wp * bpp
+        stride = (wp * ch * depth + 7) // 8
         need = hp * (stride + 1)
         if off + need > len(raw):
             raise ValueError("png: IDAT size mismatch")
         return _png_unfilter(raw[off:off + need], hp, stride, bpp), off + need
 
-    dtype = np.uint8 if depth == 8 else np.dtype(">u2")
+    def samples(px, wp, hp):
+        """(hp, wp, ch) sample array from unfiltered row bytes."""
+        if depth == 16:
+            return np.frombuffer(px.tobytes(), np.dtype(">u2")).reshape(hp, wp, ch)
+        if depth == 8:
+            return np.frombuffer(px.tobytes(), np.uint8).reshape(hp, wp, ch)
+        bits = np.unpackbits(px, axis=1)  # MSB-first, per spec
+        vals = bits[:, :wp * depth].reshape(hp, wp, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (vals * weights).sum(axis=2, dtype=np.uint16).astype(
+            np.uint8).reshape(hp, wp, 1)
+
     if interlace == 0:
         px, off = unfilter_sub(raw, 0, w, h)
         if off != len(raw):
             raise ValueError("png: IDAT size mismatch")
-        arr = np.frombuffer(px.tobytes(), dtype=dtype).reshape(h, w, ch)
+        arr = samples(px, w, h)
     else:
         arr = np.zeros((h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8)
         off = 0
@@ -230,12 +247,14 @@ def decode_png(data: bytes):
             if wp == 0 or hp == 0:  # empty pass: no scanlines at all
                 continue
             px, off = unfilter_sub(raw, off, wp, hp)
-            sub = np.frombuffer(px.tobytes(), dtype=dtype).reshape(hp, wp, ch)
-            arr[y0::dy, x0::dx] = sub
+            arr[y0::dy, x0::dx] = samples(px, wp, hp)
         if off != len(raw):
             raise ValueError("png: IDAT size mismatch")
     if depth == 16:
         arr = arr.astype(np.uint16)
+    elif depth < 8 and color == 0:
+        # full-range grey presentation: exact for d in {1,2,4}
+        arr = (arr * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color == 3:  # palette lookup: index plane -> RGB
         if plte is None:
             raise ValueError("png: palette image without PLTE")
@@ -286,8 +305,8 @@ def decode_image(data: bytes):
     ctypes when present, else fully native: VP8L in functions/webp.py,
     lossy VP8 key frames in functions/vp8.py) / GIF (functions/gif.py:
     LZW, interlace, animation compositing — first frame here; use
-    gif.decode_gif_frames for all frames). Remaining gates:
-    lossless/hierarchical JPEG, sub-byte-depth PNG — swap in
+    gif.decode_gif_frames for all frames). Remaining gate:
+    lossless/hierarchical JPEG — swap in
     `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that
     ships PIL/cv2."""
     import numpy as np

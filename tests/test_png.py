@@ -90,9 +90,9 @@ def test_decode_image_dispatch_and_gates():
     # container is malformed, not unsupported
     with pytest.raises((ValueError, NotImplementedError)):
         decode_image(b"RIFF....WEBPVP8 ")
-    # sub-byte depth refused with the PIL pointer, not mis-decoded
-    # (16-bit and Adam7 decode natively since round 6)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    # an impossible depth/color combination is refused with the PIL
+    # pointer, not mis-decoded (all practical PNGs decode natively now)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # 4-bit RGB
     deep = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_png(deep)
@@ -192,3 +192,82 @@ def test_grey_alpha_noninterlaced():
     px = rng.integers(0, 256, size=(6, 5, 2), dtype=np.uint8)
     got = decode_png(_build_png2(px, 8, 0))
     assert got.shape == (6, 5, 2) and np.array_equal(got, px)
+
+
+# --- sub-byte depths (round 6, closing the PNG gate entirely) -----------------
+
+
+def _build_png_subbyte(samples, depth, color, interlace, plte=None):
+    """samples: (h, w) ints < 2**depth. Independent forward path: MSB-first
+    bit packing per scanline (padded to byte), filters on byte level with
+    bpp=1, Adam7 geometry re-packed per pass."""
+    h, w = samples.shape
+
+    def pack_rows(sub):
+        hp, wp = sub.shape
+        rows = np.zeros((hp, (wp * depth + 7) // 8 * 8), dtype=np.uint8)
+        for d in range(depth):
+            rows[:, :wp * depth][:, d::depth] = (sub >> (depth - 1 - d)) & 1
+        return np.packbits(rows, axis=1)
+
+    def filt(rows):
+        out = b""
+        prev = np.zeros(rows.shape[1], dtype=int)
+        for y in range(rows.shape[0]):
+            f = y % 5
+            row = rows[y].astype(int)
+            enc = []
+            for x in range(row.shape[0]):
+                a = row[x - 1] if x >= 1 else 0
+                b = prev[x]
+                c = prev[x - 1] if x >= 1 else 0
+                v = (row[x], row[x] - a, row[x] - b,
+                     row[x] - ((a + b) >> 1), row[x] - _paeth(a, b, c))[f]
+                enc.append(v & 0xFF)
+            out += bytes([f]) + bytes(enc)
+            prev = row
+        return out
+
+    scan = b""
+    if interlace == 0:
+        scan = filt(pack_rows(samples))
+    else:
+        for x0, y0, dx, dy in _ADAM7_FWD:
+            sub = samples[y0::dy, x0::dx]
+            if sub.size:
+                scan += filt(pack_rows(sub))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    chunks = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        chunks += _chunk(b"PLTE", plte)
+    return chunks + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_subbyte_grey(depth, interlace):
+    rng = np.random.default_rng(depth * 3 + interlace)
+    px = rng.integers(0, 1 << depth, size=(13, 11)).astype(np.uint8)
+    got = decode_png(_build_png_subbyte(px, depth, 0, interlace))
+    scale = 255 // ((1 << depth) - 1)
+    assert np.array_equal(got, (px * scale).astype(np.uint8))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_palette(depth):
+    rng = np.random.default_rng(depth)
+    n = 1 << depth
+    plte = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    px = rng.integers(0, n, size=(9, 14)).astype(np.uint8)
+    got = decode_png(_build_png_subbyte(px, depth, 3, 0, plte.tobytes()))
+    assert np.array_equal(got, plte[px])
+
+
+def test_subbyte_interlace_bit_padding():
+    """1-bit Adam7 with widths that force per-pass bit padding (each pass
+    packs its own rows to byte boundaries) — the packing edge case."""
+    rng = np.random.default_rng(0)
+    for shape in [(3, 9), (7, 17), (8, 8), (5, 1)]:
+        px = rng.integers(0, 2, size=shape).astype(np.uint8)
+        got = decode_png(_build_png_subbyte(px, 1, 0, 1))
+        assert np.array_equal(got, px * 255), shape
