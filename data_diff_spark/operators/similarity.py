@@ -577,6 +577,89 @@ def semdedup(
     return out
 
 
+def semdedup_incremental(
+    new_df: DataFrame,
+    layout_path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    append: bool = False,
+) -> DataFrame:
+    """SemDeDup for an ingest batch against a PERSISTED corpus: the
+    embedding analogue of minhash_lsh_incremental. New embeddings are
+    assigned to cells with the layout's STORED centroids (training frozen
+    at corpus build, loaded from centroids.json), then each new row is
+    marked a duplicate of the smallest lower-id member of its cell across
+    (stored corpus ∪ new batch) at cosine >= threshold. Probe cost is
+    O(new x matching cells) — the corpus is never re-paired.
+
+    Invariant (pinned in tests/test_similarity.py): when new ids exceed
+    all stored ids and the centroids match, full semdedup(old ∪ new)
+    restricted to the new ids equals this result, and its old rows are
+    untouched — re-ingest is O(new), bit-identically.
+
+    append=True writes the assigned new rows into the layout's cell
+    partitions (plain parquet append; idempotence is the caller's retry
+    concern, same contract as minhash_lsh_incremental).
+
+    Returns (id, cell, dup_of, dup_cosine) for the NEW rows only."""
+    import json
+    import os
+
+    spark = new_df.sparkSession
+    with open(os.path.join(layout_path, "centroids.json")) as f:
+        centroids = json.load(f)
+    c = _prepared(new_df, id_col, vec_col)
+    assigned = (
+        _with_dists(c, "qv", centroids)
+        .withColumn("cell", F.array_min(_cell_structs(len(centroids)))["c"])
+        .drop("__dists__")
+        .persist()
+    )
+    stored = spark.read.parquet(layout_path)
+    # new-vs-stored and new-vs-new separately (a union would re-shuffle the
+    # whole stored corpus; this way the stored side joins only on cell and
+    # partition pruning applies when the batch touches few cells)
+    sides = []
+    for other in (stored, assigned):
+        o = other.select(
+            F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
+            F.col("nrm").alias("nrm_b"), "cell",
+        )
+        sides.append(
+            assigned.filter(F.col("nrm") > 0)
+            .join(o.filter(F.col("nrm_b") > 0), "cell")
+            .filter(F.col("id_b") < F.col("id"))
+            .select(
+                "id", "id_b",
+                (_qdot(F.col("qv"), F.col("qv_b")).cast("double")
+                 / (F.col("nrm") * F.col("nrm_b"))).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+    best = sides[0].unionAll(sides[1]).groupBy("id").agg(
+        F.min(F.struct(F.col("id_b").alias("d"), F.col("cosine").alias("c"))).alias("m")
+    )
+    out = (
+        assigned.select("id", "cell")
+        .join(best, "id", "left")
+        .select(
+            "id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("m.d").alias("dup_of"),
+            F.col("m.c").alias("dup_cosine"),
+        )
+    )
+    if append:
+        out = out.persist()
+        out.count()  # materialize before mutating the layout being read
+        assigned.write.mode("append").partitionBy("cell").parquet(layout_path)
+        out._ddspark_persisted = [assigned, out]
+    else:
+        out._ddspark_persisted = [assigned]
+    return out
+
+
 # --- DuckDB oracle builders -------------------------------------------------
 
 

@@ -254,3 +254,76 @@ def test_semdedup_zero_norm_never_duplicate(emb):
                emb.filter(F.col("vec_id") < 50).unionAll(zeros),
                threshold=0.9, n_cells=2).collect()}
     assert out[100001] is None and out[100002] is None
+
+
+def test_semdedup_incremental_matches_full(emb, tmp_path_factory):
+    """The O(new)-per-ingest invariant: with new ids above all stored ids
+    and frozen centroids, full semdedup(old ∪ new) restricted to the new
+    ids == semdedup_incremental(new, layout) bit-identically, and the old
+    rows' marking is unchanged by the ingest."""
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 420)).unionAll(
+        # planted duplicates of stored rows: scaled copies, cosine ~ 1
+        old.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+        )
+    )
+    path = str(tmp_path_factory.mktemp("ivfsem") / "layout")
+    cents = SIM.write_ivf_layout(old, path, n_cells=4)
+
+    inc = {r.id: (r.cell, r.dup_of, r.dup_cosine)
+           for r in SIM.semdedup_incremental(new, path, threshold=0.9).collect()}
+
+    # the full-corpus pass with the SAME centroids: replicate semdedup's
+    # core on old ∪ new using the frozen training (semdedup itself would
+    # retrain on the union, which an incremental design explicitly freezes)
+    union = old.unionAll(new)
+    c = SIM._prepared(union, "vec_id", "embedding")
+    assigned = (
+        SIM._with_dists(c, "qv", cents)
+        .withColumn("cell", F.array_min(SIM._cell_structs(len(cents)))["c"])
+        .drop("__dists__")
+    )
+    o = assigned.select(F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
+                        F.col("nrm").alias("nrm_b"), "cell")
+    pairs = (
+        assigned.filter(F.col("nrm") > 0)
+        .join(o.filter(F.col("nrm_b") > 0), "cell")
+        .filter(F.col("id_b") < F.col("id"))
+        .select("id", "cell", "id_b",
+                (SIM._qdot(F.col("qv"), F.col("qv_b")).cast("double")
+                 / (F.col("nrm") * F.col("nrm_b"))).alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+    )
+    best = pairs.groupBy("id").agg(
+        F.min(F.struct(F.col("id_b").alias("d"), F.col("cosine").alias("c"))).alias("m"))
+    full = {r.id: (r.cell, r.dup_of, r.dup_cosine)
+            for r in assigned.select("id", "cell").join(best, "id", "left")
+            .select("id", F.col("cell").cast("long").alias("cell"),
+                    F.col("m.d").alias("dup_of"), F.col("m.c").alias("dup_cosine"))
+            .collect()}
+
+    new_ids = {r.vec_id for r in new.collect()}
+    assert set(inc) == new_ids
+    for i in new_ids:
+        assert inc[i] == full[i], f"mismatch at {i}: {inc[i]} vs {full[i]}"
+    # planted copies found their stored originals
+    dups = {i: v[1] for i, v in inc.items() if i >= 1000000}
+    assert dups and all(v == i - 1000000 for i, v in dups.items())
+
+
+def test_semdedup_incremental_append_chains(emb, tmp_path_factory):
+    """append=True makes the next increment see this one: a later batch
+    duplicating a FIRST-batch row must be marked against it."""
+    old = emb.filter(F.col("vec_id") < 100)
+    path = str(tmp_path_factory.mktemp("ivfsem2") / "layout")
+    SIM.write_ivf_layout(old, path, n_cells=2)
+    b1 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 140))
+    SIM.semdedup_incremental(b1, path, threshold=0.9, append=True).collect()
+    spark = emb.sparkSession
+    b2 = b1.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding")
+    out = {r.id: r.dup_of
+           for r in SIM.semdedup_incremental(b2, path, threshold=0.999).collect()}
+    assert out and all(v == i - 5000 for i, v in out.items())
