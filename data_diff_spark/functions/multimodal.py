@@ -369,11 +369,18 @@ def resize_image(data: bytes, width: int, height: int) -> bytes:
 
 
 def sample_frames(data: bytes, every_n: int = 1):
-    """Frame sampling over a 'video' = concatenated netpbm frames (the
-    uncompressed analogue of y4m): parse frames sequentially, return every
-    `every_n`-th decoded frame (starting at frame 0). Real containers
-    (mp4/mkv) need pyav/cv2 — same swap-in point as decode_image."""
+    """Frame sampling over a 'video': an MJPEG AVI container
+    (functions/avi.py — every frame an independent JPEG, decoded by the
+    native jpeg layer) or concatenated netpbm frames (the uncompressed
+    analogue of y4m). Returns every `every_n`-th decoded frame (starting
+    at frame 0). Other containers/codecs (mp4/mkv/H.264) need pyav/cv2 —
+    same swap-in point as decode_image."""
     import numpy as np
+
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from data_diff_spark.functions.avi import decode_avi_frames
+
+        return decode_avi_frames(data, every_n)
 
     frames, pos, idx = [], 0, 0
     while pos < len(data):

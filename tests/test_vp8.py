@@ -146,3 +146,35 @@ def test_tables_structural():
     assert T.AC_QLOOKUP[0] == 4 and T.AC_QLOOKUP[127] == 284
     assert all(a <= b for a, b in zip(T.DC_QLOOKUP, T.DC_QLOOKUP[1:]))
     assert all(a <= b for a, b in zip(T.AC_QLOOKUP, T.AC_QLOOKUP[1:]))
+
+
+@pytest.mark.parametrize("table,index", [
+    ("COEFF_UPDATE_PROBS", 0), ("KF_BMODE_PROBS", 5), ("DC_QLOOKUP", 75),
+])
+def test_table_mutation_breaks_conformance(table, index, monkeypatch):
+    """The conformance pins genuinely exercise the transcribed tables:
+    corrupting one entry must break bit-exactness (same honesty contract
+    as the VP8L distance-map mutation tests). COEFF_UPDATE_PROBS drives
+    1056 header decisions per frame, so any entry is load-bearing;
+    COEFF_PROBS defaults are partly overwritten by header updates, which
+    is itself evidence the update path is exercised."""
+    import data_diff_spark.functions.vp8 as vp8mod
+
+    img = np.random.default_rng(1).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    data = W.encode_webp_lossy(img, 60)
+    ref = W.decode_webp_yuv_libwebp(data)
+    orig = getattr(vp8mod, table)
+    mutated = bytearray(orig)
+    if table == "DC_QLOOKUP":
+        # the stream's quantizer index is data-dependent; shift every
+        # entry so the mutation is guaranteed on the decode path
+        mutated = bytearray(min(b + 2, 157) for b in orig)
+    else:
+        mutated[index] = (mutated[index] % 254) + 1  # different, still valid
+    monkeypatch.setattr(vp8mod, table, bytes(mutated))
+    try:
+        got = decode_vp8(payload(data))
+        same = all(np.array_equal(a, b) for a, b in zip(got, ref))
+    except Exception:
+        same = False  # a crash is also "detected"
+    assert not same, f"mutating {table}[{index}] went undetected"
