@@ -177,8 +177,8 @@ def band_codes(
 def cosine_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.99,
-    bands: int = 8,
-    rows_per_band: int = 4,
+    bands: int = 16,
+    rows_per_band: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -186,8 +186,18 @@ def cosine_pairs_lsh(
     """All pairs with cosine >= threshold: candidates = pairs agreeing on at
     least one full band of hyperplane signs, then exact verification. For
     theta = acos(threshold), per-band agreement is (1-theta/pi)^r; at
-    threshold 0.99 and 8x4 bands the miss probability is < 1e-13 — the
-    brute-force oracle matches."""
+    threshold 0.99 and 16x8 bands the per-pair miss probability is ~8e-9
+    — the brute-force oracle matches.
+
+    Scale note (measured, SURVEY §6.5): bucket occupancy n/2^r drives the
+    candidate join quadratically, so rows_per_band must GROW with the
+    corpus — the r5-default 4-bit bands cost 120s at a 22k-vector corpus
+    where these 8-bit bands cost seconds; at 100 TB size r to keep
+    n/2^r bounded (e.g. r=20 caps million-row buckets at ~1-per-million
+    density) and spend the saved candidates on more bands. ann_topk_lsh
+    deliberately keeps SHORTER bands (8x4): its operating point is
+    modest-cosine top-k neighbors, where 8-bit bands drop recall to ~0.25
+    (measured) — selectivity and recall trade off per task."""
     bc = band_codes(df, bands, rows_per_band, dim, id_col, vec_col)
     a, b = bc.alias("a"), bc.alias("b")
     cand = (
