@@ -498,7 +498,7 @@ def ivf_topk_from_layout(
 def semdedup(
     df: DataFrame,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: Optional[int] = 16,
     n_iter: int = 2,
     train_cap: int = 2048,
     id_col: str = "vec_id",
@@ -529,6 +529,11 @@ def semdedup(
     corpus: the paper uses 50k clusters for LAION-scale; a hot cell is
     a data-skew signal, not a plan defect)."""
     c = _prepared(df, id_col, vec_col)
+    if n_cells is None:
+        # the paper's rule: cluster count grows with the corpus so the
+        # intra-cell pair join stays bounded (~1k rows/cell keeps a cell's
+        # contribution at ~500k pairs); None = derive it from a count
+        n_cells = min(max(16, -(-c.count() // 1000)), train_cap)
     centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
     assigned = (
         _with_dists(c, "qv", centroids)
