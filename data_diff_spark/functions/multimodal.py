@@ -501,19 +501,27 @@ def _decode_ima_adpcm(raw: bytes, block_align: int):
 
 
 def decode_audio(data: bytes):
-    """Decode a mono RIFF/WAVE blob -> (sample_rate, int16 numpy array).
-    Native formats: PCM16 (tag 1), G.711 A-law (6) and mu-law (7) via
-    exact ITU LUTs, IMA/DVI ADPCM (0x11) via the block nibble walk —
-    i.e. the uncompressed-and-telephony WAV family, no codec library.
-    Walks the chunk list (tolerates extra chunks like LIST/fact).
-    Perceptual codecs (mp3/ogg/aac) need librosa/ffmpeg — not in this
-    container; same swap-in contract as decode_image."""
+    """Decode a mono audio blob -> (sample_rate, int16 numpy array).
+    Native formats: RIFF/WAVE with PCM16 (tag 1), G.711 A-law (6) and
+    mu-law (7) via exact ITU LUTs, IMA/DVI ADPCM (0x11) via the block
+    nibble walk, and FLAC (functions/flac.py — all subframe types and
+    stereo decorrelations; mono 16-bit delivered here). Walks the chunk
+    list (tolerates extra chunks like LIST/fact). Perceptual codecs
+    (mp3/ogg/aac) need librosa/ffmpeg — not in this container; same
+    swap-in contract as decode_image."""
     import struct
 
     import numpy as np
 
+    if data[:4] == b"fLaC":
+        from data_diff_spark.functions.flac import decode_flac
+
+        samples, rate = decode_flac(data)
+        if samples.shape[1] != 1:
+            raise NotImplementedError("only mono FLAC feeds decode_audio")
+        return rate, samples[:, 0].astype(np.int16)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise NotImplementedError("only RIFF/WAVE decodes natively; compressed audio needs librosa/ffmpeg")
+        raise NotImplementedError("only RIFF/WAVE and FLAC decode natively; compressed audio needs librosa/ffmpeg")
     pos, fmt, raw = 12, None, None
     while pos + 8 <= len(data):
         cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
