@@ -1,12 +1,15 @@
 """JPEG decoder, pure numpy — no PIL/cv2/libjpeg at decode time.
 
-Scope: sequential (SOF0) and progressive (SOF2) Huffman streams AND
-sequential (SOF9) / progressive (SOF10) ARITHMETIC-coded streams, 8-bit,
+Scope: sequential (SOF0) and progressive (SOF2) Huffman streams,
+sequential (SOF9) / progressive (SOF10) ARITHMETIC-coded streams (8-bit,
 grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart
-markers in both entropy modes — i.e. every DCT-based JPEG a crawled
-corpus contains. Lossless/hierarchical and 12-bit raise with the PIL
-swap-in pointer, same contract as the PNG/netpbm codecs in
-functions/multimodal.py.
+markers in both entropy modes — every DCT-based JPEG a crawled corpus
+contains), AND huffman LOSSLESS (SOF3, Annex H: all seven predictors,
+2-16 bit precision, point transform, SSSS=16 differences, restarts;
+pinned against an independent forward encoder in
+tests/test_jpeg_lossless.py). Arithmetic-lossless / hierarchical and
+12-bit DCT raise with the PIL swap-in pointer, same contract as the
+PNG/netpbm codecs in functions/multimodal.py.
 
 Pipeline (ITU-T T.81): marker parse (DQT/DHT/DAC/SOF/SOS/DRI) → entropy
 decode (canonical Huffman over the byte-unstuffed bitstream, or the
@@ -566,33 +569,44 @@ def decode_jpeg(data: bytes):
                 symbols = list(body[p + 17:p + 17 + n])
                 hufftabs[(tc, th)] = _Huff(counts, symbols)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):  # SOF0/SOF2 huffman, SOF9/SOF10 arithmetic
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/SOF2 huffman, SOF3 lossless, SOF9/SOF10 arithmetic
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
-            if prec != 8:
+            lossless = marker == 0xC3
+            if prec != 8 and not lossless:
                 raise NotImplementedError("jpeg: only 8-bit precision; use PIL")
+            if lossless and not (2 <= prec <= 16):
+                raise ValueError("jpeg: bad lossless precision")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker in (0xC2, 0xCA),
-                     "arith": marker in (0xC9, 0xCA)}
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "progressive": marker == 0xC2 or marker == 0xCA,
+                     "arith": marker in (0xC9, 0xCA),
+                     "lossless": lossless}
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             frame["hmax"], frame["vmax"] = hmax, vmax
             frame["mcux"] = -(-w // (8 * hmax))
             frame["mcuy"] = -(-h // (8 * vmax))
-            store = [
-                np.zeros((frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
-                         dtype=np.int32)
-                for c in comps
-            ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+            if lossless:
+                if hmax != 1 or vmax != 1:
+                    raise NotImplementedError(
+                        "jpeg: subsampled lossless not supported")
+                store = []
+            else:
+                store = [
+                    np.zeros((frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                             dtype=np.int32)
+                    for c in comps
+                ]
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "jpeg: baseline/extended/progressive in huffman OR "
-                "arithmetic coding decode natively; lossless/hierarchical "
-                "need PIL"
+                "jpeg: every DCT process (huffman/arithmetic, sequential/"
+                "progressive) and huffman lossless decode natively; "
+                "arithmetic-lossless/hierarchical need PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -618,6 +632,13 @@ def decode_jpeg(data: bytes):
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             params = {"ss": ss, "se": se, "ah": ahal >> 4, "al": ahal & 0xF}
             frame["saw_scan"] = True
+            if frame.get("lossless"):
+                result, pos = _decode_scan_lossless(
+                    data, pos + seglen, frame, scan, params, hufftabs,
+                    restart_interval,
+                )
+                frame["lossless_result"] = result
+                continue
             if frame.get("arith"):
                 pos = _decode_scan_coeffs_arith(
                     data, pos + seglen, frame, scan, params, arith_cond,
@@ -634,6 +655,8 @@ def decode_jpeg(data: bytes):
         raise ValueError("jpeg: no frame found")
     if not frame.get("saw_scan"):
         raise ValueError("jpeg: no scan found")
+    if frame.get("lossless"):
+        return frame["lossless_result"]
     return _reconstruct(frame, store, qt)
 
 
@@ -1155,3 +1178,92 @@ def _decode_scan_coeffs_arith(data, pos, frame, scan, params, cond, ri, store):
                             do_block(ci, my * c["v"] + by, mx * c["h"] + bx, s)
                 n += 1
     return dec.next_marker_pos()
+
+
+# --- lossless JPEG (SOF3, T.81 Annex H) --------------------------------------
+
+
+def _lossless_predict(out, ci, y, x, sel, default):
+    """Predictor Px (H.1.2.1). Ra = left, Rb = above, Rc = above-left.
+    First sample (and first after restart) uses the default; the rest of
+    the first line uses Ra; the first column of later lines uses Rb."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return out[ci][y][x - 1]        # Ra
+    if x == 0:
+        return out[ci][y - 1][x]        # Rb
+    ra = out[ci][y][x - 1]
+    rb = out[ci][y - 1][x]
+    rc = out[ci][y - 1][x - 1]
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"jpeg: bad lossless predictor {sel}")
+
+
+def _decode_scan_lossless(data, pos, frame, scan, params, hufftabs, ri):
+    """One lossless scan (Annex H): per-sample Huffman-coded differences
+    (the DC difference code, SSSS up to 16 where 16 carries no extra bits
+    and means 32768), predictor Ss, point transform Al. Samples are exact
+    modulo 2^16; output is the component planes stacked — the spec defines
+    no color transform for the lossless process. Returns
+    ((h, w [, nc]) array, next marker pos)."""
+    import numpy as np
+
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    sel = params["ss"]
+    pt = params["al"]
+    prec = frame["prec"]
+    default = 1 << (prec - pt - 1)
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    order = [by_id[s["cs"]] for s in scan]
+    tabs = {by_id[s["cs"]]: hufftabs[(0, s["dc"])] for s in scan}
+
+    out = [[[0] * w for _ in range(h)] for _ in comps]
+    r = _BitReader(data, pos)
+    n = 0
+    restart_origin = [0]  # first sample index after the last restart
+
+    def read_diff(tab):
+        t = r.decode_symbol(tab)
+        if t == 16:  # SSSS=16: difference 32768, no extra bits (H.1.2.2)
+            return 32768
+        return r.receive_extend(t)
+
+    for y in range(h):
+        for x in range(w):
+            if ri and n and n % ri == 0:
+                r.align_to_marker()
+                m = data[r.pos + 1]
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError("jpeg: expected restart marker")
+                r.pos += 2
+                r.bit = 0
+                restart_origin[0] = n
+            for ci in order:
+                diff = read_diff(tabs[ci])
+                if n == restart_origin[0]:
+                    pred = default
+                else:
+                    pred = _lossless_predict(out, ci, y, x, sel, default)
+                out[ci][y][x] = (pred + diff) & 0xFFFF
+            n += 1
+    r.align_to_marker()
+    planes = [np.array(p, dtype=np.uint16) << pt for p in out]
+    arr = planes[0] if len(planes) == 1 else np.stack(planes, axis=-1)
+    if prec <= 8:
+        arr = arr.astype(np.uint8)
+    return arr, r.pos

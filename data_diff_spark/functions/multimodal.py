@@ -21,8 +21,9 @@ functions/vp8.py, RFC 6386 end-to-end), GIF in functions/gif.py, BMP in
 functions/bmp.py; PNG covers 8/16-bit gray/RGB/gray+alpha/RGBA/palette,
 interlaced or not, at every practical bit depth (1/2/4/8/16); JPEG
 covers both Huffman and ARITHMETIC entropy coding, sequential and
-progressive (functions/jpeg.py). Only lossless/hierarchical JPEG
-genuinely needs PIL/cv2, which this container does not ship; for that
+progressive, plus huffman lossless SOF3 (functions/jpeg.py). Only
+arithmetic-lossless/hierarchical JPEG genuinely needs PIL/cv2, which
+this container does not ship; for that
 `decode_image` raises NotImplementedError with the swap-in point
 documented. `fake_decode` remains as the format-agnostic byte-stats
 path.
@@ -306,7 +307,7 @@ def decode_image(data: bytes):
     lossy VP8 key frames in functions/vp8.py) / GIF (functions/gif.py:
     LZW, interlace, animation compositing — first frame here; use
     gif.decode_gif_frames for all frames). Remaining gate:
-    lossless/hierarchical JPEG — swap in
+    arithmetic-lossless/hierarchical JPEG — swap in
     `np.asarray(PIL.Image.open(io.BytesIO(data)))` on a cluster that
     ships PIL/cv2."""
     import numpy as np

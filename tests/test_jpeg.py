@@ -284,9 +284,9 @@ def test_bad_input_gates():
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
     with pytest.raises(ValueError, match="no scan"):
         decode_jpeg(data)
-    # lossless (SOF3) still gated with the PIL pointer (sequential and
-    # progressive arithmetic decode natively since round 6)
-    data = (b"\xff\xd8" + bytes([0xFF, 0xC3]) + struct.pack(">H", 11)
+    # differential/hierarchical (SOF15) still gated with the PIL pointer
+    # (DCT huffman+arithmetic AND huffman lossless decode natively)
+    data = (b"\xff\xd8" + bytes([0xFF, 0xCF]) + struct.pack(">H", 11)
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_jpeg(data)

@@ -158,3 +158,25 @@ def test_sequential_and_progressive_agree(shim, tmp_path):
     a = decode_jpeg(_encode(shim, tmp_path, img, 80, 0, 0))
     b = decode_jpeg(_encode(shim, tmp_path, img, 80, 1, 0))
     assert np.array_equal(a, b)
+
+
+def test_state_table_mutation_breaks_conformance(shim, tmp_path, monkeypatch):
+    """Same honesty contract as the VP8 tables: corrupting one transcribed
+    T.81 D.3 entry must break the exact-coefficient pin (state 1 is on the
+    adaptation path of every frame)."""
+    img = np.random.default_rng(8).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    data = _encode(shim, tmp_path, img, 75, 0, 0)
+    oracle = _oracle_coefs(shim, tmp_path, data)
+    tab = list(J._ARITH_TAB)
+    qe, nl, nm, sw = tab[1]
+    tab[1] = (qe ^ 0x40, nl, nm, sw)
+    monkeypatch.setattr(J, "_ARITH_TAB", tuple(tab))
+    try:
+        mine, _ = _my_coefs(data)
+        m0 = np.zeros_like(mine[0])
+        m0[:, :, ZIGZAG] = mine[0]
+        same = np.array_equal(m0[:oracle[0].shape[0], :oracle[0].shape[1]],
+                              oracle[0].astype(np.int32))
+    except Exception:
+        same = False  # a crash is also "detected"
+    assert not same, "mutating _ARITH_TAB[1] went undetected"
