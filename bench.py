@@ -41,7 +41,18 @@ def run_interleaved(ref: str, sf_dir: str, cpus: str, repeats: int,
     one machine state. Reported per-entry ratios (head/base, min-of-repeats
     each side) are drift-free: any cross-run claim ("X regressed 2x") made
     from two separate bench runs conflates code with machine state, which
-    is exactly how two past rounds misread their trajectories."""
+    is exactly how two past rounds misread their trajectories.
+
+    Evidence discipline (round-7 hardening, after two runs of this
+    protocol disagreed 2x on one entry pair): every run writes its full
+    result — ALL samples per side, min AND spread, plus the parquet paths
+    each side's cross-engine oracle actually scanned — to
+    `AB_vs_<ref>.json` (override: SPARK_GRAFT_AB_OUT). A SURVEY ratio
+    claim without its committed artifact is hearsay. A worker that dies is
+    marked dead (no further requests — a write to its closed stdin used
+    to raise BrokenPipeError and abort the surviving side's run too);
+    remaining entries record per-entry errors for the dead side and real
+    timings for the live one."""
     import subprocess
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -60,29 +71,43 @@ def run_interleaved(ref: str, sf_dir: str, cpus: str, repeats: int,
             stderr=subprocess.DEVNULL, text=True, env=env, cwd=tree,
         )
 
+    dead: set = set()
+
     def ask(w: subprocess.Popen, name: str) -> dict:
-        if name is not None:
-            w.stdin.write(name + "\n")
-            w.stdin.flush()
-        while True:
-            line = w.stdout.readline()
-            if not line:
-                return {"entry": name, "err": "worker died"}
-            if line.startswith("##AB## "):
-                return json.loads(line[7:])
+        if id(w) in dead:
+            return {"entry": name, "err": "worker died (earlier)"}
+        try:
+            if name is not None:
+                w.stdin.write(name + "\n")
+                w.stdin.flush()
+            while True:
+                line = w.stdout.readline()
+                if not line:
+                    dead.add(id(w))
+                    return {"entry": name, "err": "worker died"}
+                if line.startswith("##AB## "):
+                    return json.loads(line[7:])
+        except (BrokenPipeError, OSError) as e:
+            dead.add(id(w))
+            return {"entry": name, "err": f"worker died: {type(e).__name__}"}
 
     head_w, base_w = spawn(root), spawn(wt)
     ask(head_w, None), ask(base_w, None)  # wait for both ready lines
     head, base, ratios, errors = {}, {}, {}, {}
+    samples = {"head": {}, "base": {}}
+    scans = {"head": {}, "base": {}}
     for name in names:
         hs, bs = [], []
         for _ in range(repeats):
-            for w, acc in ((head_w, hs), (base_w, bs)):
+            for w, acc, side in ((head_w, hs, "head"), (base_w, bs, "base")):
                 r = ask(w, name)
                 if "sec" in r:
                     acc.append(r["sec"])
+                    if r.get("oracle_scans"):
+                        scans[side][name] = r["oracle_scans"]
                 elif "err" in r:
-                    errors.setdefault(name, r["err"])
+                    errors.setdefault(f"{side}:{name}", r["err"])
+        samples["head"][name], samples["base"][name] = hs, bs
         if hs:
             head[name] = min(hs)
         if bs:
@@ -91,21 +116,39 @@ def run_interleaved(ref: str, sf_dir: str, cpus: str, repeats: int,
             ratios[name] = round(min(hs) / min(bs), 3)
     for w in (head_w, base_w):
         try:
-            w.stdin.write("QUIT\n")
-            w.stdin.flush()
+            if id(w) not in dead:
+                w.stdin.write("QUIT\n")
+                w.stdin.flush()
             w.wait(timeout=60)
         except Exception:  # noqa: BLE001
             w.kill()
     common = [n for n in head if n in base]
     th, tb = sum(head[n] for n in common), sum(base[n] for n in common)
+    spread = {
+        n: round(max(samples["head"][n] + samples["base"][n])
+                 / max(1e-9, min(samples["head"][n] + samples["base"][n])), 3)
+        for n in common
+        if samples["head"][n] and samples["base"][n]
+    }
     out = {
         "metric": "workload_ab", "ref": ref, "unit": "sec", "sf": sf,
+        "repeats": repeats, "cpus": cpus,
         "total_head": round(th, 3), "total_base": round(tb, 3),
         "ratio_total": round(th / tb, 3) if tb else None,
         "queries": head, "baseline": base, "ratios": ratios,
+        "samples": samples, "spread": spread, "oracle_scans": scans,
     }
     if errors:
         out["errors"] = errors
+    art = os.environ.get(
+        "SPARK_GRAFT_AB_OUT",
+        os.path.join(root, f"AB_vs_{ref.replace('/', '_')}.json"))
+    try:
+        with open(art, "w") as f:
+            json.dump(out, f, indent=1)
+        out["artifact"] = art
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

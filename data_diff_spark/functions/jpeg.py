@@ -595,6 +595,17 @@ def decode_jpeg(data: bytes):
                     raise NotImplementedError(
                         "jpeg: subsampled lossless not supported")
                 store = []
+                # Per-component output planes allocated ONCE at frame time
+                # (like the DCT path's `store`): a legal non-interleaved
+                # SOF3 file carries one scan per component, and each scan
+                # must fill only its components instead of overwriting a
+                # whole-frame result (ADVICE r6 — the old per-scan
+                # allocation returned only the last scan's plane).
+                frame["lossless_planes"] = [
+                    [[0] * w for _ in range(h)] for _ in comps
+                ]
+                frame["lossless_seen"] = set()
+                frame["lossless_pt"] = {}
             else:
                 store = [
                     np.zeros((frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
@@ -633,11 +644,10 @@ def decode_jpeg(data: bytes):
             params = {"ss": ss, "se": se, "ah": ahal >> 4, "al": ahal & 0xF}
             frame["saw_scan"] = True
             if frame.get("lossless"):
-                result, pos = _decode_scan_lossless(
+                pos = _decode_scan_lossless(
                     data, pos + seglen, frame, scan, params, hufftabs,
                     restart_interval,
                 )
-                frame["lossless_result"] = result
                 continue
             if frame.get("arith"):
                 pos = _decode_scan_coeffs_arith(
@@ -656,7 +666,7 @@ def decode_jpeg(data: bytes):
     if not frame.get("saw_scan"):
         raise ValueError("jpeg: no scan found")
     if frame.get("lossless"):
-        return frame["lossless_result"]
+        return _assemble_lossless(frame)
     return _reconstruct(frame, store, qt)
 
 
@@ -1217,11 +1227,17 @@ def _decode_scan_lossless(data, pos, frame, scan, params, hufftabs, ri):
     """One lossless scan (Annex H): per-sample Huffman-coded differences
     (the DC difference code, SSSS up to 16 where 16 carries no extra bits
     and means 32768), predictor Ss, point transform Al. Samples are exact
-    modulo 2^16; output is the component planes stacked — the spec defines
-    no color transform for the lossless process. Returns
-    ((h, w [, nc]) array, next marker pos)."""
-    import numpy as np
+    modulo 2^16. Fills only this scan's components in the frame-level
+    planes (non-interleaved SOF3 files carry one scan per component);
+    _assemble_lossless stacks them at EOI — the spec defines no color
+    transform for the lossless process. Returns the next marker pos.
 
+    Restart semantics (H.1.2.1): each restart interval begins exactly like
+    a scan — the first sample takes the default prediction 2^(P-Pt-1) and
+    the REMAINDER OF THAT LINE uses the 1-D horizontal predictor Ra; the
+    selected predictor resumes on the following line (ADVICE r6: the old
+    code reset only the first sample, silently mis-decoding DRI-marked
+    streams from conforming encoders)."""
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     sel = params["ss"]
@@ -1232,10 +1248,13 @@ def _decode_scan_lossless(data, pos, frame, scan, params, hufftabs, ri):
     order = [by_id[s["cs"]] for s in scan]
     tabs = {by_id[s["cs"]]: hufftabs[(0, s["dc"])] for s in scan}
 
-    out = [[[0] * w for _ in range(h)] for _ in comps]
+    out = frame["lossless_planes"]
+    for ci in order:
+        frame["lossless_seen"].add(ci)
+        frame["lossless_pt"][ci] = pt
     r = _BitReader(data, pos)
     n = 0
-    restart_origin = [0]  # first sample index after the last restart
+    ry, rx = 0, 0  # position of the first sample after the last restart
 
     def read_diff(tab):
         t = r.decode_symbol(tab)
@@ -1252,18 +1271,38 @@ def _decode_scan_lossless(data, pos, frame, scan, params, hufftabs, ri):
                     raise ValueError("jpeg: expected restart marker")
                 r.pos += 2
                 r.bit = 0
-                restart_origin[0] = n
+                ry, rx = y, x
             for ci in order:
                 diff = read_diff(tabs[ci])
-                if n == restart_origin[0]:
+                if y == ry and x == rx:
                     pred = default
+                elif y == ry:
+                    pred = out[ci][y][x - 1]    # Ra: interval's first line
+                elif x == 0:
+                    pred = out[ci][y - 1][x]    # Rb: first sample of a line
                 else:
                     pred = _lossless_predict(out, ci, y, x, sel, default)
                 out[ci][y][x] = (pred + diff) & 0xFFFF
             n += 1
     r.align_to_marker()
-    planes = [np.array(p, dtype=np.uint16) << pt for p in out]
-    arr = planes[0] if len(planes) == 1 else np.stack(planes, axis=-1)
-    if prec <= 8:
+    return r.pos
+
+
+def _assemble_lossless(frame):
+    """Stack the per-component lossless planes (filled by one or more
+    scans) into the final array, undoing the per-scan point transform."""
+    import numpy as np
+
+    planes = frame["lossless_planes"]
+    missing = set(range(len(frame["comps"]))) - frame["lossless_seen"]
+    if missing:
+        raise ValueError(
+            f"jpeg: lossless frame missing scans for components "
+            f"{sorted(missing)}")
+    pt = frame["lossless_pt"]
+    out = [np.array(p, dtype=np.uint16) << pt[ci]
+           for ci, p in enumerate(planes)]
+    arr = out[0] if len(out) == 1 else np.stack(out, axis=-1)
+    if frame["prec"] <= 8:
         arr = arr.astype(np.uint8)
-    return arr, r.pos
+    return arr

@@ -515,8 +515,17 @@ def decode_audio(data: bytes):
     import numpy as np
 
     if data[:4] == b"fLaC":
-        from data_diff_spark.functions.flac import decode_flac
+        from data_diff_spark.functions.flac import decode_flac, parse_streaminfo
 
+        # decode_flac handles any STREAMINFO bps (int32 samples), but this
+        # function's contract is 16-bit: a plain astype(int16) on 20/24/32-bit
+        # FLAC would silently WRAP the sample values, not scale them.
+        bps = parse_streaminfo(data)["bps"]
+        if bps != 16:
+            raise NotImplementedError(
+                f"decode_audio delivers mono 16-bit FLAC; this stream is "
+                f"{bps}-bit (decode_flac itself returns the exact int32 "
+                f"samples if you need them)")
         samples, rate = decode_flac(data)
         if samples.shape[1] != 1:
             raise NotImplementedError("only mono FLAC feeds decode_audio")

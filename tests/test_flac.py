@@ -291,3 +291,18 @@ def test_decode_audio_dispatches_flac():
     rate, samples = decode_audio(data)
     assert rate == 22050 and samples.dtype == np.int16
     assert samples.tolist() == vals
+
+
+def test_decode_audio_rejects_non16bit_flac():
+    """ADVICE r6: a plain astype(int16) on a 24-bit FLAC silently WRAPS
+    sample values. decode_audio must refuse non-16-bit streams loudly;
+    decode_flac itself still returns the exact int32 samples."""
+    from data_diff_spark.functions.multimodal import decode_audio
+
+    vals = [1 << 20, -(1 << 20), 5000000, -5000000]  # out of int16 range
+    data = _streaminfo(4, 44100, 1, 24, 4)
+    data += _frame(4, 0, 0, lambda w: _sub_verbatim(w, vals, 24), bps_code=6)
+    samples, rate = decode_flac(data)
+    assert samples[:, 0].tolist() == vals  # exact at 24-bit
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_audio(data)

@@ -63,10 +63,22 @@ def main() -> None:
                   flush=True)
             continue
         try:
+            from data_diff_spark import workload as _wl
+            # getattr: the HEAD worker script serves baseline trees too,
+            # and an old tree's workload may predate _ORACLE_SCANS
+            _scans = getattr(_wl, "_ORACLE_SCANS", {})
+            _scans.clear()
             t0 = time.time()
             df = WORKLOAD[name][0](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             out = {"entry": name, "sec": round(time.time() - t0, 3)}
+            # Evidence for the A/B artifact: which parquet copy the
+            # cross-engine oracle side scanned (relaid multi-file copy vs
+            # the single-row-group original is a documented ~4x swing on
+            # the hashdiff gate — a ratio claim must show both sides took
+            # the same path).
+            if _scans:
+                out["oracle_scans"] = dict(_scans)
         except Exception as e:  # noqa: BLE001
             out = {"entry": name, "err": f"{type(e).__name__}: {e}"[:200]}
         print("##AB## " + json.dumps(out), flush=True)
