@@ -327,3 +327,77 @@ def test_semdedup_incremental_append_chains(emb, tmp_path_factory):
     out = {r.id: r.dup_of
            for r in SIM.semdedup_incremental(b2, path, threshold=0.999).collect()}
     assert out and all(v == i - 5000 for i, v in out.items())
+
+
+def _uniform_vecs(spark, n, dim=8):
+    """Deterministic md5-spread embeddings in [-0.5, 0.5]^dim (the sizing
+    tests measure the auto-n_cells RULE, not clustering quality)."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.conv(F.substring(F.md5(F.concat_ws("_", F.col("id"), F.lit(d))), 1, 6), 16, 10)
+             .cast("double") / 16777215.0 - 0.5)
+            for d in range(dim)
+        ]).alias("embedding"),
+    )
+
+
+def test_semdedup_auto_cells_not_clamped_by_train_cap(spark):
+    """VERDICT r6 #2: n_cells=None derives ceil(rows/1000) cells; it used
+    to silently clamp at train_cap. 6000 uniform rows with train_cap=4
+    must yield the 16-cell floor (cell ids past 3 observed), not 4."""
+    vecs = _uniform_vecs(spark, 6000)
+    out = SIM.semdedup(vecs, threshold=0.999, n_cells=None,
+                       train_cap=4, warn_cell_size=0)
+    cells = [r["cell"] for r in out.select("cell").distinct().collect()]
+    assert max(cells) >= 4, f"clamped at old train_cap: cells={sorted(cells)}"
+    assert max(cells) <= 15  # derived n_cells = max(16, ceil(6000/1000))
+
+
+def test_semdedup_auto_cells_ceiling_is_loud(spark):
+    """Above max_auto_cells the auto mode must refuse with the ceiling
+    named, never quietly fall back to oversized cells."""
+    vecs = _uniform_vecs(spark, 6000)
+    with pytest.raises(ValueError, match="max_auto_cells"):
+        SIM.semdedup(vecs, n_cells=None, max_auto_cells=4)
+
+
+def test_argmin_cells_fast_path_matches_int_path():
+    """The BLAS fast path must be bit-identical to the exact int64 path
+    (incl. first-occurrence tie-breaks) within its 2^51 guard; beyond the
+    guard the chunked int path must equal the unchunked original."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    X = rng.randint(-(10**6), 10**6, size=(500, 16)).astype(np.int64)
+    C = rng.randint(-(10**6), 10**6, size=(37, 16)).astype(np.int64)
+    C[5] = C[31]  # force exact ties -> first occurrence must win
+    X[100] = C[5]
+    want = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    got = SIM._argmin_cells(X, C)
+    assert (got == want).all()
+    assert got[100] == 5
+    # big-magnitude branch (fast-path guard fails): chunked == unchunked
+    Xb = X * (1 << 20)
+    Cb = C * (1 << 20)
+    wantb = ((Xb[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert (SIM._argmin_cells(Xb, Cb) == wantb).all()
+
+
+def test_assign_cells_udf_path_matches_sql_path(spark, monkeypatch):
+    """_assign_cells has two plans, one semantics: the pandas-UDF BLAS
+    argmin (many centroids) must assign bit-identically to the SQL
+    literal-matrix transform (few centroids), including ties -> lowest
+    cell (duplicate centroids planted)."""
+    vecs = _uniform_vecs(spark, 3000)
+    prep = SIM._prepared(vecs, "vec_id", "embedding")
+    cents = SIM.train_ivf_centroids(prep, n_cells=24, n_iter=2, train_cap=64)
+    cents[7] = list(cents[3])  # exact tie: first occurrence (3) must win
+    monkeypatch.setattr(SIM, "_ASSIGN_UDF_MIN_CELLS", 10**9)
+    via_sql = {r["id"]: r["cell"]
+               for r in SIM._assign_cells(prep, cents).select("id", "cell").collect()}
+    monkeypatch.setattr(SIM, "_ASSIGN_UDF_MIN_CELLS", 1)
+    via_udf = {r["id"]: r["cell"]
+               for r in SIM._assign_cells(prep, cents).select("id", "cell").collect()}
+    assert via_sql == via_udf
+    assert 3 in set(via_sql.values()) and 7 not in set(via_sql.values())
