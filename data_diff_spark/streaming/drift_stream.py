@@ -17,6 +17,7 @@ batch is scored independently.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -118,3 +119,53 @@ class DriftMonitor:
         if trigger_once:
             w = w.trigger(availableNow=True)
         return w.start()
+
+
+def monitor_orders_bounded(spark, sf_dir: str, columns):
+    """Driver-gate harness (VERDICT r6 ask #3): score the orders table
+    against the deterministically-modified baseline BOTH ways — as one
+    batch frame and as a bounded stream through the real `sink()` path —
+    and return the two report DataFrames for a `_must_equal` arm.
+
+    The stream source is the single-file orders parquet with AvailableNow
+    and no maxFilesPerTrigger, so the bounded run is exactly ONE
+    micro-batch — the regime where the per-batch scorer must equal the
+    batch score bit-for-bit (the monitor scores each batch independently
+    by design; multi-batch state crossing is pinned in
+    tests/test_drift_stream.py). batch_id is kept in both reports so a
+    surprise batch split breaks the equality loudly instead of averaging
+    away."""
+    import shutil
+    import tempfile
+
+    from data_diff_spark.streaming.events_stream import _as_stream_dir
+    from data_diff_spark.workload import MODIFIED_ORDERS_SQL, load_views
+
+    load_views(spark, sf_dir)
+    cols = list(columns)
+    baseline = spark.sql(MODIFIED_ORDERS_SQL).select(*cols)
+    mon = DriftMonitor(baseline, columns=cols)
+
+    batch_rows = mon.score(spark.table("orders").select(*cols), batch_id=0)
+    batch_df = spark.createDataFrame(batch_rows, mon.REPORT_SCHEMA)
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_as_stream_dir(sf_dir, "orders"))
+        .select(*cols)
+    )
+    ckpt = tempfile.mkdtemp(prefix="drift_gate_ckpt_")
+    table = f"drift_gate_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    spark.sql(f"drop table if exists {table}")
+    try:
+        q = mon.sink(stream, ckpt, table, trigger_once=True)
+        q.awaitTermination()
+        q.stop()
+        # the report is |columns| rows — bounded driver collect by design
+        stream_df = spark.createDataFrame(
+            spark.table(table).collect(), mon.REPORT_SCHEMA)
+    finally:
+        spark.sql(f"drop table if exists {table}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return batch_df, stream_df

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 
 from data_diff_spark.operators.sketch import (
     DEFAULT_LG_K,
+    _est,
     distinct_rollup,
     refresh_distinct_rollup,
 )
@@ -79,3 +80,56 @@ def read_rollup(spark, root: str, version: int | None = None) -> DataFrame:
     """The rollup at a version (None = latest) — a plain versioned read,
     named for discoverability next to the sink."""
     return V.read_version(spark, root, version)
+
+
+def ndv_rollup_batch_equivalent(spark, sf_dir: str, n_batches: int = 2):
+    """Driver-gate harness (VERDICT r6 ask #3): fold the bounded events
+    stream into a FRESH versioned sketch rollup across ~n_batches
+    micro-batches (the relaid multi-file copy split by maxFilesPerTrigger,
+    so the union-merge path genuinely runs), then return
+    (batch_rollup_df, final_stream_rollup_df) over (event_type, n_rows,
+    user_id NDV) for a `_must_equal` arm. Equality is the module's own
+    losslessness contract made load-bearing: estimate(union of per-batch
+    sketches) == estimate(one-shot sketch) exactly, and n_rows is
+    exactly-once for a clean AvailableNow run. The final rollup is
+    |event_type| rows — bounded driver collect by design — so the scratch
+    table can be deleted before returning."""
+    import glob
+    import shutil
+    import tempfile
+
+    from data_diff_spark import workload as _wl
+    from data_diff_spark.streaming.events_stream import _as_stream_dir
+
+    _wl.load_views(spark, sf_dir)
+    by, cols = ["event_type"], ["user_id"]
+    batch = distinct_rollup(
+        spark.table("events").select("event_type", "user_id"), by, cols)
+
+    src = f"{sf_dir}/events.parquet"
+    relaid = getattr(_wl, "_INGEST_PATHS", {}).get(src)
+    reader = spark.readStream.option("pathGlobFilter", "part-*")
+    if relaid:
+        nfiles = len(glob.glob(os.path.join(relaid, "part-*")))
+        reader = reader.schema(spark.read.parquet(relaid).schema).option(
+            "maxFilesPerTrigger", max(1, -(-nfiles // n_batches)))
+        sdir = relaid
+    else:  # single-file original: one batch, merge path pinned in pytest
+        reader = reader.option("pathGlobFilter", "*.parquet").schema(
+            spark.read.parquet(src).schema)
+        sdir = _as_stream_dir(sf_dir, "events")
+    stream = reader.parquet(sdir).select("event_type", "user_id")
+
+    scratch = tempfile.mkdtemp(prefix="ndv_gate_")
+    root = os.path.join(scratch, "rollup")
+    try:
+        q = ndv_rollup_sink(stream, root, by, cols,
+                            os.path.join(scratch, "ckpt"), available_now=True)
+        q.awaitTermination()
+        q.stop()
+        final = read_rollup(spark, root).select(
+            "event_type", "n_rows", _est("user_id"))
+        final = spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return batch.select("event_type", "n_rows", _est("user_id")), final

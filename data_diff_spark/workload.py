@@ -386,6 +386,94 @@ ORACLE_DIFF_STATS_ORDERS = f"""
 select sign, count(*) as n from ({_orders_diff_oracle()}) group by sign
 """
 
+# numeric orders columns the gated drift arm monitors (categorical TVD uses
+# xxhash64 buckets — Spark-specific, so it stays pinned by the numpy oracle
+# in tests/test_drift.py; PSI is pure arithmetic and replays in DuckDB)
+DRIFT_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+def q_diff_stats_all(spark, sf_dir):
+    """'+/-/!' sign counts AND the streaming drift monitor in one scoped
+    relation (VERDICT r6 ask #3: drift_stream had no CORRECTNESS row).
+    The drift arm is _must_equal(batch score, bounded single-batch
+    streaming score through the real foreachBatch sink) — batch_id is
+    compared too, so a surprise batch split is a loud mismatch — and the
+    PSI values themselves are replayed by the DuckDB oracle (baseline =
+    the deterministically modified orders table, bins fixed from the
+    baseline only, exactly DriftMonitor's rule)."""
+    signs = q_diff_stats_orders(spark, sf_dir).select(
+        F.lit("signs").alias("scope"), F.col("sign").alias("k"),
+        F.lit("count").alias("metric"), F.col("n").cast("double").alias("value"),
+        F.lit(None).cast("double").alias("aux_a"),
+        F.lit(None).cast("double").alias("aux_b"),
+        F.lit(False).alias("flag"),
+    )
+    from data_diff_spark.streaming.drift_stream import monitor_orders_bounded
+
+    b, s = monitor_orders_bounded(spark, sf_dir, DRIFT_COLS)
+
+    def shape(df):
+        return df.select(
+            F.lit("drift").alias("scope"), F.col("column").alias("k"),
+            "metric", F.round("value", 6).alias("value"),
+            F.col("null_rate_baseline").alias("aux_a"),
+            F.col("null_rate_batch").alias("aux_b"),
+            F.col("drifted").alias("flag"), "batch_id",
+        )
+
+    drift = _must_equal(shape(b), shape(s))
+    return signs.unionAll(drift.select(*signs.columns))
+
+
+def _drift_psi_col_oracle(c: str) -> str:
+    """DuckDB replay of DriftMonitor's PSI for one numeric column:
+    baseline-pinned equi-width bins (20), +1e-6 smoothing, natural log —
+    the same IEEE double pipeline as operators/drift._bin_counts, so the
+    only divergence risk is summation order, absorbed by round(...,6)."""
+    return f"""
+select 'drift' as scope, '{c}' as k, 'psi' as metric,
+       round(psi, 6) as value, nr_base as aux_a, nr_cur as aux_b,
+       psi > 0.2 as flag
+from (
+  with base as ({MODIFIED_ORDERS_SQL}),
+  mm as (
+    select min(cast({c} as double)) as lo,
+           case when (max(cast({c} as double)) - min(cast({c} as double))) / 20 = 0
+                then 1e0
+                else (max(cast({c} as double)) - min(cast({c} as double))) / 20 end as w
+    from base),
+  bbin as (select least(greatest(floor((cast({c} as double) - mm.lo) / mm.w), 0), 19) as b
+           from base, mm where {c} is not null),
+  cbin as (select least(greatest(floor((cast({c} as double) - mm.lo) / mm.w), 0), 19) as b
+           from orders, mm where {c} is not null),
+  bt as (select count(*) as t, sum(case when {c} is null then 1 else 0 end) as nn from base),
+  ct as (select count(*) as t, sum(case when {c} is null then 1 else 0 end) as nn from orders),
+  hist as (
+    select cast(coalesce(bc.n, 0) as double) / bt.t + 1e-6 as p,
+           cast(coalesce(cc.n, 0) as double) / ct.t + 1e-6 as q
+    from (select range as i from range(0, 20)) bins
+    left join (select b, count(*) as n from bbin group by b) bc on bc.b = bins.i
+    left join (select b, count(*) as n from cbin group by b) cc on cc.b = bins.i
+    cross join bt cross join ct)
+  select sum((p - q) * ln(p / q)) as psi,
+         (select cast(nn as double) / t from bt) as nr_base,
+         (select cast(nn as double) / t from ct) as nr_cur
+  from hist
+)
+"""
+
+
+def _diff_stats_all_oracle() -> str:
+    arms = "\nunion all\n".join(_drift_psi_col_oracle(c) for c in DRIFT_COLS)
+    return f"""
+select 'signs' as scope, sign as k, 'count' as metric,
+       cast(n as double) as value, cast(null as double) as aux_a,
+       cast(null as double) as aux_b, false as flag
+from ({ORACLE_DIFF_STATS_ORDERS})
+union all
+{arms}
+"""
+
 
 def q_percol_diff_orders(spark, sf_dir):
     t1, t2 = _orders_segments(spark, sf_dir)
@@ -1490,6 +1578,54 @@ from events
 group by rollup(event_type, date_trunc('hour', ts))
 """
 
+# DataSketches HLL lg_k=12 relative standard error (~1.6%, library docs);
+# the gated guard admits 3*RSE before poisoning the relation
+_HLL_3RSE = 3 * 0.0163
+
+
+def q_events_rollup_all(spark, sf_dir):
+    """Hierarchical rollup AND the streaming HLL-NDV maintenance loop in
+    one scoped relation (VERDICT r6 ask #3: sketch_stream had no
+    CORRECTNESS row). The ndv arm is _must_equal(batch distinct_rollup,
+    multi-micro-batch streaming fold read back from its versioned store)
+    — the sketch-union losslessness contract made load-bearing — and the
+    DataSketches estimate itself is oracle-checked as a bounded-error
+    claim: total_value carries the EXACT distinct count when the estimate
+    sits within 3*RSE of it, else the (negated) estimate, which can never
+    hash-match DuckDB's exact count — an approximate operator gated
+    without pretending DuckDB can replay HLL registers."""
+    load_views(spark, sf_dir)
+    roll = spark.sql(EVENTS_ROLLUP_SQL).select(
+        F.lit("rollup").alias("scope"), "event_type", "hour", "n", "total_value")
+
+    from data_diff_spark.streaming.sketch_stream import ndv_rollup_batch_equivalent
+
+    batch, final = ndv_rollup_batch_equivalent(spark, sf_dir)
+    core = _must_equal(batch, final)
+    exact = spark.table("events").groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_ndv"))
+    ndv = core.join(exact, "event_type").select(
+        F.lit("ndv").alias("scope"), "event_type",
+        F.lit(None).cast(dict(roll.dtypes)["hour"]).alias("hour"),
+        F.col("n_rows").alias("n"),
+        F.when(
+            F.abs(F.col("user_id__ndv") - F.col("exact_ndv"))
+            <= F.lit(_HLL_3RSE) * F.col("exact_ndv"),
+            F.col("exact_ndv").cast("double"),
+        ).otherwise(-F.col("user_id__ndv")).alias("total_value"),
+    )
+    return roll.unionAll(ndv.select(*roll.columns))
+
+
+ORACLE_EVENTS_ROLLUP_ALL = f"""
+select 'rollup' as scope, event_type, hour, n, total_value
+from ({EVENTS_ROLLUP_SQL})
+union all
+select 'ndv' as scope, event_type, cast(null as timestamp) as hour,
+       count(*) as n, cast(count(distinct user_id) as double) as total_value
+from events group by event_type
+"""
+
 
 # --- structured streaming (beyond-reference) --------------------------------
 
@@ -2204,10 +2340,35 @@ def q_hashdiff_orders_all(spark, sf_dir):
 
 
 def q_asof_purchase_all(spark, sf_dir):
-    """Keyed as-of join (per-user window) and keyless global as-of (time-
-    bucketed carry design) in one scoped relation; the oracles are DuckDB's
-    native ASOF LEFT JOIN in both shapes."""
+    """Keyed as-of join (per-user window), keyless global as-of (time-
+    bucketed carry design), and the STREAM-STREAM as-of run to completion
+    (VERDICT r6 ask #3: it had no CORRECTNESS row) in one scoped relation;
+    the oracles are DuckDB's native ASOF LEFT JOIN in both shapes. The
+    streaming arm's final reductions are mapped back to the keyed shape
+    through the static events table (event_id is unique — pinned in
+    tests/test_asof_stream.py) and _must_equal'd into the keyed arm, so
+    any divergence in the as-of core (event -> matched purchase) is a
+    loud hash mismatch."""
     keyed = q_asof_purchase(spark, sf_dir).withColumn("scope", F.lit("keyed"))
+
+    from data_diff_spark.streaming.asof_stream import asof_stream_batch_equivalent
+
+    sfinal = _sized_stream_state(
+        spark, lambda: asof_stream_batch_equivalent(spark, sf_dir))
+    ev = spark.table("events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    skeyed = (
+        sfinal.select("event_id", "purchase_us", "purchase_value")
+        .join(ev, "event_id")
+        .select(
+            "event_id", "user_id", "ts", "event_type", "value",
+            F.timestamp_micros("purchase_us").alias("purchase_ts"),
+            "purchase_value",
+        )
+        .withColumn("scope", F.lit("keyed"))
+    )
+    keyed = _must_equal(keyed, skeyed.select(*keyed.columns))
+
     glob = (
         q_asof_global(spark, sf_dir)
         .withColumn("value", F.lit(None).cast(dict(keyed.dtypes)["value"]))
@@ -2481,7 +2642,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "hashdiff_orders": (q_hashdiff_orders_all, _orders_diff_oracle()),
     "joindiff_lineitem_compound": (q_joindiff_lineitem, _lineitem_diff_oracle()),
     "hashdiff_lineitem_dupkeys": (q_hashdiff_lineitem, _hashdiff_lineitem_oracle()),
-    "diff_stats_orders": (q_diff_stats_orders, ORACLE_DIFF_STATS_ORDERS),
+    "diff_stats_orders": (q_diff_stats_all, _diff_stats_all_oracle()),
     "percol_diff_counts_orders": (q_percol_diff_orders, _percol_oracle()),
     "checksum_orders": (q_checksum_orders_scoped, _checksum_scoped_oracle()),
     "key_range_orders": (
@@ -2515,7 +2676,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "multimodal_decode": (q_multimodal_decode_all, _multimodal_all_oracle()),
     "events_json_extract": (q_events_json_extract, ORACLE_EVENTS_JSON),
     "collect_stats_lineitem": (q_collect_stats_lineitem, ORACLE_COLLECT_STATS),
-    "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
+    "events_rollup": (q_events_rollup_all, ORACLE_EVENTS_ROLLUP_ALL),
     "events_stream_validate": (q_events_stream_validate, ORACLE_STREAM_VALIDATE),
     "get_values_orders": (q_get_values_orders, _get_values_oracle()),
     "events_dedup_stream": (q_events_dedup_stream, ORACLE_EVENTS_DEDUP_STREAM),
