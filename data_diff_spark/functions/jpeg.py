@@ -569,10 +569,11 @@ def decode_jpeg(data: bytes):
                 symbols = list(body[p + 17:p + 17 + n])
                 hufftabs[(tc, th)] = _Huff(counts, symbols)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):
-            # SOF0/SOF2 huffman, SOF3 lossless, SOF9/SOF10 arithmetic
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            # SOF0/SOF2 huffman, SOF3 lossless, SOF9/SOF10 arithmetic DCT,
+            # SOF11 arithmetic lossless
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
-            lossless = marker == 0xC3
+            lossless = marker in (0xC3, 0xCB)
             if prec != 8 and not lossless:
                 raise NotImplementedError("jpeg: only 8-bit precision; use PIL")
             if lossless and not (2 <= prec <= 16):
@@ -583,7 +584,7 @@ def decode_jpeg(data: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2 or marker == 0xCA,
-                     "arith": marker in (0xC9, 0xCA),
+                     "arith": marker in (0xC9, 0xCA, 0xCB),
                      "lossless": lossless}
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
@@ -612,12 +613,12 @@ def decode_jpeg(data: bytes):
                              dtype=np.int32)
                     for c in comps
                 ]
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "jpeg: every DCT process (huffman/arithmetic, sequential/"
-                "progressive) and huffman lossless decode natively; "
-                "arithmetic-lossless/hierarchical need PIL"
+                "progressive) and both lossless processes (SOF3/SOF11) "
+                "decode natively; hierarchical (Annex J) needs PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -644,10 +645,16 @@ def decode_jpeg(data: bytes):
             params = {"ss": ss, "se": se, "ah": ahal >> 4, "al": ahal & 0xF}
             frame["saw_scan"] = True
             if frame.get("lossless"):
-                pos = _decode_scan_lossless(
-                    data, pos + seglen, frame, scan, params, hufftabs,
-                    restart_interval,
-                )
+                if frame.get("arith"):
+                    pos = _decode_scan_lossless_arith(
+                        data, pos + seglen, frame, scan, params, arith_cond,
+                        restart_interval,
+                    )
+                else:
+                    pos = _decode_scan_lossless(
+                        data, pos + seglen, frame, scan, params, hufftabs,
+                        restart_interval,
+                    )
                 continue
             if frame.get("arith"):
                 pos = _decode_scan_coeffs_arith(
@@ -1286,6 +1293,148 @@ def _decode_scan_lossless(data, pos, frame, scan, params, hufftabs, ri):
             n += 1
     r.align_to_marker()
     return r.pos
+
+
+def _classify_diff(m: int, sign: int, lo: int, hi: int) -> int:
+    """Difference category for arithmetic conditioning (F.1.4.4.1.2 and
+    its 2-D lossless generalization, H.1.2.3): 0 zero, 1 +small,
+    2 -small, 3 +large, 4 -large. `m` is the magnitude-category power of
+    two of a NONZERO diff (m=0 for |diff|=1), lo/hi = (1<<L)>>1 /
+    (1<<U)>>1; a zero diff is category 0 at its own decision, never
+    here. Matches the DC path's re-classification exactly."""
+    if m < lo:
+        return 0
+    if m > hi:
+        return 3 + sign
+    return 1 + sign
+
+
+def _decode_scan_lossless_arith(data, pos, frame, scan, params, cond, ri):
+    """One arithmetic-coded lossless scan (SOF11; T.81 Annex H.1.2.3).
+
+    The statistical model is the DC-difference model of F.1.4.4.1
+    generalized to TWO-dimensional conditioning: each difference is coded
+    in a context selected by (Da, Db) — the differences coded for the
+    sample to the left and for the same column on the line above — each
+    classified into 5 categories (zero / ±small / ±large) by the DC
+    conditioning bounds L/U of the component's table. Statistics layout
+    (Table H.4, 158 bins per table):
+
+        bins 0..99    25 contexts x (S0, SS, SP, SN), context base
+                      = 4 * (5 * cat(Da) + cat(Db))
+        bins 100..128 X1..X15 + M2..M15 magnitude chain, used when
+                      cat(Db) is zero or small
+        bins 129..157 second X/M chain, used when cat(Db) is large
+
+    The QM-decoder itself (_ArithDecoder) and the magnitude-chain walk
+    are the SAME machinery conformance-pinned bit-exactly against libjpeg
+    on the DCT processes (tests/test_jpeg_arith.py); the new surface here
+    is only this statistics layout, which tests/test_jpeg_lossless_arith.py
+    pins two ways: an instrumented bin-trace against the layout written
+    out by hand in the test, and pixel round-trips through an in-test
+    forward QM-coder (libjpeg 62 exports no lossless entry point — the
+    encode side is a mirror coder, stated honestly, same status as the
+    FLAC/AVI forward encoders).
+
+    Prediction, point transform, modulo-2^16 sample arithmetic, restart
+    semantics (default + 1-D Ra line per H.1.2.1) and multi-scan plane
+    assembly are shared with the Huffman lossless path. Conditioning
+    contexts, statistics and the decoder restart at every RSTn
+    (F.1.4.4.3)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    sel = params["ss"]
+    pt = params["al"]
+    prec = frame["prec"]
+    default = 1 << (prec - pt - 1)
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    order = [by_id[s["cs"]] for s in scan]
+    tab_of = {by_id[s["cs"]]: s["dc"] for s in scan}
+    bounds = {
+        ci: (
+            (1 << cond["dc_L"].get(t, 0)) >> 1,
+            (1 << cond["dc_U"].get(t, 1)) >> 1,
+        )
+        for ci, t in tab_of.items()
+    }
+
+    out = frame["lossless_planes"]
+    for ci in order:
+        frame["lossless_seen"].add(ci)
+        frame["lossless_pt"][ci] = pt
+
+    def fresh_stats():
+        return {t: bytearray(158) for t in {s["dc"] for s in scan}}
+
+    stats_by_tab = fresh_stats()
+    # per-component conditioning state: category of the diff coded at each
+    # column of the previous line (Db source), and of the previous sample
+    # on this line (Da source)
+    cat_above = {ci: [0] * w for ci in order}
+    cat_left = {ci: 0 for ci in order}
+    dec = _ArithDecoder(data, pos)
+
+    def read_diff(ci, x):
+        stats = stats_by_tab[tab_of[ci]]
+        qa, qb = cat_left[ci], cat_above[ci][x]
+        base = 4 * (5 * qa + qb)
+        lo, hi = bounds[ci]
+        if dec.decode(stats, base) == 0:
+            cat_left[ci] = cat_above[ci][x] = 0
+            return 0
+        sign = dec.decode(stats, base + 1)
+        stp = base + 2 + sign
+        m = 0
+        if dec.decode(stats, stp):
+            m = 1
+            stp = 129 if qb > 2 else 100  # X1 of the Db-selected chain
+            while dec.decode(stats, stp):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("jpeg: corrupt arithmetic stream")
+                stp += 1
+        cat = _classify_diff(m, sign, lo, hi)
+        cat_left[ci] = cat_above[ci][x] = cat
+        v = m
+        stp += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(stats, stp):
+                v |= mm
+            mm >>= 1
+        v += 1
+        return -v if sign else v
+
+    n = 0
+    ry, rx = 0, 0
+    for y in range(h):
+        for ci in order:
+            cat_left[ci] = 0  # line start: no sample to the left
+        for x in range(w):
+            if ri and n and n % ri == 0:
+                p = dec.next_marker_pos()
+                m = data[p + 1]
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError("jpeg: expected restart marker")
+                dec = _ArithDecoder(data, p + 2)
+                stats_by_tab = fresh_stats()
+                for ci in order:
+                    cat_above[ci] = [0] * w
+                    cat_left[ci] = 0
+                ry, rx = y, x
+            for ci in order:
+                diff = read_diff(ci, x)
+                if y == ry and x == rx:
+                    pred = default
+                elif y == ry:
+                    pred = out[ci][y][x - 1]    # Ra: interval's first line
+                elif x == 0:
+                    pred = out[ci][y - 1][x]    # Rb: first sample of a line
+                else:
+                    pred = _lossless_predict(out, ci, y, x, sel, default)
+                out[ci][y][x] = (pred + diff) & 0xFFFF
+            n += 1
+    return dec.next_marker_pos()
 
 
 def _assemble_lossless(frame):
