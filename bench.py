@@ -96,6 +96,7 @@ def run_interleaved(ref: str, sf_dir: str, cpus: str, repeats: int,
     head, base, ratios, errors = {}, {}, {}, {}
     samples = {"head": {}, "base": {}}
     scans = {"head": {}, "base": {}}
+    loads = {"head": {}, "base": {}}
     for name in names:
         hs, bs = [], []
         for _ in range(repeats):
@@ -103,6 +104,8 @@ def run_interleaved(ref: str, sf_dir: str, cpus: str, repeats: int,
                 r = ask(w, name)
                 if "sec" in r:
                     acc.append(r["sec"])
+                    if "load1m" in r:
+                        loads[side].setdefault(name, []).append(r["load1m"])
                     if r.get("oracle_scans"):
                         scans[side][name] = r["oracle_scans"]
                 elif "err" in r:
@@ -122,6 +125,17 @@ def run_interleaved(ref: str, sf_dir: str, cpus: str, repeats: int,
             w.wait(timeout=60)
         except Exception:  # noqa: BLE001
             w.kill()
+    import statistics
+
+    med = {
+        side: {n: round(statistics.median(v), 3)
+               for n, v in samples[side].items() if v}
+        for side in ("head", "base")
+    }
+    med_ratios = {
+        n: round(med["head"][n] / med["base"][n], 3)
+        for n in med["head"] if n in med["base"] and med["base"][n]
+    }
     common = [n for n in head if n in base]
     th, tb = sum(head[n] for n in common), sum(base[n] for n in common)
     spread = {
@@ -136,7 +150,9 @@ def run_interleaved(ref: str, sf_dir: str, cpus: str, repeats: int,
         "total_head": round(th, 3), "total_base": round(tb, 3),
         "ratio_total": round(th / tb, 3) if tb else None,
         "queries": head, "baseline": base, "ratios": ratios,
+        "medians": med, "median_ratios": med_ratios,
         "samples": samples, "spread": spread, "oracle_scans": scans,
+        "load1m": loads,
     }
     if errors:
         out["errors"] = errors

@@ -68,10 +68,17 @@ def main() -> None:
             # and an old tree's workload may predate _ORACLE_SCANS
             _scans = getattr(_wl, "_ORACLE_SCANS", {})
             _scans.clear()
+            load0 = os.getloadavg()[0]
             t0 = time.time()
             df = WORKLOAD[name][0](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            out = {"entry": name, "sec": round(time.time() - t0, 3)}
+            # 1-min loadavg before the sample: two warm workers on an idle
+            # 32-cpu box sit well under ~40 between entries; a sample taken
+            # at load 70+ was sharing the machine and its timing is
+            # evidence of nothing (the r7 protocol audit found exactly such
+            # a contaminated artifact — samples swinging 13s->156s)
+            out = {"entry": name, "sec": round(time.time() - t0, 3),
+                   "load1m": round(load0, 1)}
             # Evidence for the A/B artifact: which parquet copy the
             # cross-engine oracle side scanned (relaid multi-file copy vs
             # the single-row-group original is a documented ~4x swing on

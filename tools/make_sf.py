@@ -17,8 +17,16 @@ manufacture quadratic blow-ups in the data:
   structure replicates per-copy (linear), instead of every doc gaining
   N-1 spurious near-twins (quadratic in the data, which would measure the
   corpus, not the operator). n_chars is recomputed to stay consistent.
-- embeddings: replica i adds i*1e-3 to element 0 — distinct vectors,
-  near-identical geometry, so top-k work scales with row count.
+- embeddings: replica i is GLOBALLY ROTATED by theta_i = i*12 degrees
+  (block-diagonal 2x2 rotations over the 32 coordinate planes). A
+  rotation is an isometry, so every intra-replica pairwise cosine — and
+  therefore the per-replica near-dup/top-k structure — is preserved
+  EXACTLY, while any cross-replica pair (x, R_j R_i^-1 x') sits at
+  angle >= |i-j|*12deg: cos 12deg = 0.978 < 0.99, so the 0.99-threshold
+  embedding entries gain ZERO cross-replica pairs. (VERDICT r6 ask #5:
+  the old rule added i*1e-3 to element 0, which left every vector a
+  ~0.9999996-cosine near-dup of its own replicas — 470x more qualifying
+  pairs at sf1.0, so the probe measured output volume, not the plan.)
 
 Output: .scratch/sf{N/10}/TABLE.parquet next to the repo. Never touches
 /root/testdata. Usage: python tools/make_sf.py [factor]
@@ -71,11 +79,23 @@ def replicate(df, table: str, i: int):
             F.array_join(F.transform(F.split(F.col("text"), " "), lambda t: F.concat(tag, t)), " "),
         ).withColumn("n_chars", F.length("text").cast("long"))
     if table == "embeddings":
+        import math
+
+        th = math.radians(12.0 * i)
+        c, s = F.lit(math.cos(th)), F.lit(math.sin(th))
+        e = F.col("embedding")
         out = out.withColumn(
             "embedding",
             F.transform(
-                F.col("embedding"),
-                lambda x, idx: F.when(idx == 0, x + F.lit(i * 1e-3)).otherwise(x).cast("float"),
+                e,
+                # paired 2x2 rotation: even idx pairs with idx+1, odd with
+                # idx-1 (element_at is 1-based); dim 64 = 32 full planes
+                lambda x, idx: F.when(
+                    idx % 2 == 0,
+                    c * x - s * F.element_at(e, idx + 2),
+                ).otherwise(
+                    s * F.element_at(e, idx) + c * x
+                ).cast("float"),
             ),
         )
     return out
