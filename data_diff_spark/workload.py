@@ -1952,6 +1952,66 @@ limit 100
 """.replace("{toks}", "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')")
 
 
+def q_token_vocab_all(spark, sf_dir):
+    """token_vocab with a DELIBERATE hot key under the gate (VERDICT r6
+    ask #6): the corpus token stream plus a planted '__hot__' token (64
+    copies per document — roughly a quarter of all token rows, the
+    one-reducer-is-the-critical-path regime) aggregated TWO ways and
+    _must_equal'd:
+
+      plain:  one groupBy(token) with count + countDistinct — the shape
+              whose hot key lands on a single reducer;
+      salted: operators/skew.salted_agg two-stage count (group by
+              (token, salt-of-row) then combine), joined with the
+              skew-safe two-stage distinct (groupBy(token, doc_id) ->
+              groupBy(token)) — no reducer ever sees more than
+              ~|hot|/n_salt rows of the hot key.
+
+    Identical output is the salted plan's correctness proof; the DuckDB
+    oracle replays the skewed corpus independently."""
+    load_views(spark, sf_dir)
+    from data_diff_spark.operators.skew import salted_agg
+
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).unionAll(docs.select(
+        "doc_id",
+        F.explode(F.array_repeat(F.lit("__hot__"), 64)).alias("token"),
+    ))
+
+    def top100(df):
+        return df.orderBy(F.desc("n"), F.asc("token")).limit(100)
+
+    plain = top100(
+        toks.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+    n_salted = salted_agg(toks, ["token"], [("token", "count", "n")])
+    df_salted = (
+        toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    salted = top100(n_salted.join(df_salted, "token"))
+    return _must_equal(plain, salted.select("token", "n", "doc_freq"))
+
+
+ORACLE_TOKEN_VOCAB_SKEWED = f"""
+with t as (
+  select doc_id, unnest({{toks}}) as token from documents
+  union all
+  select doc_id, '__hot__' as token from documents, range(64)
+)
+select token, count(*) as n, count(distinct doc_id) as doc_freq
+from t
+group by token
+order by n desc, token asc
+limit 100
+""".replace("{toks}", "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (64-token chunks, 8 overlap) —
     map-side explode, chunk digests instead of chunk text
@@ -2688,7 +2748,7 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pack_sequences_docs": (q_pack_sequences, _pack_sequences_oracle()),
     "redact_pii_docs": (q_redact_pii, _redact_pii_oracle()),
     "chunk_documents": (q_chunk_documents, _chunk_documents_oracle()),
-    "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
+    "token_vocab": (q_token_vocab_all, ORACLE_TOKEN_VOCAB_SKEWED),
     "snapshot_diff_orders": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "snm_pairs_docs": (q_snm_pairs, ORACLE_SNM_PAIRS),
     "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
