@@ -2508,7 +2508,15 @@ def q_text_analysis_docs(spark, sf_dir):
     here for the zero-shuffle plan shape that matters at cluster scale).
     Stage order keeps the expensive array intermediates (token-hash
     arrays for simhash/vector) in their own projections per the
-    staged-projection rule."""
+    staged-projection rule.
+
+    r7 (VERDICT r6 ask #8): the suggested middle shapes — fingerprints
+    and stats split behind one or two extra barriers — were A/B'd in one
+    warm session (tools/ab_text_shapes.py, AB_r7_text_shapes.json):
+    three interleaved runs read fused/split2/split3 within +-10% of each
+    other with no stable winner (e.g. mins 3.99/4.17/4.12, medians
+    4.67/4.25/5.03). The wide-stage overhead is NOT the codegen width;
+    the fused shape stays (fewest operators, existing plan pin)."""
     load_views(spark, sf_dir)
     c = F.col("text")
     base = spark.table("documents").select("doc_id", "text")
