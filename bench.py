@@ -19,6 +19,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession
 
 
+# C1-only JIT for the single-JVM bench harness. Root cause of the bimodal
+# 8s-vs-34s swings on identical code (SURVEY 6.6): Spark generates FRESH
+# classes per query invocation (codegen stage ids in class names), so C2
+# re-profiles and re-compiles 20-30 CPU-seconds of run-once code every
+# single entry — measured jit_ms per run drops from ~25,000 to ~100 under
+# C1, and hashdiff_lineitem_dupkeys goes from bimodal 8-34s to a stable
+# 5s. This is a HARNESS setting: a long-lived cluster executing the same
+# generated classes for hours wants full tiered compilation.
+BENCH_JVM_FLAGS = "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m"
+
+
 def build_session(cpus: str) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -26,6 +37,7 @@ def build_session(cpus: str) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.extraJavaOptions", BENCH_JVM_FLAGS)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .appName("data-diff-spark-bench")

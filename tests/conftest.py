@@ -18,6 +18,10 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # C1-only: the suite runs thousands of distinct one-shot codegen
+        # classes; C2 re-compilation of run-once code is pure overhead
+        # here (see bench.py BENCH_JVM_FLAGS for the measurements)
+        .config("spark.driver.extraJavaOptions", "-XX:TieredStopAtLevel=1")
         .config("spark.sql.session.timeZone", "UTC")
         .appName("data-diff-spark-tests")
         .getOrCreate()

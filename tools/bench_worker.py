@@ -33,6 +33,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # C1-only: kills the C2 recompile storms over per-run-unique
+        # generated classes (see bench.py BENCH_JVM_FLAGS). Applied to
+        # BOTH A/B sides (this script serves head and baseline trees), so
+        # ratios stay like-for-like.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
