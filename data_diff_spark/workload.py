@@ -422,7 +422,10 @@ def q_diff_stats_all(spark, sf_dir):
         )
 
     drift = _must_equal(shape(b), shape(s))
-    return signs.unionAll(drift.select(*signs.columns))
+    # derived selects drop the _ddspark_persisted attr — re-attach so the
+    # gate's caches release deterministically between entries
+    return _track_persisted(
+        signs.unionAll(drift.select(*signs.columns)), [], drift)
 
 
 def _drift_psi_col_oracle(c: str) -> str:
@@ -1614,7 +1617,8 @@ def q_events_rollup_all(spark, sf_dir):
             F.col("exact_ndv").cast("double"),
         ).otherwise(-F.col("user_id__ndv")).alias("total_value"),
     )
-    return roll.unionAll(ndv.select(*roll.columns))
+    return _track_persisted(
+        roll.unionAll(ndv.select(*roll.columns)), [], core)
 
 
 ORACLE_EVENTS_ROLLUP_ALL = f"""
@@ -2429,12 +2433,14 @@ def q_asof_purchase_all(spark, sf_dir):
     )
     keyed = _must_equal(keyed, skeyed.select(*keyed.columns))
 
+    raw_glob = q_asof_global(spark, sf_dir)
     glob = (
-        q_asof_global(spark, sf_dir)
+        raw_glob
         .withColumn("value", F.lit(None).cast(dict(keyed.dtypes)["value"]))
         .withColumn("scope", F.lit("global"))
     )
-    return keyed.unionAll(glob.select(*keyed.columns))
+    return _track_persisted(
+        keyed.unionAll(glob.select(*keyed.columns)), [], keyed, raw_glob)
 
 
 ORACLE_ASOF_ALL = """
