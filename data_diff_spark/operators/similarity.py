@@ -639,10 +639,6 @@ def semdedup(
         n_cells, train_cap = _auto_n_cells(c.count(), train_cap, max_auto_cells)
     centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
     assigned = _assign_cells(c, centroids).persist()
-    other = assigned.select(
-        F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
-        F.col("nrm").alias("nrm_b"), "cell",
-    )
     if warn_cell_size:
         hot = (
             assigned.groupBy("cell").count()
@@ -657,37 +653,91 @@ def semdedup(
                 len(hot), warn_cell_size,
                 [(int(r["cell"]), int(r["count"])) for r in hot],
             )
-    pairs = (
-        # zero-norm guard: a vector quantizing to all zeros has nrm=0, and
-        # 0/0 cosine = NaN, which Spark orders ABOVE any double, so
-        # `NaN >= threshold` would be true; treat zero-norm rows as
-        # never-duplicate (matching the numpy/SQL oracles, where nan >= t
-        # is false)
-        assigned.filter(F.col("nrm") > 0)
-        .join(other.filter(F.col("nrm_b") > 0), "cell")
-        .filter(F.col("id_b") < F.col("id"))
-        .select(
-            "id", "cell", "id_b",
-            (_qdot(F.col("qv"), F.col("qv_b")).cast("double")
-             / (F.col("nrm") * F.col("nrm_b"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
-    best = pairs.groupBy("id").agg(
-        F.min(F.struct(F.col("id_b").alias("d"), F.col("cosine").alias("c"))).alias("m")
-    )
-    out = (
-        assigned.select("id", "cell")
-        .join(best, "id", "left")
-        .select(
-            "id",
-            F.col("cell").cast("long").alias("cell"),
-            F.col("m.d").alias("dup_of"),
-            F.col("m.c").alias("dup_cosine"),
-        )
-    )
+    out = _best_dup_in_cells(assigned, threshold)
     out._ddspark_persisted = [assigned]
     return out
+
+
+def _best_dup_in_cells(assigned: DataFrame, threshold: float) -> DataFrame:
+    """semdedup's intra-cell pair step as ONE grouped Arrow pass: for each
+    cell, mark every row with its smallest lower-id neighbor at
+    cosine >= threshold (or nulls).
+
+    This replaces the equi-self-join + per-pair interpreted array fold
+    (r7: the sf1.0 refresh measured the join form at 115s on a 22k corpus
+    with the gate's fixed 16 cells — ~15M interpreted dim-64 folds; the
+    blocked matmul form does the same arithmetic in BLAS). EXACTNESS is
+    the same contract as _argmin_cells: with max|qv|^2*dim < 2^51 the
+    float64 matmul of int64 vectors is exact, so dot, nrm product,
+    division and the >= compare are bit-identical to the SQL form the
+    DuckDB oracle replays; bigger magnitudes fall back to an exact int64
+    matmul (products < 2^63 at QUANT_SCALE's range). Zero-norm rows are
+    never duplicates and never duplicate targets (NaN-cosine guard, as
+    before).
+
+    Scale shape: one shuffle on cell (the groupBy), then per-cell blocked
+    BLAS bounded to ~2048x8192 tiles — a hot cell is a long TASK but
+    bounded MEMORY; the operator-level answer to hot cells remains more
+    cells (auto-sizing), this just removes the interpreter constant."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf  # noqa: F401  (Arrow path)
+
+    thr = float(threshold)
+
+    def per_cell(pdf):
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.array(pdf["qv"].to_numpy()[order].tolist(), dtype=np.int64)
+        nrm = pdf["nrm"].to_numpy()[order]
+        cell = pdf["cell"].iloc[0]
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        dup_cos = np.full(n, np.nan, dtype=np.float64)
+        if n > 1:
+            m = int(np.abs(X).max(initial=0)) or 1
+            dim = X.shape[1]
+            exact_blas = m * m * dim < (1 << 51)
+            Xf = X.astype(np.float64) if exact_blas else X
+            alive = nrm > 0
+            IB, JB = 2048, 8192
+            for i0 in range(1, n, IB):
+                i1 = min(i0 + IB, n)
+                todo = np.where(alive[i0:i1])[0] + i0
+                for j0 in range(0, i1, JB):
+                    if not len(todo):
+                        break
+                    j1 = min(j0 + JB, i1)
+                    G = Xf[todo] @ Xf[j0:j1].T
+                    if not exact_blas:
+                        G = G.astype(np.float64)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = G / (nrm[todo, None] * nrm[None, j0:j1])
+                    # candidates: lower id, positive norm, >= threshold
+                    ok = (cos >= thr) & alive[None, j0:j1]
+                    ok &= (j0 + np.arange(j1 - j0))[None, :] < todo[:, None]
+                    hit = ok.any(axis=1)
+                    if hit.any():
+                        rows = todo[hit]
+                        first = ok[hit].argmax(axis=1) + j0
+                        dup_of[rows] = ids[first]
+                        dup_cos[rows] = cos[hit, first - j0]
+                        todo = todo[~hit]
+        return pd.DataFrame({
+            "id": ids,
+            "cell": np.full(n, int(cell), dtype=np.int64),
+            "dup_of": pd.array(
+                [None if v < 0 else int(v) for v in dup_of], dtype="Int64"),
+            # nullable Float64: a bare np.nan would surface as Spark NaN,
+            # which is NOT the oracle's NULL (and NaN >= t orders true)
+            "dup_cosine": pd.array(
+                [None if v < 0 else float(c) for v, c in zip(dup_of, dup_cos)],
+                dtype="Float64"),
+        })
+
+    return assigned.select("id", "qv", "nrm", "cell").groupBy("cell").applyInPandas(
+        per_cell, "id long, cell long, dup_of long, dup_cosine double")
 
 
 def semdedup_incremental(

@@ -162,6 +162,13 @@ def monitor_orders_bounded(spark, sf_dir: str, columns):
         q = mon.sink(stream, ckpt, table, trigger_once=True)
         q.awaitTermination()
         q.stop()
+        if not spark.catalog.tableExists(table):
+            # the sink writes only non-empty batches; no table means the
+            # bounded source produced NO data — a harness bug (e.g. the
+            # r7 directory-symlink stream defect), never a valid score
+            raise RuntimeError(
+                "drift gate: streaming sink wrote no batches — the "
+                "bounded orders stream was empty")
         # the report is |columns| rows — bounded driver collect by design
         stream_df = spark.createDataFrame(
             spark.table(table).collect(), mon.REPORT_SCHEMA)

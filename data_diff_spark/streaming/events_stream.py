@@ -29,13 +29,23 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.
 
 def _as_stream_dir(sf_dir: str, table: str) -> str:
     """Spark's file stream source only accepts directories; expose the
-    single-file table through a symlink in a scratch dir (idempotent)."""
+    single-file table through a symlink in a scratch dir (idempotent).
+
+    Directory-style tables (e.g. the sf1.0 scale corpus, written as 64
+    part files) are returned AS-IS: the file stream source does not
+    recurse through a symlinked subdirectory, so the old symlink route
+    produced a silently EMPTY stream for them (caught by the r7 sf1.0
+    refresh: the drift/ndv gate arms errored and the as-of stream arm
+    compared against nothing)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        return src
     key = hashlib.md5(f"{sf_dir}/{table}".encode()).hexdigest()[:12]
     d = os.path.join(_SCRATCH, f"stream_{table}_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}.parquet")
     if not os.path.lexists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+        os.symlink(src, link)
     return d
 
 

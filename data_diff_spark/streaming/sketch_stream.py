@@ -127,6 +127,13 @@ def ndv_rollup_batch_equivalent(spark, sf_dir: str, n_batches: int = 2):
                             os.path.join(scratch, "ckpt"), available_now=True)
         q.awaitTermination()
         q.stop()
+        if not os.path.exists(os.path.join(root, V.MANIFEST)):
+            # fold() creates the table on the first non-empty batch; its
+            # absence means the bounded stream delivered NOTHING — a
+            # harness bug, never a valid (empty) rollup
+            raise RuntimeError(
+                "ndv gate: streaming fold saw no data — the bounded "
+                "events stream was empty")
         final = read_rollup(spark, root).select(
             "event_type", "n_rows", _est("user_id"))
         final = spark.createDataFrame(final.collect(), final.schema)
