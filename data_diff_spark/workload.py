@@ -2417,8 +2417,13 @@ def q_asof_purchase_all(spark, sf_dir):
 
     from data_diff_spark.streaming.asof_stream import asof_stream_batch_equivalent
 
+    # state partitions sized to state volume: 8 keeps task overhead low at
+    # the driver's corpus; the sf1.0 scale corpus (10x events) needs the
+    # parallelism more than it fears the overhead (r7 measured: 8
+    # partitions serialized the per-batch pandas state work)
+    n_state = 8 if spark.table("events").count() < 500_000 else 32
     sfinal = _sized_stream_state(
-        spark, lambda: asof_stream_batch_equivalent(spark, sf_dir))
+        spark, lambda: asof_stream_batch_equivalent(spark, sf_dir), n=n_state)
     ev = spark.table("events").select(
         "event_id", "user_id", "ts", "event_type", "value")
     skeyed = (

@@ -401,3 +401,32 @@ def test_assign_cells_udf_path_matches_sql_path(spark, monkeypatch):
                for r in SIM._assign_cells(prep, cents).select("id", "cell").collect()}
     assert via_sql == via_udf
     assert 3 in set(via_sql.values()) and 7 not in set(via_sql.values())
+
+
+def test_band_codes_udf_path_matches_sql_path(spark, monkeypatch):
+    """band_codes' matmul path must emit identical (id, band_idx, code)
+    rows to the SQL fold (exact sign bits either way)."""
+    vecs = _uniform_vecs(spark, 500, dim=16)
+    monkeypatch.setattr(SIM, "_BANDCODE_UDF_MIN_PLANES", 10**9)
+    via_sql = {(r.id, r.band_idx, r.code) for r in
+               SIM.band_codes(vecs, 16, 8, 16).collect()}
+    monkeypatch.setattr(SIM, "_BANDCODE_UDF_MIN_PLANES", 1)
+    via_udf = {(r.id, r.band_idx, r.code) for r in
+               SIM.band_codes(vecs, 16, 8, 16).collect()}
+    assert via_sql == via_udf
+
+
+def test_auto_bands_rule():
+    """Occupancy-bounded code width + miss-bounded band count, and the
+    planted-duplicate guarantee: a pair AT the threshold misses with
+    probability <= 1e-8 under the chosen (bands, r)."""
+    import math
+
+    for n in (1_000, 22_000, 1_000_000):
+        bands, r = SIM._auto_bands(n, 0.99)
+        assert n / (1 << r) <= 4.0          # occupancy bounded
+        p = 1 - math.acos(0.99) / math.pi
+        assert (1 - p ** r) ** bands <= 1e-8 + 1e-15
+    b1, r1 = SIM._auto_bands(22_000, 0.99)
+    b2, r2 = SIM._auto_bands(22_000_000, 0.99)
+    assert r2 > r1                           # width grows with corpus
