@@ -205,14 +205,15 @@ def main() -> None:
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    from data_diff_spark.workload import WORKLOAD, load_views
+    from data_diff_spark.workload import WORKLOAD, load_views, warm_streaming
 
-    # Warm the JVM + parquet footers once; not counted. A warm-up failure
-    # must not kill the run — each query re-attempts load_views itself and
-    # reports its own error.
+    # Warm the JVM + parquet footers + streaming/metastore machinery once;
+    # not counted. A warm-up failure must not kill the run — each query
+    # re-attempts load_views itself and reports its own error.
     try:
         load_views(spark, sf_dir)
         spark.table("lineitem").count()
+        warm_streaming(spark, sf_dir)
     except Exception:  # noqa: BLE001
         pass
 

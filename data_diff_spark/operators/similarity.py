@@ -221,7 +221,8 @@ def band_codes(
 
 def _auto_bands(n_rows: int, threshold: float,
                 target_occupancy: float = 2.0,
-                max_miss: float = 1e-8):
+                max_miss: float = 1e-8,
+                max_bands: int = 128):
     """(bands, rows_per_band) for cosine_pairs_lsh's operating point:
     rows_per_band grows with log2(corpus) so expected bucket occupancy
     n/2^r stays ~target (the SURVEY 6.5 scaling rule, now IMPLEMENTED
@@ -229,13 +230,32 @@ def _auto_bands(n_rows: int, threshold: float,
     default back at 86 rows/bucket on a 22k corpus, 70-80s of candidate
     join); bands then grow so a pair AT the threshold still collides
     somewhere with probability >= 1 - max_miss. Deterministic in
-    (n_rows, threshold) — replayable sizing, no RNG."""
+    (n_rows, threshold) — replayable sizing, no RNG.
+
+    max_bands caps the growth (ADVICE r7: at threshold 0.8 / 22k rows the
+    1e-8 target wants ~446 bands — 6.2k planes; at 0.3 it explodes to
+    ~26k bands and a multi-hundred-MB plane broadcast). When the cap
+    binds, the miss guarantee is whatever (1-p^r)^max_bands gives at that
+    threshold; the warning names the achieved probability so a caller
+    relying on the brute-force-equivalence contract sees the contract
+    change instead of a silent cost/recall cliff."""
     import math
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     r = max(8, math.ceil(math.log2(max(2.0, n_rows / target_occupancy))))
     pr = max(1e-12, p ** r)
     bands = max(8, math.ceil(math.log(max_miss) / math.log(max(1e-12, min(1 - 1e-12, 1.0 - pr)))))
+    if bands > max_bands:
+        achieved = (1.0 - pr) ** max_bands
+        logger.warning(
+            "cosine_pairs_lsh auto-sizing: %d bands needed for miss<=%.0e "
+            "at threshold=%.3f (n=%d, rows_per_band=%d); capping at %d "
+            "bands — at-threshold miss probability is now ~%.2e, so output "
+            "may MISS that fraction of qualifying pairs (the brute-force "
+            "equivalence contract no longer holds). Raise max_bands or the "
+            "threshold to restore it.",
+            bands, max_miss, threshold, n_rows, r, max_bands, achieved)
+        bands = max_bands
     return bands, r
 
 
@@ -247,6 +267,7 @@ def cosine_pairs_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold: candidates = pairs agreeing on at
     least one full band of hyperplane signs, then exact verification. For
@@ -258,12 +279,21 @@ def cosine_pairs_lsh(
     still matches while the candidate join stays ~linear in the corpus
     (SURVEY 6.5; the fixed 16x8 default this replaces measured 70-80s of
     candidate join on a 22k-vector corpus at 86 rows/bucket).
-    ann_topk_lsh deliberately keeps SHORTER fixed bands (8x4): its
-    modest-cosine top-k operating point loses recall (measured
-    0.95 -> 0.25) under selective bands — selectivity and recall trade
-    off per task."""
+    ann_topk_lsh's top-k operating point instead combines the occupancy
+    rule with margin-guided MULTI-PROBE (selective buckets alone lose
+    recall at modest cosine — measured 0.95 -> 0.25) — selectivity and
+    recall trade off per task.
+
+    `n_rows` is the corpus-size hint for auto sizing: pass it when the
+    caller knows (or has already counted) the corpus so sizing costs no
+    extra action (VERDICT r7 'What's wrong #3': the df.count() fallback
+    is one full scan per call). Sizing only needs the right magnitude —
+    a within-2x hint moves rows_per_band by at most one bit, and the
+    miss bound is derived from the CHOSEN (bands, rows_per_band), so the
+    oracle contract never depends on the hint's accuracy."""
     if bands is None or rows_per_band is None:
-        ab, ar = _auto_bands(df.count(), threshold)
+        ab, ar = _auto_bands(n_rows if n_rows is not None else df.count(),
+                             threshold)
         bands = ab if bands is None else bands
         rows_per_band = ar if rows_per_band is None else rows_per_band
     bc = band_codes(df, bands, rows_per_band, dim, id_col, vec_col)
@@ -271,9 +301,9 @@ def cosine_pairs_lsh(
     # candidate IDS first, deduped as narrow 16-byte rows — a pair that
     # collides in k bands used to pay the per-element dot fold k times
     # and dedup only afterwards (r7 sf1.0 profile: 70-80s of the 96s
-    # gate); the exact cosine then runs ONCE per unique pair, Arrow-
-    # batched (_pair_cosines), after re-attaching vectors from the
-    # map-only prepared relation
+    # gate); the exact cosine (the _qdot codegen fold) then runs ONCE
+    # per unique pair, after re-attaching vectors from the map-only
+    # prepared relation
     cand_ids = (
         a.join(
             b,
@@ -298,21 +328,128 @@ def cosine_pairs_lsh(
     return cand.filter(F.col("cosine") >= threshold)
 
 
-def ann_topk_lsh(
+def _auto_ann_bands(n_rows: int, bands: int = 8,
+                    target_occupancy: float = 32.0,
+                    min_rows_per_band: int = 4,
+                    max_rows_per_band: int = 24):
+    """(bands, rows_per_band) for ann_topk_lsh's auto mode: the same
+    occupancy rule as _auto_bands but at a looser target — a top-k probe
+    WANTS ~target_occupancy candidates per bucket (they are the re-rank
+    pool), it just must not want a constant FRACTION of the corpus (the
+    r7 fixed 8x4 shape put 1/16 of any corpus in every bucket — linear
+    candidate growth, VERDICT r7 Next #4). Candidates per query stay
+    ~bands*(1+n_flip)*target_occupancy at every corpus size; recall is
+    recovered by margin-guided multi-probe rather than by short codes."""
+    import math
+
+    r = math.ceil(math.log2(max(2.0, n_rows / target_occupancy)))
+    return bands, min(max_rows_per_band, max(min_rows_per_band, r))
+
+
+def multiprobe_codes(
     df: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    bands: int = 8,
-    rows_per_band: int = 4,
+    bands: int,
+    rows_per_band: int,
+    n_flip: int,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """Query-side band codes with margin-guided multi-probe: per band,
+    the exact code plus `n_flip` probe codes, each flipping ONE of the
+    band's lowest-|projection| sign bits (Lv et al., multi-probe LSH —
+    the bits nearest the hyperplane are the ones a true neighbor most
+    likely disagrees on). Probe order is deterministic: margins are exact
+    integer dots, ties broken by plane position (stable argsort), so the
+    probe set is a pure function of the vector — replayable sizing, no
+    RNG. Output shape matches band_codes (one row per (id, band, code)),
+    with (1 + n_flip) code rows per band; only the (small, broadcast)
+    QUERY side pays the expansion — the corpus keeps one code per band."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = plane_coefficients(bands * rows_per_band, dim)
+    pre = _prepared(df, id_col, vec_col)
+    H = np.asarray(coeffs, dtype=np.int64)
+    bcH = df.sparkSession.sparkContext.broadcast(H)
+    nb, rpb, nf = bands, rows_per_band, min(n_flip, rows_per_band)
+
+    def _codes(qv):
+        X = np.array(qv.tolist(), dtype=np.int64)
+        if not len(X):
+            return pd.Series([], dtype=object)
+        Hl = bcH.value
+        m = int(np.abs(X).max(initial=0)) or 1
+        if m * 1000 * X.shape[1] < (1 << 51):
+            D = X.astype(np.float64) @ Hl.T.astype(np.float64)
+        else:
+            D = (X @ Hl.T).astype(np.float64)
+        S = (D > 0).reshape(len(X), nb, rpb)
+        w = (np.int64(1) << np.arange(rpb, dtype=np.int64))
+        base = S.astype(np.int64) @ w                      # (n, bands)
+        # lowest-|margin| bit positions per band, stable order
+        order = np.argsort(np.abs(D).reshape(len(X), nb, rpb),
+                           axis=2, kind="stable")[:, :, :nf]
+        probes = [base]
+        for t in range(nf):
+            probes.append(base ^ (np.int64(1) << order[:, :, t]))
+        codes = np.stack(probes, axis=2).reshape(len(X), nb * (1 + nf))
+        return pd.Series(list(codes))
+
+    _codes.__annotations__ = {"qv": pd.Series, "return": pd.Series}
+    return pre.withColumn(
+        "_codes", pandas_udf(_codes, "array<long>")(F.col("qv"))
+    ).select(
+        "id", "qv", "nrm",
+        F.posexplode("_codes").alias("_pos", "code"),
+    ).select(
+        "id", "qv", "nrm",
+        (F.col("_pos") / (1 + nf)).cast("int").alias("band_idx"), "code",
+    )
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bands: Optional[int] = None,
+    rows_per_band: Optional[int] = None,
+    n_flip: Optional[int] = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: Optional[int] = None,
+) -> DataFrame:
     """Approximate top-k: candidates limited to corpus rows sharing a band
     code with the query, exact cosine re-rank within. Trades recall for a
-    join keyed on (band_idx, code) instead of a full cross product."""
+    join keyed on (band_idx, code) instead of a full cross product.
+
+    Default (bands/rows_per_band None) is the corpus-growth mode
+    (VERDICT r7 Next #4): code width from the occupancy rule
+    (_auto_ann_bands — candidates per query ~constant at any corpus
+    size, where the old fixed 8x4 put 1/16 of the corpus in every
+    bucket), with recall recovered by margin-guided multi-probe
+    (multiprobe_codes; n_flip defaults to 2 in auto mode). Measured by
+    tools/probe_ann_growth.py against the exact oracle: recall and
+    per-query candidates both ~flat from sf0.1 to sf1.0. Pass explicit
+    bands/rows_per_band for a pinned, SQL-replayable shape (the driver
+    gate does: its DuckDB oracle replays the code join verbatim, which a
+    corpus-size-dependent shape cannot — `n_rows` keeps auto sizing
+    action-free when the caller knows the corpus size)."""
+    if bands is None or rows_per_band is None:
+        ab, ar = _auto_ann_bands(n_rows if n_rows is not None else df.count())
+        bands = ab if bands is None else bands
+        rows_per_band = ar if rows_per_band is None else rows_per_band
+        if n_flip is None:
+            n_flip = 2
+    n_flip = n_flip or 0
     c = band_codes(df, bands, rows_per_band, dim, id_col, vec_col)
-    qr = band_codes(queries, bands, rows_per_band, dim, id_col, vec_col).select(
+    qsrc = (multiprobe_codes(queries, bands, rows_per_band, n_flip, dim,
+                             id_col, vec_col)
+            if n_flip else
+            band_codes(queries, bands, rows_per_band, dim, id_col, vec_col))
+    qr = qsrc.select(
         F.col("id").alias("id_q"),
         F.col("qv").alias("qv_q"),
         F.col("nrm").alias("nrm_q"),
@@ -690,6 +827,7 @@ def semdedup(
     vec_col: str = "embedding",
     warn_cell_size: int = 100_000,
     max_auto_cells: int = 65_536,
+    max_cell_rows: int = 32_768,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove semantic
     duplicates by k-means clustering the embeddings and comparing pairs
@@ -713,35 +851,57 @@ def semdedup(
     an equi-join on cell — quadratic only WITHIN a cell, which is the
     published algorithm's own cost model (n_cells must grow with the
     corpus: the paper uses 50k clusters for LAION-scale; a hot cell is
-    a data-skew signal, not a plan defect)."""
+    a data-skew signal, not a plan defect). Cells above `max_cell_rows`
+    are additionally SPLIT into deterministic id-hash blocks and their
+    pair scan runs as one bounded task per block pair (VERDICT r7 'What's
+    wrong #2': a degenerate corpus concentrating in one cell used to
+    materialize that whole cell's vectors in a single pandas task —
+    bounded memory now, same total flops, B(B+1)/2-way parallel instead
+    of one straggler; results bit-identical, see _best_dup_in_cells)."""
     c = _prepared(df, id_col, vec_col)
     if n_cells is None:
         n_cells, train_cap = _auto_n_cells(c.count(), train_cap, max_auto_cells)
     centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
     assigned = _assign_cells(c, centroids).persist()
+    # one bounded collect (<= n_cells rows) serves both the hot-cell
+    # warning and the oversized-cell split decision
+    hist = {int(r["cell"]): int(r["n"]) for r in
+            assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
     if warn_cell_size:
-        hot = (
-            assigned.groupBy("cell").count()
-            .filter(F.col("count") > warn_cell_size)
-            .orderBy(F.desc("count")).limit(5).collect()
-        )
+        hot = sorted(((n, cl) for cl, n in hist.items() if n > warn_cell_size),
+                     reverse=True)[:5]
         if hot:
             logger.warning(
                 "semdedup: %d cell(s) exceed warn_cell_size=%d (top: %s). "
                 "The intra-cell pair join is quadratic within a cell; raise "
                 "n_cells (the paper scales cluster count with corpus size).",
                 len(hot), warn_cell_size,
-                [(int(r["cell"]), int(r["count"])) for r in hot],
+                [(cl, n) for n, cl in hot],
             )
-    out = _best_dup_in_cells(assigned, threshold)
-    out._ddspark_persisted = [assigned]
+    split = {cl: -(-n // max_cell_rows) for cl, n in hist.items()
+             if n > max_cell_rows}
+    out = _best_dup_in_cells(assigned, threshold, split=split)
+    out._ddspark_persisted = list(getattr(out, "_ddspark_persisted", [])) + [assigned]
     return out
 
 
-def _best_dup_in_cells(assigned: DataFrame, threshold: float) -> DataFrame:
+def _best_dup_in_cells(assigned: DataFrame, threshold: float,
+                       split: Optional[dict] = None) -> DataFrame:
     """semdedup's intra-cell pair step as ONE grouped Arrow pass: for each
     cell, mark every row with its smallest lower-id neighbor at
     cosine >= threshold (or nulls).
+
+    `split` maps oversized cells to a block count B: those cells' rows
+    are salted into B deterministic blocks (pmod(xxhash64(id), B)) and
+    the pair scan runs as one task per UNORDERED block pair — (b,b) tasks
+    scan within-block pairs, (b1<b2) tasks scan cross-block pairs only,
+    so every (i<j) pair of the cell is examined in exactly one task and
+    no task ever holds more than 2*max_cell_rows vectors. Per-task
+    results are partial minima; a groupBy(id).min(struct(dup_of,cosine))
+    reduce recovers the global smallest-lower-id contract bit-identically
+    (pair cosines are computed by the same blocked-BLAS arithmetic, and
+    min over disjoint partial minima is the global min). Cells not in
+    `split` keep the one-task-per-cell fast path.
 
     This replaces the equi-self-join + per-pair interpreted array fold
     (r7: the sf1.0 refresh measured the join form at 115s on a 22k corpus
@@ -755,23 +915,20 @@ def _best_dup_in_cells(assigned: DataFrame, threshold: float) -> DataFrame:
     never duplicates and never duplicate targets (NaN-cosine guard, as
     before).
 
-    Scale shape: one shuffle on cell (the groupBy), then per-cell blocked
-    BLAS bounded to ~2048x8192 tiles — a hot cell is a long TASK but
-    bounded MEMORY; the operator-level answer to hot cells remains more
-    cells (auto-sizing), this just removes the interpreter constant."""
+    Scale shape: one shuffle on cell (plus block pair for split cells),
+    then per-task blocked BLAS bounded to ~2048x8192 tiles — task memory
+    is bounded by max_cell_rows via the split; the operator-level answer
+    to hot cells remains more cells (auto-sizing), this bounds the
+    degenerate case."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf  # noqa: F401  (Arrow path)
 
     thr = float(threshold)
 
-    def per_cell(pdf):
-        ids = pdf["id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        X = np.array(pdf["qv"].to_numpy()[order].tolist(), dtype=np.int64)
-        nrm = pdf["nrm"].to_numpy()[order]
-        cell = pdf["cell"].iloc[0]
+    def _scan(ids, X, nrm, blk=None):
+        """Smallest lower-id neighbor >= thr per row; ids pre-sorted.
+        blk (optional int array): only cross-block pairs are eligible."""
         n = len(ids)
         dup_of = np.full(n, -1, dtype=np.int64)
         dup_cos = np.full(n, np.nan, dtype=np.float64)
@@ -797,6 +954,8 @@ def _best_dup_in_cells(assigned: DataFrame, threshold: float) -> DataFrame:
                     # candidates: lower id, positive norm, >= threshold
                     ok = (cos >= thr) & alive[None, j0:j1]
                     ok &= (j0 + np.arange(j1 - j0))[None, :] < todo[:, None]
+                    if blk is not None:
+                        ok &= blk[None, j0:j1] != blk[todo, None]
                     hit = ok.any(axis=1)
                     if hit.any():
                         rows = todo[hit]
@@ -804,6 +963,21 @@ def _best_dup_in_cells(assigned: DataFrame, threshold: float) -> DataFrame:
                         dup_of[rows] = ids[first]
                         dup_cos[rows] = cos[hit, first - j0]
                         todo = todo[~hit]
+        return dup_of, dup_cos
+
+    def _sorted_arrays(pdf):
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.array(pdf["qv"].to_numpy()[order].tolist(), dtype=np.int64)
+        nrm = pdf["nrm"].to_numpy()[order]
+        return ids, X, nrm, order
+
+    def per_cell(pdf):
+        ids, X, nrm, _ = _sorted_arrays(pdf)
+        cell = pdf["cell"].iloc[0]
+        n = len(ids)
+        dup_of, dup_cos = _scan(ids, X, nrm)
         return pd.DataFrame({
             "id": ids,
             "cell": np.full(n, int(cell), dtype=np.int64),
@@ -816,8 +990,57 @@ def _best_dup_in_cells(assigned: DataFrame, threshold: float) -> DataFrame:
                 dtype="Float64"),
         })
 
-    return assigned.select("id", "qv", "nrm", "cell").groupBy("cell").applyInPandas(
-        per_cell, "id long, cell long, dup_of long, dup_cosine double")
+    base = assigned.select("id", "qv", "nrm", "cell")
+    schema = "id long, cell long, dup_of long, dup_cosine double"
+    if not split:
+        return base.groupBy("cell").applyInPandas(per_cell, schema)
+
+    split_cells = sorted(split)
+    cold = base.filter(~F.col("cell").isin(split_cells)) \
+        .groupBy("cell").applyInPandas(per_cell, schema)
+
+    # hot cells: block = pmod(xxhash64(id), B); each row joins B groups —
+    # its (b,b) group plus every unordered pair it is a member of
+    b_map = F.create_map(*[F.lit(x) for cl in split_cells
+                           for x in (cl, split[cl])])
+    hot = (
+        base.filter(F.col("cell").isin(split_cells))
+        .withColumn("__B", b_map[F.col("cell")])
+        .withColumn("__blk", F.pmod(F.xxhash64(F.col("id")), F.col("__B")))
+        .withColumn("__bp", F.explode(F.transform(
+            F.sequence(F.lit(0), F.col("__B") - 1),
+            lambda g: F.struct(
+                F.least(F.col("__blk"), g).alias("b1"),
+                F.greatest(F.col("__blk"), g).alias("b2")),
+        )))
+    )
+
+    def per_block_pair(pdf):
+        ids, X, nrm, order = _sorted_arrays(pdf)
+        cell = pdf["cell"].iloc[0]
+        same = pdf["__bp"].iloc[0]["b1"] == pdf["__bp"].iloc[0]["b2"]
+        blk = None if same else pdf["__blk"].to_numpy()[order]
+        dup_of, dup_cos = _scan(ids, X, nrm, blk=blk)
+        hit = dup_of >= 0
+        return pd.DataFrame({
+            "id": ids[hit],
+            "cell": np.full(int(hit.sum()), int(cell), dtype=np.int64),
+            "dup_of": dup_of[hit],
+            "dup_cosine": dup_cos[hit],
+        })
+
+    partial = hot.select("id", "qv", "nrm", "cell", "__blk", "__bp") \
+        .groupBy("cell", "__bp").applyInPandas(per_block_pair, schema)
+    best = partial.groupBy("id", "cell").agg(
+        F.min(F.struct("dup_of", "dup_cosine")).alias("m"))
+    hot_out = (
+        base.filter(F.col("cell").isin(split_cells)).select("id", "cell")
+        .join(best, ["id", "cell"], "left")
+        .select("id", F.col("cell").cast("long").alias("cell"),
+                F.col("m.dup_of").alias("dup_of"),
+                F.col("m.dup_cosine").alias("dup_cosine"))
+    )
+    return cold.unionByName(hot_out)
 
 
 def semdedup_incremental(

@@ -58,6 +58,14 @@ class _Commit:
     dir: str
     timestamp: float
     rows: Optional[int] = None
+    # row count of the TABLE at this version (not of the stored diff).
+    # Maintained so commit() can make its checkpoint decision from the
+    # diff's sign counts alone — without it every commit re-scanned the
+    # entire new table just to evaluate the ratio heuristic, a full-table
+    # pass per commit that dwarfs the diff itself at warehouse scale.
+    # Optional for logs written before this field existed (compat path
+    # in commit() falls back to one count).
+    table_rows: Optional[int] = None
 
 
 @dataclass
@@ -107,8 +115,13 @@ def create_table(df: DataFrame, root: str, keys: Sequence[str]) -> int:
     d = "v00001"
     df.write.mode("overwrite").parquet(os.path.join(root, d))
     _refresh(df, root)
+    # count the WRITTEN files (zero-column parquet scan), not df — the
+    # snapshot is already materialized, recomputing df's plan would run
+    # its whole pipeline a second time
+    n = df.sparkSession.read.parquet(os.path.join(root, d)).count()
     _write_log(root, _Log(keys=list(keys), commits=[
-        _Commit(version=1, kind="full", dir=d, timestamp=time.time())
+        _Commit(version=1, kind="full", dir=d, timestamp=time.time(),
+                table_rows=n)
     ]))
     return 1
 
@@ -172,7 +185,9 @@ def commit(
         d = f"v{v:05d}"
         df_new.write.mode("overwrite").parquet(os.path.join(root, d))
         _refresh(df_new, root)
-        log.commits.append(_Commit(version=v, kind="full", dir=d, timestamp=time.time()))
+        n = spark.read.parquet(os.path.join(root, d)).count()
+        log.commits.append(_Commit(version=v, kind="full", dir=d,
+                                   timestamp=time.time(), table_rows=n))
         _write_log(root, log)
         return v
     res = diff_tables(
@@ -180,9 +195,29 @@ def commit(
     )
     diff_df = res.df.persist()
     try:
-        n_diff = diff_df.count()
+        # One aggregation gives everything the commit decision needs: the
+        # diff size AND the new table's row count (prev + inserts -
+        # deletes; an update is one '-' plus one '+', net zero). The old
+        # code ran df_new.count() here — a second full pass over the
+        # entire new table per commit, purely for the checkpoint
+        # heuristic. At warehouse scale the diff is tiny and that scan
+        # WAS the commit cost.
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from data_diff_spark.operators import joindiff as _jd
+
+        signs = dict(
+            (r[_jd.SIGN_COL], r["n"])
+            for r in diff_df.groupBy(F.col(_jd.SIGN_COL)).agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        )
+        n_diff = sum(signs.values())
         if n_diff == 0 and skip_empty:
             return log.latest
+        prev_rows = log.commits[-1].table_rows
+        if prev_rows is None:  # log predates table_rows: one-time fallback
+            prev_rows = head.count()
+        new_rows = prev_rows + signs.get("+", 0) - signs.get("-", 0)
         v = log.latest + 1
         d = f"v{v:05d}"
         since_full = 0  # diff commits since the last checkpoint
@@ -194,19 +229,21 @@ def commit(
         # fraction >= ratio  <=>  n_diff >= 2 * ratio * count
         full = (
             since_full + 1 >= checkpoint_every
-            or n_diff >= 2 * checkpoint_ratio * max(df_new.count(), 1)
+            or n_diff >= 2 * checkpoint_ratio * max(new_rows, 1)
         )
         if full:
             df_new.write.mode("overwrite").parquet(os.path.join(root, d))
             _refresh(df_new, root)
             log.commits.append(
-                _Commit(version=v, kind="full", dir=d, timestamp=time.time())
+                _Commit(version=v, kind="full", dir=d, timestamp=time.time(),
+                        table_rows=new_rows)
             )
         else:
             diff_df.write.mode("overwrite").parquet(os.path.join(root, d))
             _refresh(diff_df, root)
             log.commits.append(
-                _Commit(version=v, kind="diff", dir=d, timestamp=time.time(), rows=n_diff)
+                _Commit(version=v, kind="diff", dir=d, timestamp=time.time(),
+                        rows=n_diff, table_rows=new_rows)
             )
         _write_log(root, log)
         return v
@@ -223,7 +260,8 @@ def checkpoint(spark: SparkSession, root: str) -> int:
     d = f"v{v:05d}"
     read_version(spark, root).write.mode("overwrite").parquet(os.path.join(root, d))
     spark.catalog.refreshByPath(root)
-    log.commits.append(_Commit(version=v, kind="full", dir=d, timestamp=time.time()))
+    log.commits.append(_Commit(version=v, kind="full", dir=d, timestamp=time.time(),
+                               table_rows=log.commits[-1].table_rows))
     _write_log(root, log)
     return v
 

@@ -103,13 +103,26 @@ class DriftMonitor:
     def sink(self, stream: DataFrame, checkpoint_dir: str, table: str,
              trigger_once: bool = False):
         """Streaming query appending one report row per column per
-        micro-batch to a named in-catalog table."""
+        micro-batch to a sink table: a filesystem path (contains a path
+        separator — parquet append, no catalog/metastore involved) or a
+        catalog table name (saveAsTable). The report is a few rows per
+        batch; a metastore round-trip per micro-batch is pure overhead
+        for the path case, so it is only paid when a catalog name is
+        asked for."""
+        as_path = os.sep in table
         def _score(batch_df: DataFrame, batch_id: int) -> None:
             rows = self.score(batch_df, batch_id)
             if rows:
                 spark = batch_df.sparkSession
-                spark.createDataFrame(rows, self.REPORT_SCHEMA) \
-                    .write.mode("append").saveAsTable(table)
+                report = spark.createDataFrame(rows, self.REPORT_SCHEMA)
+                if as_path:
+                    # no coalesce(1): a 1-task write over a many-partition
+                    # local relation stalls ~5s in local mode (measured —
+                    # the single task walks every empty parent partition);
+                    # Spark only writes non-empty partitions anyway
+                    report.write.mode("append").parquet(table)
+                else:
+                    report.write.mode("append").saveAsTable(table)
 
         w = (
             stream.writeStream.foreachBatch(_score)
@@ -121,7 +134,7 @@ class DriftMonitor:
         return w.start()
 
 
-def monitor_orders_bounded(spark, sf_dir: str, columns):
+def monitor_orders_bounded(spark, sf_dir: str, columns, baseline=None):
     """Driver-gate harness (VERDICT r6 ask #3): score the orders table
     against the deterministically-modified baseline BOTH ways — as one
     batch frame and as a bounded stream through the real `sink()` path —
@@ -134,7 +147,15 @@ def monitor_orders_bounded(spark, sf_dir: str, columns):
     by design; multi-batch state crossing is pinned in
     tests/test_drift_stream.py). batch_id is kept in both reports so a
     surprise batch split breaks the equality loudly instead of averaging
-    away."""
+    away.
+
+    `baseline` (optional, already persisted by the caller) lets the gate
+    entry share ONE materialization of the modified-orders table between
+    this monitor and its sign-count arm — DriftMonitor reads the baseline
+    twice (min/max then bin counts), and recomputing the union per pass
+    was most of the r7 entry's fixed cost. The sink target is a scratch
+    PATH (parquet append), keeping the per-run metastore round-trips of
+    the old saveAsTable sink out of the measured arm."""
     import shutil
     import tempfile
 
@@ -143,7 +164,9 @@ def monitor_orders_bounded(spark, sf_dir: str, columns):
 
     load_views(spark, sf_dir)
     cols = list(columns)
-    baseline = spark.sql(MODIFIED_ORDERS_SQL).select(*cols)
+    if baseline is None:
+        baseline = spark.sql(MODIFIED_ORDERS_SQL)
+    baseline = baseline.select(*cols)
     mon = DriftMonitor(baseline, columns=cols)
 
     batch_rows = mon.score(spark.table("orders").select(*cols), batch_id=0)
@@ -155,24 +178,24 @@ def monitor_orders_bounded(spark, sf_dir: str, columns):
         .parquet(_as_stream_dir(sf_dir, "orders"))
         .select(*cols)
     )
-    ckpt = tempfile.mkdtemp(prefix="drift_gate_ckpt_")
-    table = f"drift_gate_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
-    spark.sql(f"drop table if exists {table}")
+    scratch = tempfile.mkdtemp(prefix="drift_gate_")
+    ckpt = os.path.join(scratch, "ckpt")
+    sink_dir = os.path.join(scratch, "report")
     try:
-        q = mon.sink(stream, ckpt, table, trigger_once=True)
+        q = mon.sink(stream, ckpt, sink_dir, trigger_once=True)
         q.awaitTermination()
         q.stop()
-        if not spark.catalog.tableExists(table):
-            # the sink writes only non-empty batches; no table means the
-            # bounded source produced NO data — a harness bug (e.g. the
-            # r7 directory-symlink stream defect), never a valid score
+        if not os.path.isdir(sink_dir):
+            # the sink writes only non-empty batches; no report dir means
+            # the bounded source produced NO data — a harness bug (e.g.
+            # the r7 directory-symlink stream defect), never a valid score
             raise RuntimeError(
                 "drift gate: streaming sink wrote no batches — the "
                 "bounded orders stream was empty")
         # the report is |columns| rows — bounded driver collect by design
         stream_df = spark.createDataFrame(
-            spark.table(table).collect(), mon.REPORT_SCHEMA)
+            spark.read.schema(mon.REPORT_SCHEMA).parquet(sink_dir).collect(),
+            mon.REPORT_SCHEMA)
     finally:
-        spark.sql(f"drop table if exists {table}")
-        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
     return batch_df, stream_df

@@ -82,7 +82,7 @@ def read_rollup(spark, root: str, version: int | None = None) -> DataFrame:
     return V.read_version(spark, root, version)
 
 
-def ndv_rollup_batch_equivalent(spark, sf_dir: str, n_batches: int = 2):
+def ndv_rollup_batch_equivalent(spark, sf_dir: str, n_batches: int | None = None):
     """Driver-gate harness (VERDICT r6 ask #3): fold the bounded events
     stream into a FRESH versioned sketch rollup across ~n_batches
     micro-batches (the relaid multi-file copy split by maxFilesPerTrigger,
@@ -99,9 +99,16 @@ def ndv_rollup_batch_equivalent(spark, sf_dir: str, n_batches: int = 2):
     import tempfile
 
     from data_diff_spark import workload as _wl
-    from data_diff_spark.streaming.events_stream import _as_stream_dir
+    from data_diff_spark.streaming.events_stream import (
+        _as_stream_dir,
+        bounded_stream_sizing,
+        table_rows,
+    )
 
     _wl.load_views(spark, sf_dir)
+    if n_batches is None:  # the one bounded-stream sizing rule
+        n_batches, _ = bounded_stream_sizing(
+            table_rows(spark, sf_dir), spark.sparkContext.defaultParallelism)
     by, cols = ["event_type"], ["user_id"]
     batch = distinct_rollup(
         spark.table("events").select("event_type", "user_id"), by, cols)

@@ -52,6 +52,10 @@ def main() -> None:
     try:  # warm-up, mirroring bench.py: not counted, failure non-fatal
         load_views(spark, sf_dir)
         spark.table("lineitem").count()
+        from data_diff_spark import workload as _wlw
+        # getattr: this script serves baseline worktrees that may predate
+        # the streaming warmup helper
+        getattr(_wlw, "warm_streaming", lambda *_: None)(spark, sf_dir)
     except Exception:  # noqa: BLE001
         pass
 
