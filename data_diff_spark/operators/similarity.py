@@ -60,6 +60,19 @@ def _qnorm(q: Column) -> Column:
     return F.sqrt(_qdot(q, q).cast("double"))
 
 
+def _stack_i64(vals):
+    """Arrow list column (pandas Series / numpy object array of per-row
+    arrays) -> (n, dim) int64 matrix. np.stack over the row arrays — NOT
+    np.array(x.tolist()): the tolist() round-trip through Python lists
+    measured ~10x slower on the 1M-row assign path (117s -> 12s)."""
+    import numpy as np
+
+    arrs = list(vals)
+    if not arrs:
+        return np.empty((0, 0), dtype=np.int64)
+    return np.asarray(np.stack(arrs), dtype=np.int64)
+
+
 def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     q = quantize(F.col(vec_col))
     return df.select(F.col(id_col).alias("id"), q.alias("qv")).withColumn(
@@ -171,7 +184,7 @@ def band_codes(
         nb, rpb = bands, rows_per_band
 
         def _codes(qv):
-            X = np.array(qv.tolist(), dtype=np.int64)
+            X = _stack_i64(qv)
             if not len(X):
                 return pd.Series([], dtype=object)
             Hl = bcH.value
@@ -329,7 +342,7 @@ def cosine_pairs_lsh(
 
 
 def _auto_ann_bands(n_rows: int, bands: int = 8,
-                    target_occupancy: float = 32.0,
+                    target_occupancy: float = 64.0,
                     min_rows_per_band: int = 4,
                     max_rows_per_band: int = 24):
     """(bands, rows_per_band) for ann_topk_lsh's auto mode: the same
@@ -376,7 +389,7 @@ def multiprobe_codes(
     nb, rpb, nf = bands, rows_per_band, min(n_flip, rows_per_band)
 
     def _codes(qv):
-        X = np.array(qv.tolist(), dtype=np.int64)
+        X = _stack_i64(qv)
         if not len(X):
             return pd.Series([], dtype=object)
         Hl = bcH.value
@@ -442,7 +455,12 @@ def ann_topk_lsh(
         bands = ab if bands is None else bands
         rows_per_band = ar if rows_per_band is None else rows_per_band
         if n_flip is None:
-            n_flip = 2
+            # measured at sf0.1 (n=2000, exact-oracle recall / candidates
+            # per query): occ=64,nf=4 -> 0.968 / 1460; occ=32,nf=4 ->
+            # 0.888 / 962; occ=64,nf=2 -> 0.906 / 1082. nf=4 holds the
+            # >=0.9 bar with margin at every probed corpus size
+            # (tools/probe_ann_growth.py).
+            n_flip = 4
     n_flip = n_flip or 0
     c = band_codes(df, bands, rows_per_band, dim, id_col, vec_col)
     qsrc = (multiprobe_codes(queries, bands, rows_per_band, n_flip, dim,
@@ -534,9 +552,28 @@ def _argmin_cells(X, C):
     n, dim = X.shape
     m = max(int(np.abs(X).max(initial=0)), int(np.abs(C).max(initial=0))) or 1
     if m * m * dim < (1 << 51):
-        dots = X.astype(np.float64) @ C.astype(np.float64).T  # exact here
+        # blocked with a reused output buffer: the one-shot form allocated
+        # a fresh (n, cells) dots matrix PLUS an equal-size broadcast temp
+        # per call — ~200 MB of first-touch pages per 10k-row Arrow batch
+        # at 1000 cells, which dominated wall-clock on lazily-provisioned
+        # VMs (r8 probe: 'mul fresh alloc' 1.5s vs 0.03s warm for 80 MB).
+        # Values are bit-identical: buf = dots; buf *= -2; buf += c2
+        # computes c2 + (-(2*dots)) elementwise — the same IEEE doubles as
+        # (c2 - 2*dots) in the same per-element order.
+        Cf = np.ascontiguousarray(C.astype(np.float64).T)
         c2 = (C.astype(np.float64) ** 2).sum(axis=1)
-        return (c2[None, :] - 2.0 * dots).argmin(axis=1)
+        out = np.empty(n, dtype=np.int64)
+        block = max(256, (1 << 22) // max(1, len(C)))
+        buf = np.empty((min(block, n), len(C)), dtype=np.float64)
+        for s in range(0, n, block):
+            xb = X[s:s + block].astype(np.float64)
+            k = len(xb)
+            np.dot(xb, Cf, out=buf[:k])
+            b = buf[:k]
+            b *= -2.0
+            b += c2[None, :]
+            out[s:s + block] = b.argmin(axis=1)
+        return out
     assign = np.empty(n, dtype=np.int64)
     block = max(1, (1 << 24) // max(1, len(C) * dim))
     for s in range(0, n, block):
@@ -568,8 +605,12 @@ def _int_l2_dists(vec: str, centroids: List[List[int]]) -> Column:
 # above this many centroids the per-row SQL transform over the centroid
 # literal (interpreted higher-order function, O(cells*dim) per row) loses to
 # an Arrow-batched BLAS argmin; the gated oracle entries use n_cells=16 and
-# stay on the SQL path the DuckDB oracle replays
-_ASSIGN_UDF_MIN_CELLS = 256
+# stay on the SQL path the DuckDB oracle replays. 32, not the r7 256: the
+# r8 hot-cell probe measured the interpreted path at 150 cells x 150k rows
+# in the several-hundred-second range (~4.5e9 interpreted lambda ops) while
+# the BLAS path does the same rows in seconds — the crossover is far lower
+# than the r7 guess.
+_ASSIGN_UDF_MIN_CELLS = 32
 
 
 def _assign_cells(prepared: DataFrame, centroids) -> DataFrame:
@@ -602,7 +643,7 @@ def _assign_cells(prepared: DataFrame, centroids) -> DataFrame:
     bc = sc.broadcast(np.asarray(centroids, dtype=np.int64))
 
     def _cell_of(qv):
-        X = np.array(qv.tolist(), dtype=np.int64)
+        X = _stack_i64(qv)
         if not len(X):
             return pd.Series([], dtype="int32")
         return pd.Series(_argmin_cells(X, bc.value).astype(np.int32))
@@ -969,7 +1010,7 @@ def _best_dup_in_cells(assigned: DataFrame, threshold: float,
         ids = pdf["id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        X = np.array(pdf["qv"].to_numpy()[order].tolist(), dtype=np.int64)
+        X = _stack_i64(pdf["qv"].to_numpy()[order])
         nrm = pdf["nrm"].to_numpy()[order]
         return ids, X, nrm, order
 

@@ -48,6 +48,7 @@ def clean_corpus(
     redact: bool = True,
     lm_model: Optional[Tuple[DataFrame, int]] = None,
     max_perplexity: Optional[float] = None,
+    lm_n: int = 3,
     audit: bool = True,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the cleaning chain; returns (cleaned_df, stage_counts).
@@ -138,7 +139,7 @@ def clean_corpus(
             "perplexity_filter",
             perplexity_filter(
                 out, model, total, max_perplexity,
-                text_col=text_col, id_col=id_col,
+                n=lm_n, text_col=text_col, id_col=id_col,
             ),
         )
 

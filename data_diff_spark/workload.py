@@ -2037,6 +2037,230 @@ select doc_id, lang, 'web' as mix_source from documents where {web}
 """
 
 
+# --- clean_docs: the LM/BPE/clean_corpus gate (VERDICT r7 Next #3) ----------
+
+# perplexity ceiling for the gated chain: the corpus' bigram-ppl
+# distribution at sf0.01 reads min 27.5 / median 30.7 / max 41.2, so 31.0
+# keeps ~55% — the filter provably drops AND keeps rows, and no document
+# sits within 1e-6 of the boundary (summation-order ulps cannot flip a
+# keep decision between engines)
+CLEAN_PPL_CEILING = 31.0
+CLEAN_BPE_MERGES = 6
+# greedy re-tokenization steps to unroll in the oracle: every merge
+# application shrinks a word's symbol sequence by >= 1, so <= len(word)
+# steps suffice; the corpus' longest word is 8 chars (9 symbols with </w>)
+CLEAN_BPE_STEPS = 8
+CLEAN_LM_N = 2  # bigram: exercises the full backoff chain (hit -> alpha*unigram -> OOV floor)
+
+
+def q_clean_docs(spark, sf_dir):
+    """The training-data cleaning story end-to-end as ONE oracle-checked
+    relation (VERDICT r7 Next #3: functions/lm.py, functions/bpe.py and
+    pipeline.clean_corpus carried only pytest parity pins):
+
+      scope='stage'      clean_corpus survivor count per stage over the
+                         doubled corpus (DOCS2_SQL, so exact_dedup has
+                         real work): quality rules -> exact dedup ->
+                         decontaminate (vs the doc_id%97 benchmark) ->
+                         Stupid-Backoff perplexity ceiling;
+      scope='survivor'   the final kept doc_id set, hash-matched;
+      scope='ppl'        per-doc (n_scored, log10prob) for doc_id%20=0 —
+                         lm.score_documents' bigram backoff arithmetic
+                         replayed by DuckDB (logprob rounded to 6dp: the
+                         only cross-engine divergence is double-sum
+                         order, ~1e-11 at these magnitudes);
+      scope='bpe_merge'  the first 6 BPE merges from bpe.train_bpe —
+                         the oracle replays the TRAINING loop (pair
+                         counts, argmax with the cnt-desc/a/b tiebreak,
+                         left-to-right non-overlapping merge) as
+                         unrolled CTEs, like the IVF Lloyd replay;
+      scope='bpe_len'    per-doc bpe_tokenize token counts for
+                         doc_id%20=0 — the oracle replays the GREEDY
+                         lowest-rank-first re-tokenization as unrolled
+                         fixpoint steps (<= max word length iterations).
+    """
+    from data_diff_spark.functions.bpe import bpe_tokenize, train_bpe
+    from data_diff_spark.functions.lm import score_documents, train_ngram_lm
+    from data_diff_spark.pipeline import clean_corpus
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    corpus = spark.sql(DOCS2_SQL)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    model, total = train_ngram_lm(docs, n=CLEAN_LM_N)
+    cleaned, counts = clean_corpus(
+        corpus, min_tokens=10, min_quality=0.3,
+        near_dup_threshold=None, benchmark=bench, decontaminate_n=5,
+        redact=False, lm_model=(model, total),
+        max_perplexity=CLEAN_PPL_CEILING, lm_n=CLEAN_LM_N, audit=True,
+    )
+
+    def shaped(scope, k, v_str, v_num):
+        return F.lit(scope).alias("scope"), k.cast("string").alias("k"), \
+            v_str.cast("string").alias("v_str"), v_num.cast("double").alias("v_num")
+
+    null_s, null_d = F.lit(None).cast("string"), F.lit(None).cast("double")
+    stage = spark.createDataFrame(
+        [(k, float(v)) for k, v in counts.items()], "k string, v double"
+    ).select(*shaped("stage", F.col("k"), null_s, F.col("v")))
+    surv = cleaned.select(*shaped("survivor", F.col("doc_id"), null_s, null_d))
+    ppl = score_documents(
+        docs.filter(F.col("doc_id") % 20 == 0), model, total, n=CLEAN_LM_N
+    ).select(*shaped("ppl", F.col("doc_id"), F.col("n_scored"),
+                     F.round("logprob", 6)))
+    merges = train_bpe(docs, n_merges=CLEAN_BPE_MERGES)
+    mrows = spark.createDataFrame(
+        [(str(i + 1), f"{a} {b}") for i, (a, b) in enumerate(merges)],
+        "k string, v string",
+    ).select(*shaped("bpe_merge", F.col("k"), F.col("v"), null_d))
+    blen = bpe_tokenize(
+        docs.filter(F.col("doc_id") % 20 == 0), merges
+    ).select(*shaped("bpe_len", F.col("doc_id"), null_s, F.col("bpe_len")))
+    out = stage.unionAll(surv).unionAll(ppl).unionAll(mrows).unionAll(blen)
+    return _track_persisted(out, [cleaned, model])
+
+
+def _clean_lm_ctes() -> str:
+    """Bigram Stupid-Backoff training + scoring over `tokd` (doc_id, toks):
+    CTEs uni/big/tot/sc — sc = (doc_id, n_scored, logprob), replaying
+    lm.train_ngram_lm(n=2) + score_documents exactly (order-2 counts over
+    BOS-padded tokens, order-1 over raw tokens; chain = hit ? c2/d2 :
+    0.4 * (coalesce(c1,1)/N))."""
+    return """
+uni as (select tok as gram, count(*)::bigint as cnt
+        from (select unnest(toks) as tok from tokd) group by 1),
+big as (select p[i] || ' ' || p[i+1] as gram, count(*)::bigint as cnt from (
+          select ['<s>'] || toks as p,
+                 unnest(generate_series(1, len(toks))) as i from tokd
+        ) group by 1),
+tot as (select sum(len(toks))::bigint as n from tokd),
+sc as (
+  select doc_id, count(*)::bigint as n_scored,
+         sum(log10(case when b.cnt is not null and u1.cnt is not null
+                        then 1.0 * (b.cnt::double / u1.cnt::double)
+                        else 0.4 * (coalesce(u2.cnt, 1.0)::double
+                                    / (select n from tot)) end)) as logprob
+  from (select doc_id, ['<s>'] || toks as p,
+               unnest(generate_series(2, len(toks)+1)) as i
+        from tokd where len(toks) > 0) q
+  left join big b on b.gram = q.p[q.i-1] || ' ' || q.p[q.i]
+  left join uni u1 on u1.gram = q.p[q.i-1]
+  left join uni u2 on u2.gram = q.p[q.i]
+  group by doc_id)"""
+
+
+def _clean_bpe_ctes(k: int = CLEAN_BPE_MERGES, steps: int = CLEAN_BPE_STEPS) -> str:
+    """BPE replay CTEs: bm1..bmk = the trained merges (training loop
+    unrolled: weighted adjacent-pair counts over the symbol strings,
+    argmax with train_bpe's cnt-desc/a-asc/b-asc tiebreak, merge applied
+    via replace() — SQL replace is left-to-right non-overlapping, exactly
+    _apply_merge's fold); gv{steps} = greedy re-tokenization of the
+    doc_id%20 subset's vocabulary (each step applies the LOWEST-rank
+    merge whose pair occurs — bpe_encode_words' rule — and extra steps
+    are no-ops, so unrolling past the fixpoint is safe); blen = per-doc
+    subword counts."""
+    sym0 = ("' ' || array_to_string(list_transform(generate_series(1, "
+            "length(word)), i -> word[i]) || ['</w>'], ' ') || ' '")
+    parts = [f"""
+wc as (select word, count(*)::bigint as n from (
+        select unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) as word
+        from documents) group by 1),
+bs0 as (select {sym0} as s, n from wc)"""]
+    for t in range(1, k + 1):
+        parts.append(f"""
+bp{t} as (select l[i] as a, l[i+1] as b, sum(n)::bigint as cnt from (
+           select list_filter(string_split(s, ' '), x -> x <> '') as l, n,
+                  unnest(generate_series(1,
+                    len(list_filter(string_split(s, ' '), x -> x <> '')) - 1)) as i
+           from bs{t-1}) group by 1, 2),
+bm{t} as (select a, b from bp{t} order by cnt desc, a asc, b asc limit 1),
+bs{t} as (select replace(s, ' ' || m.a || ' ' || m.b || ' ',
+                         ' ' || m.a || m.b || ' ') as s, n
+          from bs{t-1}, bm{t} m)""")
+    pats = [(f"' ' || j{j}.a || ' ' || j{j}.b || ' '",
+             f"' ' || j{j}.a || j{j}.b || ' '") for j in range(1, k + 1)]
+    joins = ", ".join(f"bm{j} j{j}" for j in range(1, k + 1))
+    parts.append(f"""
+dw as (select doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                         x -> x <> '')) as word
+       from documents where doc_id % 20 = 0),
+gv0 as (select word, {sym0} as s from (select distinct word from dw))""")
+    for t in range(1, steps + 1):
+        whens = " ".join(
+            f"when position({p} in s) > 0 then replace(s, {p}, {r})"
+            for p, r in pats)
+        parts.append(f"""
+gv{t} as (select word, case {whens} else s end as s from gv{t-1}, {joins})""")
+    parts.append(f"""
+wlen as (select word,
+                len(list_filter(string_split(s, ' '), x -> x <> ''))::bigint as n_sub
+         from gv{steps}),
+blen as (select dw.doc_id, sum(wlen.n_sub)::bigint as bpe_len
+         from dw join wlen using (word) group by dw.doc_id)""")
+    return ",".join(parts)
+
+
+def _clean_docs_oracle() -> str:
+    qf_reason = TX.duckdb_quality_filter("text", 10, 1_000_000, 0.3, None)
+    ng = f"list_distinct({TX.duckdb_word_ngrams('text', 5)})"
+    h60 = TX.duckdb_hash60("g.g")
+    merge_rows = " union all ".join(
+        f"select 'bpe_merge', '{t}', a || ' ' || b, null from bm{t}"
+        for t in range(1, CLEAN_BPE_MERGES + 1))
+    return f"""
+with
+corpus as ({DOCS2_SQL}),
+tokd as (select doc_id, text, {TX.duckdb_tokens('text')} as toks from documents),
+qf2 as (select doc_id, text from corpus where {qf_reason} is null),
+ed as (select doc_id, text from (
+        select q.*, min(doc_id) over (partition by md5(text)) as mid from qf2 q) t
+       where doc_id = mid),
+bg as (select distinct {h60} as g
+       from (select doc_id, unnest({ng}) as g
+             from documents where doc_id % 97 = 0) g(doc_id, g)),
+contam as (select distinct cg.id from
+       (select g.doc_id as id, {h60} as g
+        from (select doc_id, unnest({ng}) as g from ed) g(doc_id, g)) cg
+       join bg using (g)),
+dec as (select ed.doc_id, ed.text, {TX.duckdb_tokens('ed.text')} as toks
+        from ed where ed.doc_id not in (select id from contam)),
+{_clean_lm_ctes()},
+dsc as (
+  select doc_id, count(*)::bigint as n_scored,
+         sum(log10(case when b.cnt is not null and u1.cnt is not null
+                        then 1.0 * (b.cnt::double / u1.cnt::double)
+                        else 0.4 * (coalesce(u2.cnt, 1.0)::double
+                                    / (select n from tot)) end)) as logprob
+  from (select doc_id, ['<s>'] || toks as p,
+               unnest(generate_series(2, len(toks)+1)) as i
+        from dec where len(toks) > 0) q
+  left join big b on b.gram = q.p[q.i-1] || ' ' || q.p[q.i]
+  left join uni u1 on u1.gram = q.p[q.i-1]
+  left join uni u2 on u2.gram = q.p[q.i]
+  group by doc_id),
+surv as (select doc_id from dsc
+         where n_scored > 0
+           and pow(10.0, -logprob / n_scored) <= {CLEAN_PPL_CEILING}),
+{_clean_bpe_ctes()}
+select 'stage' as scope, s.k as k, cast(null as varchar) as v_str, s.v as v_num from (
+  select 'input' as k, (select count(*) from corpus)::double as v
+  union all select 'quality_filter', (select count(*) from qf2)::double
+  union all select 'exact_dedup', (select count(*) from ed)::double
+  union all select 'decontaminate', (select count(*) from dec)::double
+  union all select 'perplexity_filter', (select count(*) from surv)::double) s
+union all
+select 'survivor', doc_id::varchar, null, null from surv
+union all
+select 'ppl', sc.doc_id::varchar, sc.n_scored::varchar, round(sc.logprob, 6)
+from sc where sc.doc_id % 20 = 0
+union all
+{merge_rows}
+union all
+select 'bpe_len', doc_id::varchar, null, bpe_len::double from blen
+"""
+
+
 def q_token_vocab(spark, sf_dir):
     """Corpus vocabulary / heavy hitters: top-100 tokens by total count with
     document frequency — the tokenizer-vocab / stopword-discovery pass.
@@ -2790,14 +3014,20 @@ from assigned a join kept k using (cluster_id)
 
 def q_docs_sampling(spark, sf_dir):
     """Deterministic sampling surface in one scoped relation: content-hash
-    train/val/test split assignment + 20-per-language stratified sample."""
+    train/val/test split assignment, 20-per-language stratified sample,
+    and the corpus-mixture construction (r8: mix_corpora folded in here —
+    both are hash-sampling semantics — to free a registry slot for the
+    clean_docs LM/BPE gate)."""
     s = q_docs_split_assign(spark, sf_dir).select(
         F.lit("split").alias("scope"), "doc_id", F.col("split").alias("tag")
     )
     t = q_docs_stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("scope"), "doc_id", F.col("lang").alias("tag")
     )
-    return s.unionAll(t)
+    m = q_mix_corpora(spark, sf_dir).select(
+        F.lit("mix").alias("scope"), "doc_id", F.col("mix_source").alias("tag")
+    )
+    return s.unionAll(t).unionAll(m)
 
 
 def _docs_sampling_oracle() -> str:
@@ -2805,6 +3035,8 @@ def _docs_sampling_oracle() -> str:
 select 'split' as scope, doc_id, split as tag from ({_docs_split_oracle()})
 union all
 select 'stratified' as scope, doc_id, lang as tag from ({_docs_stratified_oracle()})
+union all
+select 'mix' as scope, doc_id, mix_source as tag from ({_mix_corpora_oracle()})
 """
 
 
@@ -2885,7 +3117,9 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "snm_pairs_docs": (q_snm_pairs, ORACLE_SNM_PAIRS),
     "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
     "zorder_key_events": (q_zorder_key_events, _zorder_oracle()),
-    "mix_corpora_docs": (q_mix_corpora, _mix_corpora_oracle()),
+    # r8: mix_corpora folded into docs_sampling (scope='mix'); its slot now
+    # gates the LM/BPE/clean_corpus family (VERDICT r7 Next #3)
+    "clean_docs": (q_clean_docs, _clean_docs_oracle()),
     "repetition_stats_docs": (q_repetition_stats, _repetition_stats_oracle()),
 }
 

@@ -51,6 +51,11 @@ def test_lsh_pairs_complete_at_high_threshold(emb):
 
 
 def test_ann_recall_vs_exact(emb, queries):
+    """Default (auto) mode: occupancy-ruled code width + margin-guided
+    multi-probe must hold recall >= 0.9 against the exact oracle — the
+    corpus-growth contract (candidate flatness is probed across corpus
+    sizes by tools/probe_ann_growth.py: 1.19x candidates for 10x corpus,
+    recall 0.97/0.96 at n=2k/20k)."""
     exact = {
         (r.id_q, r.id_c)
         for r in SIM.cosine_topk(emb, queries, k=5).collect()
@@ -60,7 +65,38 @@ def test_ann_recall_vs_exact(emb, queries):
         for r in SIM.ann_topk_lsh(emb, queries, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    assert recall >= 0.9, f"ANN auto-mode recall too low: {recall}"
+
+
+def test_ann_multiprobe_superset_of_exact_codes(emb, queries):
+    """Every exact-code candidate must survive multi-probe expansion (the
+    probe set CONTAINS the exact code), so n_flip can only add recall."""
+    probed = SIM.multiprobe_codes(queries, 8, 6, 2)
+    plain = SIM.band_codes(queries, 8, 6)
+    got = {(r["id"], r["band_idx"], r["code"]) for r in probed.collect()}
+    want = {(r["id"], r["band_idx"], r["code"]) for r in plain.collect()}
+    assert want <= got
+    assert len(got) > len(want)  # flips added real extra probes
+
+
+def test_semdedup_hot_cell_split_parity(emb):
+    """A max_cell_rows small enough to force every cell through the
+    block-pair split path must give BIT-IDENTICAL results to the
+    one-task-per-cell path, on a corpus with real duplicate structure
+    (planted 1.01-scaled copies, cosine ~1)."""
+    from pyspark.sql import functions as F
+
+    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 555000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    corpus = emb.unionAll(copies)
+    a = sorted(map(tuple, SIM.semdedup(corpus, threshold=0.99, n_cells=8).collect()))
+    b = sorted(map(tuple, SIM.semdedup(corpus, threshold=0.99, n_cells=8,
+                                       max_cell_rows=40).collect()))
+    assert a == b
+    n_dups = sum(1 for r in a if r[2] is not None)
+    assert n_dups >= corpus.count() // 10  # the planted copies were found
 
 
 def test_ivf_recall_vs_exact(emb, queries):
