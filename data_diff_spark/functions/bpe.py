@@ -115,26 +115,36 @@ def train_bpe(
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=seed)
     syms = _initial_symbols(word_counts(df, text_col)).persist()
+    prev = None
     merges: List[Tuple[str, str]] = []
     try:
-        for _ in range(n_merges):
+        for i in range(n_merges):
+            # this collect computes the pair counts over `syms` in full,
+            # which populates syms' cache as a side effect — so the parent
+            # frame can be dropped right after it, with no separate
+            # materializing count() action per round (the r7 shape paid
+            # one extra job per merge)
             top = (
                 _pair_counts(syms)
                 .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             a, b = top[0]["a"], top[0]["b"]
             merges.append((a, b))
-            nxt = _apply_merge(syms, a, b).persist()
-            nxt.count()  # materialize before dropping the parent cache
-            syms.unpersist()
-            syms = nxt
+            if i < n_merges - 1:  # the post-final-merge state is never read
+                nxt = _apply_merge(syms, a, b).persist()
+                prev, syms = syms, nxt
         return merges
     finally:
         syms.unpersist()
+        if prev is not None:
+            prev.unpersist()
 
 
 def reference_bpe(texts: List[str], n_merges: int) -> List[Tuple[str, str]]:
