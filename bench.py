@@ -29,6 +29,14 @@ from pyspark.sql import SparkSession
 # generated classes for hours wants full tiered compilation.
 BENCH_JVM_FLAGS = "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m"
 
+# A/B outlier rule: a first-pass min-ratio above this triggers an automatic
+# same-workers re-run at >= SPOTCHECK_REPEATS samples per side (see
+# run_interleaved). 1.3 splits the observed noise band (cold-start samples
+# land 1.1-1.25x) from the real-regression band every adjudicated case to
+# date has fallen in.
+SPOTCHECK_RATIO = float(os.environ.get("SPARK_GRAFT_SPOTCHECK_RATIO", "1.3"))
+SPOTCHECK_REPEATS = int(os.environ.get("SPARK_GRAFT_SPOTCHECK_REPEATS", "5"))
+
 
 def build_session(cpus: str) -> SparkSession:
     return (
@@ -129,6 +137,41 @@ def run_interleaved(ref: str, sf_dir: str, cpus: str, repeats: int,
             base[name] = min(bs)
         if hs and bs:
             ratios[name] = round(min(hs) / min(bs), 3)
+    # Mechanical outlier adjudication (round-9 rule): any entry whose
+    # min-ratio exceeds SPOTCHECK_RATIO after the main pass is re-run on
+    # the SAME warm workers at >=SPOTCHECK_REPEATS per side, and the extra
+    # samples fold into the artifact. Rationale: the r8 round shipped a
+    # 1.45x/2.54x reading on one entry that a repeats=5 re-run exonerated
+    # at 0.955 — low-repeat cold samples misread memory state as code.
+    # This used to be a per-round judgment call; now no >threshold ratio
+    # can leave this function unadjudicated.
+    spotcheck = {"threshold": SPOTCHECK_RATIO, "repeats": SPOTCHECK_REPEATS,
+                 "entries": {}}
+    for name in sorted(n for n, r in ratios.items() if r > SPOTCHECK_RATIO):
+        extra = max(0, SPOTCHECK_REPEATS - repeats)
+        hs, bs = [], []
+        for _ in range(repeats + extra):
+            for w, acc in ((head_w, hs), (base_w, bs)):
+                r = ask(w, name)
+                if "sec" in r:
+                    acc.append(r["sec"])
+        if not (hs and bs):
+            spotcheck["entries"][name] = {"err": "worker died during re-run"}
+            continue
+        all_h = samples["head"][name] + hs
+        all_b = samples["base"][name] + bs
+        import statistics as _st
+        adjudicated = round(min(all_h) / min(all_b), 3)
+        spotcheck["entries"][name] = {
+            "first_pass_ratio": ratios[name],
+            "rerun_samples_head": hs, "rerun_samples_base": bs,
+            "adjudicated_ratio": adjudicated,
+            "adjudicated_median_ratio": round(
+                _st.median(all_h) / _st.median(all_b), 3),
+        }
+        samples["head"][name], samples["base"][name] = all_h, all_b
+        head[name], base[name] = min(all_h), min(all_b)
+        ratios[name] = adjudicated
     for w in (head_w, base_w):
         try:
             if id(w) not in dead:
@@ -164,7 +207,7 @@ def run_interleaved(ref: str, sf_dir: str, cpus: str, repeats: int,
         "queries": head, "baseline": base, "ratios": ratios,
         "medians": med, "median_ratios": med_ratios,
         "samples": samples, "spread": spread, "oracle_scans": scans,
-        "load1m": loads,
+        "load1m": loads, "spotcheck": spotcheck,
     }
     if errors:
         out["errors"] = errors
