@@ -2149,15 +2149,34 @@ sc as (
   group by doc_id)"""
 
 
+def _bpe_fold_sql(a: str, b: str) -> str:
+    """SQL replay of bpe._apply_merge's left-to-right non-overlapping
+    fold over a space-wrapped symbol string: list_reduce appends each
+    symbol, merging it into the accumulator's LAST token when (last,
+    cur) == (a, b). A single SQL replace() is NOT equivalent: adjacent
+    occurrences share the boundary space, so only the first merges
+    (' b a n a n a ' + (a,n) -> ' b an a n a ' under replace, vs the
+    fold's b,an,an,a) — DuckDB-verified both ways. The merged token
+    cannot re-merge within the pass because a||b != a (b non-empty),
+    the same guard _apply_merge documents; ends_with(acc, ' '||a) is an
+    exact last-token test because symbols are space-free."""
+    return (f"' ' || list_reduce("
+            f"list_filter(string_split(s, ' '), x -> x <> ''), "
+            f"(acc, x) -> case when x = {b} and (acc = {a} "
+            f"or ends_with(acc, ' ' || {a})) "
+            f"then acc || x else acc || ' ' || x end) || ' '")
+
+
 def _clean_bpe_ctes(k: int = CLEAN_BPE_MERGES, steps: int = CLEAN_BPE_STEPS) -> str:
     """BPE replay CTEs: bm1..bmk = the trained merges (training loop
     unrolled: weighted adjacent-pair counts over the symbol strings,
     argmax with train_bpe's cnt-desc/a-asc/b-asc tiebreak, merge applied
-    via replace() — SQL replace is left-to-right non-overlapping, exactly
-    _apply_merge's fold); gv{steps} = greedy re-tokenization of the
+    via _bpe_fold_sql — exactly _apply_merge's left-to-right
+    non-overlapping fold); gv{steps} = greedy re-tokenization of the
     doc_id%20 subset's vocabulary (each step applies the LOWEST-rank
-    merge whose pair occurs — bpe_encode_words' rule — and extra steps
-    are no-ops, so unrolling past the fixpoint is safe); blen = per-doc
+    merge whose pair occurs — bpe_encode_words' rule — with the same
+    fold, so each gv step is exactly one encode step; extra steps are
+    no-ops, so unrolling past the fixpoint is safe); blen = per-doc
     subword counts."""
     sym0 = ("' ' || array_to_string(list_transform(generate_series(1, "
             "length(word)), i -> word[i]) || ['</w>'], ' ') || ' '")
@@ -2175,11 +2194,8 @@ bp{t} as (select l[i] as a, l[i+1] as b, sum(n)::bigint as cnt from (
                     len(list_filter(string_split(s, ' '), x -> x <> '')) - 1)) as i
            from bs{t-1}) group by 1, 2),
 bm{t} as (select a, b from bp{t} order by cnt desc, a asc, b asc limit 1),
-bs{t} as (select replace(s, ' ' || m.a || ' ' || m.b || ' ',
-                         ' ' || m.a || m.b || ' ') as s, n
+bs{t} as (select {_bpe_fold_sql('m.a', 'm.b')} as s, n
           from bs{t-1}, bm{t} m)""")
-    pats = [(f"' ' || j{j}.a || ' ' || j{j}.b || ' '",
-             f"' ' || j{j}.a || j{j}.b || ' '") for j in range(1, k + 1)]
     joins = ", ".join(f"bm{j} j{j}" for j in range(1, k + 1))
     parts.append(f"""
 dw as (select doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -2188,8 +2204,9 @@ dw as (select doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+')
 gv0 as (select word, {sym0} as s from (select distinct word from dw))""")
     for t in range(1, steps + 1):
         whens = " ".join(
-            f"when position({p} in s) > 0 then replace(s, {p}, {r})"
-            for p, r in pats)
+            f"when position(' ' || j{j}.a || ' ' || j{j}.b || ' ' in s) > 0 "
+            f"then {_bpe_fold_sql(f'j{j}.a', f'j{j}.b')}"
+            for j in range(1, k + 1))
         parts.append(f"""
 gv{t} as (select word, case {whens} else s end as s from gv{t-1}, {joins})""")
     parts.append(f"""

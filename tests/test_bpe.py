@@ -124,3 +124,41 @@ def test_bpe_tokenize_dedups_the_udf_work(spark):
     plan = bpe_tokenize(df, [("x", "</w>")])._jdf.queryExecution().optimizedPlan().toString()
     import re
     assert re.search(r"(?i)(deduplicate|aggregate)", plan)
+
+
+def test_clean_docs_oracle_bpe_fold_matches_train_bpe(spark):
+    """Regression for the clean_docs oracle's merge replay: a single SQL
+    replace() is NOT _apply_merge's fold when adjacent occurrences share
+    the boundary space (' b a n a n a ' + (a,n) merges only the first
+    under replace). The oracle now folds with list_reduce; this corpus
+    makes (a,a) the first merge over odd runs of 'a', where the replayed
+    merge sequence diverges from train_bpe by round 2 under replace()."""
+    import duckdb
+
+    from data_diff_spark.functions.bpe import bpe_tokenize
+    from data_diff_spark.workload import _clean_bpe_ctes
+
+    texts = {0: "aaaa aaaa aaaa banana banana",
+             20: "banana bananas cabana",
+             40: "aa aaa aaaa aaaaa"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    merges = train_bpe(df, n_merges=6)
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from (values "
+        + ", ".join(f"({k}, '{v}')" for k, v in texts.items())
+        + ") t(doc_id, text)")
+    rows = con.execute(
+        "with " + _clean_bpe_ctes()
+        + " " + " union all ".join(
+            f"select {t} as rnd, a, b from bm{t}" for t in range(1, 7))
+        + " order by rnd").fetchall()
+    assert [(a, b) for _, a, b in rows] == merges
+
+    # blen replay (the gv fold path): all three doc_ids are %20 == 0
+    blen = dict(con.execute(
+        "with " + _clean_bpe_ctes()
+        + " select doc_id, bpe_len from blen order by doc_id").fetchall())
+    got = {r.doc_id: r.bpe_len for r in bpe_tokenize(df, merges).collect()}
+    assert blen == got
