@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_diff_spark.planutil import explode_nonnull, posexplode_nonnull
+
 END = "</w>"  # end-of-word marker (Sennrich-style)
 
 
@@ -43,9 +45,7 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) over whitespace-split lowercased text — the weighted
     distinct-word frame every BPE round runs over."""
     return (
-        df.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
-        )
+        explode_nonnull(df, [], F.split(F.lower(F.col(text_col)), r"\s+"), "word")
         .filter(F.col("word") != "")
         .groupBy("word")
         .count()
@@ -66,14 +66,16 @@ def _initial_symbols(words: DataFrame) -> DataFrame:
 def _pair_counts(syms: DataFrame) -> DataFrame:
     """Adjacent-pair counts weighted by word count: explode
     zip(syms, syms[1:]) — arrays_zip + slice, no UDF."""
-    return (
+    staged = (
         syms.filter(F.size("syms") >= 2)
         .select(
             F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("l"),
             F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("r"),
             "n",
         )
-        .select(F.explode(F.arrays_zip("l", "r")).alias("p"), "n")
+    )
+    return (
+        explode_nonnull(staged, ["n"], F.arrays_zip("l", "r"), "p")
         .select(F.col("p.l").alias("a"), F.col("p.r").alias("b"), "n")
         .groupBy("a", "b")
         .agg(F.sum("n").alias("cnt"))
@@ -262,11 +264,11 @@ def bpe_tokenize(
     segmentations back to (doc, position) and a sort-regroup reassembles
     documents. Zipf makes the dedup the whole ballgame: the UDF touches
     |vocab| rows however large the corpus."""
-    words_pos = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
-        ).alias("pos", "word"),
+    words_pos = posexplode_nonnull(
+        df,
+        [F.col(id_col)],
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""),
+        "pos", "word",
     )
     vocab = bpe_encode_words(words_pos.select("word").distinct(), merges)
     joined = words_pos.join(vocab, "word")

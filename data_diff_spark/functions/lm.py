@@ -21,10 +21,11 @@ Spark-first shape:
                      counts -> ONE long (order, gram, count) frame. The
                      model IS a DataFrame; persist/parquet it like data.
   score_documents    joins each document's n-gram stream against the
-                     model at every order (broadcast when the model is
-                     small, shuffle otherwise — AQE decides), resolves
-                     the backoff chain with coalesce() in codegen, and
-                     aggregates per-doc log-prob / perplexity.
+                     model at every order (explicitly broadcast when the
+                     model fits LM_BROADCAST_MAX_ROWS, shuffled
+                     otherwise), resolves the backoff chain with
+                     coalesce() in codegen, and aggregates per-doc
+                     log-prob / perplexity.
   perplexity_filter  keep docs under a perplexity ceiling.
 
 Scoring never leaves the JVM: the backoff chain is a coalesce over the
@@ -42,35 +43,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_diff_spark.functions.text import tokens
-from data_diff_spark.planutil import project_barrier
+from data_diff_spark.planutil import (
+    explode_nonnull,
+    posexplode_nonnull,
+    project_barrier,
+)
 
 ALPHA = 0.4  # Brants et al.'s backoff multiplier
 BOS = "<s>"
+
+# Broadcast the model side of every scoring join when the full 1..n-gram
+# frame is at most this many rows. A gram row is ~60 B in executor memory
+# (short gram string + order + count), so the bound caps the broadcast at
+# ~60 MB — inside Spark's comfortable envelope, far under the 8 GB hard
+# limit, and small enough that 1000 executors holding a copy is cheaper
+# than 2n-1 shuffles of the corpus' gram stream. Above the bound the
+# joins stay shuffled (a web-scale unpruned model can exceed any single
+# executor); AQE may still locally convert. Measured: the sf1.0 clean_docs
+# scoring stage is join-bound without this (SURVEY 6.8 — 16 exchanges,
+# 4 SMJ; 3.5x wall for 10x data), and the count-floor-pruned models real
+# pipelines score with sit orders of magnitude under the bound.
+LM_BROADCAST_MAX_ROWS = 1_000_000
 
 
 def _doc_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, pos, g1..gn): for every token position, the token plus its
     n-1 predecessors (BOS-padded), i.e. all the context slices scoring
-    needs, in one explode."""
+    needs, in one explode.
+
+    Shape (two measured rules, sf1.0 numbers):
+      - the BOS-padded token ARRAY is staged in its own projection —
+        a tokenize captured inside any downstream lambda re-evaluates
+        per position, a doc-length-QUADRATIC regex pass (28x here);
+      - the per-position slices come from arrays_zip over n shifted
+        slice() views of that attribute — all codegen'd built-ins.
+        The previous transform(idx, i -> slice(...)) + posexplode +
+        element_at chain ran the higher-order lambda INTERPRETED and
+        generated over array-of-arrays: 5.5s vs 0.8s for the zip shape
+        on the same 2.7M-position corpus."""
     t = F.concat(F.array(*[F.lit(BOS)] * (n - 1)), tokens(F.col(text_col)))
-    # positions of scored tokens; sequence(a, b) DESCENDS when a > b, so
-    # an empty doc (padded size n-1 < n) must short-circuit to []
-    idx = F.when(
-        F.size(t) >= n, F.sequence(F.lit(n), F.size(t))
-    ).otherwise(F.array().cast("array<int>"))
-    slices = F.transform(idx, lambda i: F.slice(t, i - (n - 1), n))
-    # barrier: keeps the slice-array projection staged so the tokenize +
-    # slice chain is not inlined into the Generate (shape pinned in
-    # tests/test_plans.py::test_lm_ngram_slices_stay_staged)
-    staged = project_barrier(
-        df.select(F.col(id_col).alias("id"), slices.alias("_sl"))
+    padded = project_barrier(
+        df.select(F.col(id_col).alias("id"), t.alias("_t"))
     )
+    ta = F.col("_t")
+    # number of scored positions; an empty/short doc (padded size < n)
+    # must short-circuit to [] — slice() rejects non-positive lengths
+    L = F.size(ta) - (n - 1)
+    struct_t = f"array<struct<{','.join(f'g{j + 1}:string' for j in range(n))}>>"
+    zipped = F.when(
+        F.size(ta) >= n,
+        F.arrays_zip(*[F.slice(ta, j + 1, L).alias(f"g{j + 1}") for j in range(n)]),
+    ).otherwise(F.array().cast(struct_t))
+    # posexplode_nonnull: a plain Generate's inferred filters would
+    # inline the whole tokenize+zip pipeline into a per-row Filter and
+    # evaluate it twice (see planutil.explode_nonnull). Shape pinned in
+    # tests/test_plans.py::test_lm_ngram_slices_stay_staged.
+    staged = padded.select("id", zipped.alias("_z"))
     return (
-        staged
-        .select("id", F.posexplode("_sl").alias("pos", "_gram"))
+        posexplode_nonnull(staged, ["id"], F.col("_z"), "pos", "_g")
         .select(
             "id", "pos",
-            *[F.element_at("_gram", j + 1).alias(f"g{j + 1}") for j in range(n)],
+            *[F.col(f"_g.g{j + 1}").alias(f"g{j + 1}") for j in range(n)],
         )
     )
 
@@ -90,8 +123,17 @@ def train_ngram_lm(
         ).collect()[0]["n"] or 0
         parts = []
         for k in range(1, n + 1):
-            padded = F.concat(F.array(*[F.lit(BOS)] * (k - 1)), F.col("_toks")) \
-                if k > 1 else F.col("_toks")
+            # stage the BOS-padded array as its own projection before the
+            # gram transform: a concat captured inside the lambda copies
+            # the whole token array once PER POSITION (doc-length-
+            # quadratic); a staged attribute is a row-buffer read
+            if k > 1:
+                src = project_barrier(toks.select(
+                    F.concat(F.array(*[F.lit(BOS)] * (k - 1)),
+                             F.col("_toks")).alias("_p")))
+                padded = F.col("_p")
+            else:
+                src, padded = toks, F.col("_toks")
             # sequence(a, b) DESCENDS when a > b, so an empty/short doc
             # (padded size < k) must short-circuit to [] — same guard as
             # _doc_ngrams; without it slice() gets start 0 and raises
@@ -103,7 +145,7 @@ def train_ngram_lm(
                 idx, lambda i: F.concat_ws(" ", F.slice(padded, i, k))
             )
             parts.append(
-                toks.select(F.explode(grams).alias("gram"))
+                explode_nonnull(src, [], grams, "gram")
                 .groupBy("gram")
                 .count()
                 .select(F.lit(k).alias("order"), "gram", F.col("count").alias("cnt"))
@@ -112,7 +154,10 @@ def train_ngram_lm(
         for p in parts[1:]:
             out = out.unionByName(p)
         out = out.persist()
-        out.count()  # materialize before the source cache drops
+        rows = out.count()  # materialize before the source cache drops
+        # action-free sizing hint for score_documents' broadcast rule —
+        # rides the materializing count this function already pays
+        out._dds_model_rows = rows
         return out, int(total)
     finally:
         toks.unpersist()
@@ -126,12 +171,28 @@ def score_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = ALPHA,
+    model_rows: int | None = None,
 ) -> DataFrame:
     """Per-document Stupid Backoff log10-prob and perplexity:
     (id_col, n_scored, logprob, perplexity). Every scored position joins
     the model once per order (left joins on the gram string); the backoff
-    chain is a single coalesce over the joined ratios — pure codegen."""
+    chain is a single coalesce over the joined ratios — pure codegen.
+
+    The model side of each join is broadcast when the full model frame
+    holds at most LM_BROADCAST_MAX_ROWS rows (the common case: a
+    count-floor-pruned model), turning all 2n-1 joins map-side — the
+    corpus' gram stream, the scale axis, never shuffles. `model_rows`
+    is the action-free size hint; defaults to the count train_ngram_lm
+    stamped on the frame, else unknown -> shuffled joins (safe for
+    models that exceed executor memory)."""
     g = _doc_ngrams(df, n, text_col, id_col)
+    if model_rows is None:
+        model_rows = getattr(model, "_dds_model_rows", None)
+    small = model_rows is not None and model_rows <= LM_BROADCAST_MAX_ROWS
+
+    def side(mdl: DataFrame) -> DataFrame:
+        return F.broadcast(mdl) if small else mdl
+
     m = model
     joined = g
     for k in range(n, 0, -1):
@@ -140,7 +201,7 @@ def score_documents(
             F.col("gram").alias(f"_g{k}"), F.col("cnt").alias(f"_c{k}")
         )
         joined = joined.join(
-            mk, F.col(f"_g{k}") == gram_k, "left"
+            side(mk), F.col(f"_g{k}") == gram_k, "left"
         ).drop(f"_g{k}")
         if k > 1:
             prefix_k = F.concat_ws(
@@ -150,7 +211,7 @@ def score_documents(
                 F.col("gram").alias(f"_p{k}"), F.col("cnt").alias(f"_d{k}")
             )
             joined = joined.join(
-                pk, F.col(f"_p{k}") == prefix_k, "left"
+                side(pk), F.col(f"_p{k}") == prefix_k, "left"
             ).drop(f"_p{k}")
     # backoff chain: highest order whose count exists wins, each level
     # down multiplies by alpha; unigram base count(w)/N, OOV floor 1/N
@@ -195,10 +256,12 @@ def perplexity_filter(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    model_rows: int | None = None,
 ) -> DataFrame:
     """CCNet-style keep/drop: documents scoring under the perplexity
     ceiling survive (empty docs drop — they carry no evidence)."""
-    scores = score_documents(df, model, total_tokens, n, text_col, id_col)
+    scores = score_documents(df, model, total_tokens, n, text_col, id_col,
+                             model_rows=model_rows)
     keep = scores.filter(
         (F.col("perplexity") <= max_perplexity) & (F.col("n_scored") > 0)
     ).select(id_col)

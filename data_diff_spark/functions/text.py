@@ -56,8 +56,24 @@ def token_count(col: Column) -> Column:
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as space-joined strings; empty array when the
-    document has fewer than n tokens."""
-    t = tokens(col)
+    document has fewer than n tokens.
+
+    PERFORMANCE TRAP: `col` is captured inside the transform lambda, and
+    higher-order-function lambdas re-evaluate captured expressions per
+    element — passing raw text re-runs the regex tokenize once per gram,
+    O(len^2) per document (measured 28x on the sf1.0 corpus, and it is
+    doc-LENGTH-quadratic, so far worse on real web documents). On any
+    hot path, stage the token array in its own projection and call
+    word_ngrams_from_tokens on the staged column instead; this form
+    stays only as the convenience for short strings and tests."""
+    return word_ngrams_from_tokens(tokens(col), n)
+
+
+def word_ngrams_from_tokens(t: Column, n: int = 3) -> Column:
+    """word_ngrams over an already-computed token-array column. When `t`
+    is a staged ATTRIBUTE (its own projection), the lambda's captured
+    reference is a row-buffer read, so each gram costs O(n) — the shape
+    shingle_sets/dedup pin for the LSH path."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(t, i, n)),
@@ -383,7 +399,11 @@ def with_repetition_stats(
     staged = df.select(
         *keep,
         F.filter(F.split(col, "\n"), lambda x: F.trim(x) != "").alias("__lines"),
-        word_ngrams(col, 2).alias("__grams"),
+        tokens(col).alias("__toks"),
+    ).select(
+        *keep,
+        "__lines",
+        word_ngrams_from_tokens(F.col("__toks"), 2).alias("__grams"),
     ).select(
         *keep,
         "__lines",

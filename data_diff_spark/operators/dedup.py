@@ -53,8 +53,8 @@ from data_diff_spark.functions.text import (
     P31,
     hash60,
     perm_coefficients,
-    word_ngrams,
 )
+from data_diff_spark.planutil import explode_nonnull
 
 
 # --- exact ------------------------------------------------------------------
@@ -223,7 +223,7 @@ def minhash_signatures(
     ONE aggregation — the shuffle carries k longs per doc after map-side
     combine, independent of document length."""
     s = shingle_sets(df, n, text_col, id_col) if _shingles is None else _shingles
-    ex = s.select("id", F.explode("shingles").alias("sh")).select(
+    ex = explode_nonnull(s, ["id"], F.col("shingles"), "sh").select(
         "id", (hash60(F.col("sh")) % P31).alias("h")
     )
     aggs = [
@@ -243,14 +243,14 @@ def _band_rows(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
         for b in range(bands)
     ]
     assert f"mh{k-1}" in signatures.columns, "signature too short for bands*rows"
-    return signatures.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
+    return explode_nonnull(
+        signatures,
+        ["id"],
+        F.array(*[
+            F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
+            for b in range(bands)
+        ]),
+        "bb",
     ).select("id", "bb.band_idx", "bb.band_hash")
 
 
@@ -588,24 +588,31 @@ def decontaminate(
             col = F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
         return col
 
-    # ONE corpus scan: the distinct-gram array is staged as its own
-    # projection (CollapseProject keeps non-cheap multiply-used expressions
-    # staged), then BOTH the per-doc gram count and the exploded gram stream
-    # derive from it — computing n_grams in a second scan would be a full
-    # redundant tokenize pass over the corpus at 100 TB.
-    grams = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_ngrams(prep(F.col(text_col)), n)).alias("__gs"),
+    # ONE corpus scan, via shingle_sets' staged shape: the token array is
+    # materialized in its own projection (a lambda-captured tokenize
+    # re-runs per gram — O(len^2) per document; this path measured 4.6x
+    # at sf1.0 when it built grams from raw text), the distinct-gram
+    # array in the next, then BOTH the per-doc gram count and the
+    # exploded gram stream derive from it — computing n_grams in a
+    # second scan would be a full redundant tokenize pass at 100 TB.
+    grams = shingle_sets(
+        corpus.select(F.col(id_col).alias("__id"),
+                      prep(F.col(text_col)).alias("__txt")),
+        n=n, text_col="__txt", id_col="__id",
     )
-    cg = grams.select(
-        "__id",
-        F.size("__gs").alias("n_grams"),
-        F.explode("__gs").alias("__g"),
+    cg = explode_nonnull(
+        grams,
+        [F.col("id").alias("__id"), F.size("shingles").alias("n_grams")],
+        F.col("shingles"), "__g",
     ).withColumn("__g", hash60(F.col("__g")))
     bg = (
-        benchmark.select(
-            F.col(bench_id_col).alias("__bid"),
-            F.explode(F.array_distinct(word_ngrams(prep(F.col(text_col)), n))).alias("__g"),
+        explode_nonnull(
+            shingle_sets(
+                benchmark.select(F.col(bench_id_col).alias("__bid"),
+                                 prep(F.col(text_col)).alias("__txt")),
+                n=n, text_col="__txt", id_col="__bid",
+            ),
+            [F.col("id").alias("__bid")], F.col("shingles"), "__g",
         )
         .withColumn("__g", hash60(F.col("__g")))
         .distinct()
@@ -832,20 +839,22 @@ def simhash_pairs(
     assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
     width = SIMHASH_BITS // chunks
     sh = with_simhash(df, text_col, out="sh").select(F.col(id_col).alias("id"), "sh")
-    chunked = sh.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk_idx"),
-                    F.shiftright("sh", c * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("chunk_val"),
-                )
-                for c in range(chunks)
-            ])
-        ).alias("cc"),
+    # explode_nonnull: a plain explode's inferred filter would inline the
+    # whole with_simhash vote pipeline into a per-row Filter (2x the
+    # interpreted token-hash fold) — see planutil.explode_nonnull
+    chunked = explode_nonnull(
+        sh,
+        ["id", "sh"],
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright("sh", c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]),
+        "cc",
     ).select("id", "sh", "cc.chunk_idx", "cc.chunk_val")
     a, b = chunked.alias("a"), chunked.alias("b")
     return (

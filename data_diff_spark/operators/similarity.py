@@ -37,6 +37,8 @@ logger = logging.getLogger(__name__)
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_diff_spark.planutil import explode_nonnull
+
 QUANT_SCALE = 1_000_000
 
 
@@ -227,8 +229,11 @@ def band_codes(
         for r in range(rows_per_band):
             code = code + F.element_at("_bits", b * rows_per_band + r + 1) * F.lit(1 << r)
         band_structs.append(F.struct(F.lit(b).alias("band_idx"), code.alias("code")))
-    return with_bits.select(
-        "id", "qv", "nrm", F.explode(F.array(*band_structs)).alias("bc")
+    # explode_nonnull: a plain explode's inferred filter would substitute
+    # the _bits projection into a per-row Filter and re-run every
+    # hyperplane dot — see planutil.explode_nonnull
+    return explode_nonnull(
+        with_bits, ["id", "qv", "nrm"], F.array(*band_structs), "bc"
     ).select("id", "qv", "nrm", "bc.band_idx", "bc.code")
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_diff_spark.functions.text import hash60, tokens
+from data_diff_spark.planutil import posexplode_nonnull
 
 
 def _gram_positions(
@@ -40,24 +41,26 @@ def _gram_positions(
 ) -> DataFrame:
     """(id, pos, end, gh): every word k-gram with 1-based word positions
     [pos, end] and its 60-bit digest. Same projection discipline as
-    dedup.shingle_sets: tokens materialized once, a nondeterministic no-op
-    column blocks InferFiltersFromGenerate from re-inlining the tokenize
-    pipeline below the generate."""
+    dedup.shingle_sets (tokens materialized once); posexplode_nonnull
+    keeps InferFiltersFromGenerate from re-inlining the tokenize
+    pipeline below the generate (a uuid rider column does not survive
+    column pruning — see planutil.explode_nonnull)."""
     t = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(t, i, k)),
     )
-    return (
+    staged = (
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
         .select(
             "id",
             F.when(F.size(t) >= k, grams)
             .otherwise(F.array().cast("array<string>"))
             .alias("_grams"),
-            F.expr("uuid()").alias("_nd"),  # pushdown barrier
         )
-        .select("id", F.posexplode("_grams").alias("_p0", "_gram"))
+    )
+    return (
+        posexplode_nonnull(staged, ["id"], F.col("_grams"), "_p0", "_gram")
         .select(
             "id",
             (F.col("_p0") + 1).alias("pos"),

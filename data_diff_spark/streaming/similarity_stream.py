@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_diff_spark.operators.dedup import DEFAULT_MAX_SHINGLE_FREQ, shingle_sets
+from data_diff_spark.planutil import explode_nonnull
 
 # a "viral" set bigger than this will not broadcast sanely as a literal —
 # raise instead of silently building a megabyte expression
@@ -53,7 +54,9 @@ def corpus_index(
     corpus vocabulary skew, guarded by _MAX_VIRAL_LITERAL) so both sides
     can prune map-side with the same literal set."""
     s = shingle_sets(corpus, n, text_col, id_col)
-    ex = s.select(F.col("id").alias("ref_id"), F.explode("shingles").alias("sh"))
+    ex = explode_nonnull(
+        s, [F.col("id").alias("ref_id")], F.col("shingles"), "sh"
+    )
     viral: List[str] = []
     if max_shingle_freq is not None:
         vdf = (
@@ -70,10 +73,10 @@ def corpus_index(
             )
     pruned = _pruned_shingles(s, viral)
     index = (
-        pruned.select(
-            F.col("id").alias("ref_id"),
-            F.size("shingles").alias("ref_sz"),
-            F.explode("shingles").alias("sh"),
+        explode_nonnull(
+            pruned,
+            [F.col("id").alias("ref_id"), F.size("shingles").alias("ref_sz")],
+            F.col("shingles"), "sh",
         )
         .persist()
     )
@@ -100,8 +103,8 @@ def streaming_neardup_vs_corpus(
     against the static corpus index. Works identically on a batch frame
     (the equivalence test runs both paths through this function)."""
     s = _pruned_shingles(shingle_sets(stream, n, text_col, id_col), viral)
-    ex = s.select(
-        "id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
+    ex = explode_nonnull(
+        s, ["id", F.size("shingles").alias("sz")], F.col("shingles"), "sh"
     )
     cand = ex.join(index, "sh")  # stream-static equi-join
     agg = cand.groupBy("id", "ref_id").agg(

@@ -27,7 +27,7 @@ from data_diff_spark import diff_tables, table_segment
 from data_diff_spark.sources.connect import normalize_event_ts
 from data_diff_spark.operators import joindiff as jd
 from data_diff_spark.operators import hashdiff as hd
-from data_diff_spark.planutil import project_barrier
+from data_diff_spark.planutil import explode_nonnull, project_barrier
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -2285,8 +2285,8 @@ def q_token_vocab(spark, sf_dir):
     one row per (token, map partition), so the plan scales with vocabulary,
     not corpus size. Ties broken by token for determinism."""
     load_views(spark, sf_dir)
-    toks = spark.table("documents").select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    toks = explode_nonnull(
+        spark.table("documents"), ["doc_id"], TX.tokens(F.col("text")), "token"
     )
     return (
         toks.groupBy("token")
@@ -2332,8 +2332,8 @@ def q_token_vocab_all(spark, sf_dir):
     from data_diff_spark.operators.skew import salted_agg
 
     docs = spark.table("documents")
-    toks = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    toks = explode_nonnull(
+        docs, ["doc_id"], TX.tokens(F.col("text")), "token"
     ).unionAll(docs.select(
         "doc_id",
         F.explode(F.array_repeat(F.lit("__hot__"), 64)).alias("token"),

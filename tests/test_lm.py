@@ -117,3 +117,44 @@ def test_perplexity_filter_keeps_low_tail(spark, model, corpus):
     # every kept doc is under the ceiling
     joined = kept.join(scores, "doc_id").filter(F.col("perplexity") > cut)
     assert joined.count() == 0
+
+
+def test_scoring_joins_broadcast_when_model_small(spark, model, corpus):
+    """The size rule: a model under LM_BROADCAST_MAX_ROWS turns all 2n-1
+    scoring joins into BroadcastHashJoin (the corpus gram stream never
+    shuffles); a model the hint declares too big keeps shuffled joins.
+    Auto-broadcast is disabled for the check so only the explicit hint
+    can broadcast — the scenario that matters at scale, where the
+    model's stats exceed autoBroadcastJoinThreshold and the rule is the
+    only thing keeping the gram stream map-side. train_ngram_lm stamps
+    the hint on the frame, so the default path broadcasts with no extra
+    action."""
+    m, total = model
+    assert isinstance(getattr(m, "_dds_model_rows", None), int)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_small = score_documents(
+            corpus, m, total
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_small
+        assert "SortMergeJoin" not in plan_small
+
+        plan_big = score_documents(
+            corpus, m, total, model_rows=10**9
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_scores_unchanged_by_broadcast_rule(spark, model, corpus):
+    """Broadcast is a physical hint only: identical (n_scored, logprob)
+    either way."""
+    m, total = model
+    a = {r.doc_id: (r.n_scored, r.logprob)
+         for r in score_documents(corpus, m, total).collect()}
+    b = {r.doc_id: (r.n_scored, r.logprob)
+         for r in score_documents(corpus, m, total, model_rows=10**9).collect()}
+    assert a == b
