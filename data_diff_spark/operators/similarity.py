@@ -448,7 +448,7 @@ def ann_topk_lsh(
     (_auto_ann_bands — candidates per query ~constant at any corpus
     size, where the old fixed 8x4 put 1/16 of the corpus in every
     bucket), with recall recovered by margin-guided multi-probe
-    (multiprobe_codes; n_flip defaults to 2 in auto mode). Measured by
+    (multiprobe_codes; n_flip defaults to 4 in auto mode). Measured by
     tools/probe_ann_growth.py against the exact oracle: recall and
     per-query candidates both ~flat from sf0.1 to sf1.0. Pass explicit
     bands/rows_per_band for a pinned, SQL-replayable shape (the driver
@@ -472,23 +472,33 @@ def ann_topk_lsh(
                              id_col, vec_col)
             if n_flip else
             band_codes(queries, bands, rows_per_band, dim, id_col, vec_col))
-    qr = qsrc.select(
-        F.col("id").alias("id_q"),
-        F.col("qv").alias("qv_q"),
-        F.col("nrm").alias("nrm_q"),
-        "band_idx",
-        "code",
-    )
-    pairs = (
-        c.join(F.broadcast(qr), ["band_idx", "code"])
+    qr = qsrc.select(F.col("id").alias("id_q"), "band_idx", "code")
+    # candidate IDS first, deduped as narrow rows — multi-probe multiplies
+    # collisions per (query, candidate) by up to bands*(1+n_flip), and the
+    # old shape paid the _qdot fold on every collision before the
+    # distinct; the exact cosine now runs ONCE per unique pair after
+    # re-attaching vectors (the cosine_pairs_lsh restructure, r8 ADVICE)
+    cand_ids = (
+        c.select("id", "band_idx", "code")
+        .join(F.broadcast(qr), ["band_idx", "code"])
         .filter(F.col("id") != F.col("id_q"))
-        .select(
-            "id_q",
-            F.col("id").alias("id_c"),
-            (_qdot(F.col("qv_q"), F.col("qv")).cast("double")
-             / (F.col("nrm_q") * F.col("nrm"))).alias("cosine"),
-        )
+        .select("id_q", F.col("id").alias("id_c"))
         .distinct()
+    )
+    p = _prepared(df, id_col, vec_col)
+    pq = _prepared(queries, id_col, vec_col)
+    pairs = (
+        cand_ids
+        .join(p.select(F.col("id").alias("id_c"), F.col("qv").alias("qv_c"),
+                       F.col("nrm").alias("nrm_c")), "id_c")
+        .join(F.broadcast(pq.select(F.col("id").alias("id_q"),
+                                    F.col("qv").alias("qv_q"),
+                                    F.col("nrm").alias("nrm_q"))), "id_q")
+        .select(
+            "id_q", "id_c",
+            (_qdot(F.col("qv_q"), F.col("qv_c")).cast("double")
+             / (F.col("nrm_q") * F.col("nrm_c"))).alias("cosine"),
+        )
     )
     return _topk(pairs, k)
 
