@@ -908,8 +908,13 @@ def semdedup(
     published algorithm's own cost model (n_cells must grow with the
     corpus: the paper uses 50k clusters for LAION-scale; a hot cell is
     a data-skew signal, not a plan defect). Cells above `max_cell_rows`
-    are additionally SPLIT into deterministic id-hash blocks and their
-    pair scan runs as one bounded task per block pair (VERDICT r7 'What's
+    first COLLAPSE exact-duplicate vectors to their min-id representative
+    (one window shuffle; members get closed-form results — the usual
+    degenerate hot cell is duplicate mass, and the probe's 120k-identical
+    cell runs 0.38x the one-task wall-clock this way, parity 0:
+    tools/PROBE_semdedup_hotcell.json `collapse_hot_cell`), then cells
+    STILL oversized split into deterministic id-hash blocks whose pair
+    scan runs as one bounded task per block pair (VERDICT r7 'What's
     wrong #2': a degenerate corpus concentrating in one cell used to
     materialize that whole cell's vectors in a single pandas task —
     bounded memory now, same total flops, B(B+1)/2-way parallel instead
@@ -934,10 +939,76 @@ def semdedup(
                 len(hot), warn_cell_size,
                 [(cl, n) for n, cl in hot],
             )
-    split = {cl: -(-n // max_cell_rows) for cl, n in hist.items()
+    heavy = sorted(cl for cl, n in hist.items() if n > max_cell_rows)
+    if not heavy:
+        out = _best_dup_in_cells(assigned, threshold)
+        out._ddspark_persisted = list(
+            getattr(out, "_ddspark_persisted", [])) + [assigned]
+        return out
+
+    # Oversized cells: collapse EXACT-duplicate vectors to their min-id
+    # representative before the pair scan (r8 VERDICT Next #4 — the
+    # degenerate hot cell is usually duplicate mass, and replicating
+    # 220k identical vectors B-fold into block pairs paid ~2.5x movement
+    # for zero information). Scanning representatives only is exact for
+    # every scanned row: within any exact-duplicate group the smallest
+    # member IS the rep, so the smallest qualifying lower id any row can
+    # see is always a rep. Members then inherit in closed form:
+    #   dup_of(member) = dup_of(rep)  if the rep has one (it is < rep),
+    #                    rep          else if cos(member, rep) >= thr,
+    #                    null         otherwise (thr > self-cosine);
+    # cos(member, rep) = cos(rep, rep) = qdot/(nrm*nrm), the same exact
+    # arithmetic the blocked scan would have produced (both sides read
+    # the identical int64 dot), so parity with the unsplit path is
+    # bit-level. The split factor B is re-derived from COLLAPSED cell
+    # sizes — a pure-duplicate cell shrinks below max_cell_rows and
+    # skips block replication entirely.
+    base = assigned.select("id", "qv", "nrm", "cell")
+    hot_rows = base.filter(F.col("cell").isin(heavy))
+    # one shuffle tags every live hot row with its group's min id (the
+    # representative); no groupBy + array-equality back-join
+    w = Window.partitionBy("cell", "qv")
+    tagged = (
+        hot_rows.filter(F.col("nrm") > 0)
+        .withColumn("rep_id", F.min("id").over(w))
+        .persist()
+    )
+    reps = tagged.filter(F.col("id") == F.col("rep_id")) \
+        .select("id", "qv", "nrm", "cell")
+    scan_hot = reps.unionByName(
+        hot_rows.filter(~(F.col("nrm") > 0)).select("id", "qv", "nrm", "cell"))
+    chist = {int(r["cell"]): int(r["n"]) for r in
+             scan_hot.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    split = {cl: -(-n // max_cell_rows) for cl, n in chist.items()
              if n > max_cell_rows}
-    out = _best_dup_in_cells(assigned, threshold, split=split)
-    out._ddspark_persisted = list(getattr(out, "_ddspark_persisted", [])) + [assigned]
+    scan_input = base.filter(~F.col("cell").isin(heavy)).unionByName(scan_hot)
+    res = _best_dup_in_cells(scan_input, threshold, split=split)
+
+    mem = tagged.filter(F.col("id") != F.col("rep_id")) \
+        .select("id", F.col("cell").cast("long").alias("cell"),
+                "qv", "nrm", "rep_id")
+    rep_res = res.select(F.col("id").alias("rep_id"),
+                         F.col("cell").alias("cell"),
+                         F.col("dup_of").alias("r_dup"),
+                         F.col("dup_cosine").alias("r_cos"))
+    thr = float(threshold)
+    mem_out = (
+        mem.join(rep_res, ["rep_id", "cell"])
+        .withColumn("_cs", _qdot(F.col("qv"), F.col("qv")).cast("double")
+                    / (F.col("nrm") * F.col("nrm")))
+        .select(
+            "id", "cell",
+            F.when(F.col("r_dup").isNotNull(), F.col("r_dup"))
+             .when(F.col("_cs") >= thr, F.col("rep_id"))
+             .otherwise(F.lit(None).cast("long")).alias("dup_of"),
+            F.when(F.col("r_dup").isNotNull(), F.col("r_cos"))
+             .when(F.col("_cs") >= thr, F.col("_cs"))
+             .otherwise(F.lit(None).cast("double")).alias("dup_cosine"),
+        )
+    )
+    out = res.unionByName(mem_out)
+    out._ddspark_persisted = list(
+        getattr(out, "_ddspark_persisted", [])) + [assigned, tagged]
     return out
 
 

@@ -466,3 +466,37 @@ def test_auto_bands_rule():
     b1, r1 = SIM._auto_bands(22_000, 0.99)
     b2, r2 = SIM._auto_bands(22_000_000, 0.99)
     assert r2 > r1                           # width grows with corpus
+
+
+def test_semdedup_exact_dup_collapse_parity(emb):
+    """Exact-duplicate mass in a hot cell takes the collapse path
+    (group identical vectors -> scan representatives only -> closed-form
+    member expansion, r8 VERDICT Next #4); results must be bit-identical
+    to the one-task-per-cell path. Two full copy sets so members must
+    inherit both shapes: dup_of(rep) when the rep itself has a lower-id
+    duplicate, and the rep id when it does not."""
+    from pyspark.sql import functions as F
+
+    dup_src = emb.filter(F.col("vec_id") % 3 == 0)
+    corpus = emb.unionAll(
+        dup_src.select((F.col("vec_id") + 777000).alias("vec_id"), "embedding")
+    ).unionAll(
+        dup_src.select((F.col("vec_id") + 888000).alias("vec_id"), "embedding")
+    )
+    a = sorted(map(tuple, SIM.semdedup(corpus, threshold=0.99, n_cells=8).collect()))
+    b = sorted(map(tuple, SIM.semdedup(corpus, threshold=0.99, n_cells=8,
+                                       max_cell_rows=40).collect()))
+    assert a == b
+    by_id = {r[0]: r for r in a}
+    n = corpus.count()
+    assert len(a) == n  # one row per input, members included
+    for r in dup_src.collect():
+        base_id = r["vec_id"]
+        rep = by_id[base_id]
+        for off in (777000, 888000):
+            m = by_id[base_id + off]
+            # member's dup target: the rep's own dup if it has one
+            # (smaller than the rep), else the rep itself
+            want = rep[2] if rep[2] is not None else base_id
+            assert m[2] == want, (base_id, m, rep)
+            assert m[3] is not None

@@ -202,6 +202,54 @@ def main():
         results.pop("contrast_scan_1m", None)
         _write(results)
 
+    if which in ("all", "collapse"):
+        # --- r9: exact-dup collapse on the movement-bound hot cell ----------
+        # semdedup END-TO-END (the collapse lives there, above
+        # _best_dup_in_cells): the 120k-identical hot cell used to pay
+        # ~2.5x for B-fold block replication of identical vectors; the
+        # collapse groups them to ONE representative before the scan, so
+        # the cell drops below max_cell_rows and skips block replication
+        # entirely. Sides: bounded path (default max_cell_rows, collapse
+        # engaged) vs the unbounded one-task path (max_cell_rows = 1e9).
+        # Interleaved reps, unpersist-before-retime, min-of-reps, exceptAll
+        # parity — same discipline as `contrast`.
+        corpus = build_corpus(spark, 500_000, 120_000).repartition(64).persist()
+        corpus.count()
+        sides = {"collapse_split": 32_768, "one_task": 1_000_000_000}
+        samples = {k: [] for k in sides}
+        outs = {}
+        for rep in range(2):
+            order = list(sides.items())
+            if rep % 2:
+                order.reverse()
+            for label, mcr in order:
+                if label in outs:
+                    outs[label].unpersist(blocking=True)
+                    for h in getattr(outs[label], "_ddspark_persisted", []):
+                        h.unpersist(blocking=True)
+                t0 = time.time()
+                out = SIM.semdedup(corpus, threshold=0.99, n_cells=None,
+                                   max_cell_rows=mcr).persist()
+                out.count()
+                sec = round(time.time() - t0, 1)
+                samples[label].append(sec)
+                print(f"semdedup {label} rep{rep}: {sec}s", flush=True)
+                outs[label] = out
+        mism = (outs["collapse_split"].exceptAll(outs["one_task"]).count()
+                + outs["one_task"].exceptAll(outs["collapse_split"]).count())
+        print(f"collapse parity: {mism} mismatching rows (must be 0)", flush=True)
+        results["collapse_hot_cell"] = {
+            "corpus_rows": 500_000,
+            "identical_rows": 120_000,
+            "samples": samples,
+            "min": {k: min(v) for k, v in samples.items()},
+            "ratio_vs_one_task": round(
+                min(samples["collapse_split"]) / min(samples["one_task"]), 3),
+            "parity_mismatches": mism,
+        }
+        _write(results)
+        corpus.unpersist()
+
     if which in ("all", "diverse"):
         # --- the compute-bound regime: a DIVERSE oversized cell --------------
         # A pure-duplicate hot cell early-exits its scan, so its cost is
