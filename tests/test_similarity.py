@@ -500,3 +500,22 @@ def test_semdedup_exact_dup_collapse_parity(emb):
             want = rep[2] if rep[2] is not None else base_id
             assert m[2] == want, (base_id, m, rep)
             assert m[3] is not None
+
+
+def test_ann_gate_auto_recall_arm(spark, sf_dir):
+    """The ann_topk_lsh gate's auto_recall arm (r8 VERDICT Next #5):
+    the claim row must carry the literal bound (recall holds at test
+    scale), n_queries must equal the query-set size, and the topk arm
+    keeps one row per (query, rank<=5)."""
+    from data_diff_spark.workload import ANN_RECALL_CLAIM, WORKLOAD
+
+    out = WORKLOAD["ann_topk_lsh"][0](spark, sf_dir).collect()
+    by_scope = {}
+    for r in out:
+        by_scope.setdefault(r["scope"], []).append(r)
+    claim = {r["k"]: r["v_num"] for r in by_scope["auto_recall"]}
+    assert claim["batch"] == ANN_RECALL_CLAIM  # recall >= bound -> literal
+    nq = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter("vec_id % 20 = 0").count()
+    assert claim["n_queries"] == float(nq)
+    assert len(by_scope["topk"]) == 5 * nq
