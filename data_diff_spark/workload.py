@@ -1511,31 +1511,36 @@ def q_ann_topk_lsh(spark, sf_dir):
     n = table_rows(spark, sf_dir, "embeddings")
     auto = SIM.ann_topk_lsh(base, qs, k=5, dim=EMB_DIM, n_rows=n)
     exact = SIM.cosine_topk(base, qs, k=5)
-    hits = (
-        auto.select("id_q", "id_c")
-        .join(exact.select("id_q", "id_c"), ["id_q", "id_c"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    # one pass: exact LEFT JOIN auto marks hits, one aggregation yields
+    # (nq, hits), and BOTH output rows explode from that single 1-row
+    # frame — the exact-oracle subtree (the documented brute-force
+    # baseline, the same BNLJ as cosine_topk_exact) appears ONCE in the
+    # plan instead of once per union branch
+    j = exact.select("id_q", "id_c").join(
+        auto.select("id_q", "id_c").withColumn("_hit", F.lit(1)),
+        ["id_q", "id_c"], "left")
+    rec = j.agg(
+        F.countDistinct("id_q").alias("nq"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("hits"),
+    ).select(
+        (F.col("hits").cast("double") / (5.0 * F.col("nq"))).alias("recall"),
+        "nq",
     )
-    rec = (
-        exact.agg(F.countDistinct("id_q").alias("nq"))
-        .crossJoin(hits)
-        .select(
-            (F.col("hits").cast("double") / (5.0 * F.col("nq"))).alias("recall"),
-            "nq",
-        )
+    rows2 = rec.select(F.explode(F.array(
+        F.struct(
+            F.lit("batch").alias("k"),
+            F.when(F.col("recall") >= ANN_RECALL_CLAIM,
+                   F.lit(ANN_RECALL_CLAIM))
+             .otherwise(F.col("recall")).cast("double").alias("v_num")),
+        F.struct(
+            F.lit("n_queries").alias("k"),
+            F.col("nq").cast("double").alias("v_num")),
+    )).alias("s")).select(
+        F.lit("auto_recall").alias("scope"), F.col("s.k").alias("k"),
+        F.lit(None).cast("string").alias("v_str"),
+        F.col("s.v_num").alias("v_num"),
     )
-    null_s = F.lit(None).cast("string")
-    claim = rec.select(
-        F.lit("auto_recall").alias("scope"), F.lit("batch").alias("k"),
-        null_s.alias("v_str"),
-        F.when(F.col("recall") >= ANN_RECALL_CLAIM, F.lit(ANN_RECALL_CLAIM))
-         .otherwise(F.col("recall")).cast("double").alias("v_num"),
-    )
-    nq_row = rec.select(
-        F.lit("auto_recall").alias("scope"), F.lit("n_queries").alias("k"),
-        null_s.alias("v_str"), F.col("nq").cast("double").alias("v_num"),
-    )
-    return topk.unionAll(claim).unionAll(nq_row)
+    return topk.unionAll(rows2)
 
 
 def _ann_lsh_oracle(k=5, bands=8, rows_per_band=4, dim=EMB_DIM) -> str:
