@@ -600,11 +600,19 @@ def decontaminate(
                       prep(F.col(text_col)).alias("__txt")),
         n=n, text_col="__txt", id_col="__id",
     )
+    # the gram-hash join key is wrapped non-NULLABLE (coalesce with a
+    # never-taken 0 — md5 of a non-null gram is never null): the inner
+    # join otherwise infers isnotnull(hash60(__g)) and pushdown inlines
+    # the md5 into a per-row Filter UNDER the projection that computes
+    # it — every gram hashed twice (round-9 double-eval audit)
+    def gram_hash(c):
+        return F.coalesce(hash60(c), F.lit(0))
+
     cg = explode_nonnull(
         grams,
         [F.col("id").alias("__id"), F.size("shingles").alias("n_grams")],
         F.col("shingles"), "__g",
-    ).withColumn("__g", hash60(F.col("__g")))
+    ).withColumn("__g", gram_hash(F.col("__g")))
     bg = (
         explode_nonnull(
             shingle_sets(
@@ -614,7 +622,7 @@ def decontaminate(
             ),
             [F.col("id").alias("__bid")], F.col("shingles"), "__g",
         )
-        .withColumn("__g", hash60(F.col("__g")))
+        .withColumn("__g", gram_hash(F.col("__g")))
         .distinct()
     )
     if broadcast_benchmark:

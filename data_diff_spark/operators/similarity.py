@@ -76,9 +76,18 @@ def _stack_i64(vals):
 
 
 def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    q = quantize(F.col(vec_col))
+    """(id, qv, nrm). qv and nrm are wrapped non-NULLABLE (coalesce with
+    a never-taken default): downstream null-intolerant predicates
+    (cosine >= t, nrm > 0) otherwise make InferFiltersFromConstraints
+    derive isnotnull(qv)/isnotnull(nrm), which predicate pushdown
+    substitutes through this projection into a scan-side Filter — the
+    whole interpreted quantize+norm pipeline re-evaluated per corpus row
+    (the round-9 double-eval audit caught 4 such Filters in the LSH
+    gate). A null embedding now yields qv=[] / nrm=0.0 — excluded by
+    the same nrm > 0 guards that excluded its null form."""
+    q = F.coalesce(quantize(F.col(vec_col)), F.array().cast("array<long>"))
     return df.select(F.col(id_col).alias("id"), q.alias("qv")).withColumn(
-        "nrm", _qnorm(F.col("qv"))
+        "nrm", F.coalesce(_qnorm(F.col("qv")), F.lit(0.0))
     )
 
 
