@@ -303,6 +303,124 @@ def encode_jpeg(arr, quant: int = 8, progressive: bool = False) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_hierarchical(arr, levels: int = 2, predictor: int = 1) -> bytes:
+    """Hierarchical LOSSLESS pyramid (T.81 Annex J): DHP, a reduced-
+    resolution non-differential SOF3 frame, then per level an EXP marker
+    (expand 2x both directions) and a differential SOF7 frame coding
+    source-minus-expanded-reference modulo 2^16 with no spatial
+    prediction (J's differential rule). Decoding reproduces `arr`
+    exactly at every level count.
+
+    Honesty note (same status as the SOF11 mirror coder,
+    tests/test_jpeg_lossless_arith.py): no conforming hierarchical
+    encoder exists to cross-check against — libjpeg never implemented
+    Annex J — so this is the fixture generator for decode_jpeg's
+    hierarchical path. Where the spec leaves the encoder free the two
+    sides are independent (downsampling here is decimation; Annex J
+    does not constrain it); the normative pieces — the J.1.1.2
+    expansion filter, marker syntax, the differential no-prediction
+    rule, mod-2^16 sample arithmetic — are shared with or mirrored by
+    the decoder with T.81 section cites."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError("hierarchical encoder: uint8 input only")
+    grey = a.ndim == 2
+    if not grey and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("hierarchical encoder: (h,w) or (h,w,3) input")
+    if predictor not in (1, 2):
+        raise ValueError("hierarchical encoder: predictor 1 or 2")
+    levels = max(1, int(levels))
+    ncomp = 1 if grey else 3
+    full = [a.astype(np.int64) if grey else a[:, :, c].astype(np.int64)
+            for c in range(ncomp)]
+    pyr = [full]
+    for _ in range(levels - 1):
+        pyr.append([p[::2, ::2] for p in pyr[-1]])
+    pyr.reverse()  # smallest level first
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    def frame_payload(hh, ww):
+        p = bytes([8]) + struct.pack(">HH", hh, ww) + bytes([ncomp])
+        for cid in range(1, ncomp + 1):
+            p += bytes([cid, 0x11, 0])
+        return p
+
+    h, w = a.shape[:2]
+    seg(0xDE, frame_payload(h, w))  # DHP mirrors the frame-header syntax
+
+    def emit_frame(planes, differential):
+        hh, ww = planes[0].shape
+        coded = []
+        for p in planes:
+            if differential:
+                d = p.copy()
+            else:
+                pred = np.zeros((hh, ww), dtype=np.int64)
+                pred[0, 0] = 128  # default 2^(P-Pt-1), P=8, Pt=0
+                if ww > 1:
+                    pred[0, 1:] = p[0, :-1]      # Ra on the first line
+                if hh > 1:
+                    pred[1:, 0] = p[:-1, 0]      # Rb on the first column
+                if hh > 1 and ww > 1:
+                    pred[1:, 1:] = (p[1:, :-1] if predictor == 1
+                                    else p[:-1, 1:])
+                d = p - pred
+            # signed mod-2^16 window; -32768 is coded as SSSS=16 (+32768)
+            d = ((d + 32768) & 0xFFFF) - 32768
+            coded.append(d)
+        syms = set()
+        for d in coded:
+            for v in np.unique(d):
+                v = int(v)
+                syms.add(16 if v == -32768 else _category(v))
+        counts, symlist, codes = _canonical(syms)
+        seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(symlist))
+        seg(0xC7 if differential else 0xC3, frame_payload(hh, ww))
+        sos = bytes([ncomp])
+        for cid in range(1, ncomp + 1):
+            sos += bytes([cid, 0x00])
+        # Ss = predictor select (0 in differential frames), Se = 0, Pt = 0
+        sos += bytes([0 if differential else predictor, 0, 0])
+        seg(0xDA, sos)
+        wtr = _ScanWriter(out)
+        for y in range(hh):
+            for x in range(ww):
+                for d in coded:
+                    v = int(d[y, x])
+                    if v == -32768:
+                        ln, code = codes[16]
+                        wtr.bits(code, ln)  # SSSS=16: no extra bits
+                        continue
+                    n = _category(v)
+                    ln, code = codes[n]
+                    wtr.bits(code, ln)
+                    if n:
+                        wtr.bits(v if v > 0 else v + (1 << n) - 1, n)
+        wtr.close()
+
+    emit_frame(pyr[0], differential=False)
+    ref = pyr[0]
+    for lvl in pyr[1:]:
+        seg(0xDF, bytes([0x11]))  # EXP: expand 2x horizontally + vertically
+        hh, ww = lvl[0].shape
+        expanded = []
+        for p in ref:
+            e = np.array(_expand_plane(p.tolist(), 1, 1), dtype=np.int64)
+            expanded.append(e[:hh, :ww])
+        emit_frame([l - e for l, e in zip(lvl, expanded)], differential=True)
+        ref = lvl  # lossless: the reconstruction equals the source level
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 class _ScanWriter:
     """Per-scan bit emitter with 0xFF stuffing; pads with 1s at close
     (each scan's entropy data is byte-aligned before the next marker)."""
@@ -541,6 +659,7 @@ def decode_jpeg(data: bytes):
     frame = None
     store = None  # per-component (blocksY, blocksX, 64) coefficient grids
     restart_interval = 0
+    hier = None  # Annex J state: full dims + per-component reference planes
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -569,11 +688,36 @@ def decode_jpeg(data: bytes):
                 symbols = list(body[p + 17:p + 17 + n])
                 hufftabs[(tc, th)] = _Huff(counts, symbols)
                 p += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
-            # SOF0/SOF2 huffman, SOF3 lossless, SOF9/SOF10 arithmetic DCT,
-            # SOF11 arithmetic lossless
+        elif marker == 0xDE:  # DHP — define hierarchical progression (J.2)
+            prec, fh, fw, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            hcomps = [body[6 + 3 * i] for i in range(nc)]  # component ids
+            hier = {"prec": prec, "h": fh, "w": fw, "comps": hcomps,
+                    "ref": {}, "pt": {}}
+        elif marker == 0xDF:  # EXP — expand reference components (J.2)
+            if hier is None:
+                raise ValueError("jpeg: EXP outside a hierarchical stream")
+            if frame is not None:  # the previous frame's scans are done
+                _hier_apply(hier, frame)
+                frame = None
+            if not hier["ref"]:
+                raise ValueError("jpeg: EXP with no reference frame decoded")
+            eh, ev = body[0] >> 4, body[0] & 0xF
+            for cid in hier["ref"]:
+                hier["ref"][cid] = _expand_plane(hier["ref"][cid], eh, ev)
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA, 0xCB):
+            # SOF0/SOF2 huffman, SOF3 lossless, SOF7 differential lossless
+            # (hierarchical), SOF9/SOF10 arithmetic DCT, SOF11 arithmetic
+            # lossless
+            if hier is not None and frame is not None:
+                _hier_apply(hier, frame)  # finalize the previous frame
+                frame = None
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
-            lossless = marker in (0xC3, 0xCB)
+            lossless = marker in (0xC3, 0xC7, 0xCB)
+            differential = marker == 0xC7
+            if differential and (hier is None or not hier["ref"]):
+                raise ValueError(
+                    "jpeg: differential frame without a hierarchical "
+                    "reference (no DHP / no prior frame)")
             if prec != 8 and not lossless:
                 raise NotImplementedError("jpeg: only 8-bit precision; use PIL")
             if lossless and not (2 <= prec <= 16):
@@ -585,7 +729,7 @@ def decode_jpeg(data: bytes):
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2 or marker == 0xCA,
                      "arith": marker in (0xC9, 0xCA, 0xCB),
-                     "lossless": lossless}
+                     "lossless": lossless, "differential": differential}
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             frame["hmax"], frame["vmax"] = hmax, vmax
@@ -613,12 +757,16 @@ def decode_jpeg(data: bytes):
                              dtype=np.int32)
                     for c in comps
                 ]
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC5, 0xC6,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "jpeg: every DCT process (huffman/arithmetic, sequential/"
-                "progressive) and both lossless processes (SOF3/SOF11) "
-                "decode natively; hierarchical (Annex J) needs PIL"
+                "progressive), both lossless processes (SOF3/SOF11) and "
+                "hierarchical lossless pyramids (DHP/EXP/SOF7, Annex J) "
+                "decode natively; this stream uses an unimplemented "
+                "process: SOF1 extended sequential, SOF5/SOF6/SOF13/SOF14 "
+                "differential DCT, or SOF15 differential arithmetic "
+                "lossless"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -668,6 +816,12 @@ def decode_jpeg(data: bytes):
                 )
             continue
         pos += seglen
+    if hier is not None:
+        if frame is not None:
+            _hier_apply(hier, frame)
+        if not hier["ref"]:
+            raise ValueError("jpeg: hierarchical stream with no frames")
+        return _assemble_hier(hier)
     if frame is None or store is None:
         raise ValueError("jpeg: no frame found")
     if not frame.get("saw_scan"):
@@ -1281,7 +1435,12 @@ def _decode_scan_lossless(data, pos, frame, scan, params, hufftabs, ri):
                 ry, rx = y, x
             for ci in order:
                 diff = read_diff(tabs[ci])
-                if y == ry and x == rx:
+                if frame.get("differential"):
+                    # differential frame (Annex J): no spatial prediction —
+                    # the coded values ARE the difference samples added to
+                    # the expanded reference by _hier_apply
+                    pred = 0
+                elif y == ry and x == rx:
                     pred = default
                 elif y == ry:
                     pred = out[ci][y][x - 1]    # Ra: interval's first line
@@ -1435,6 +1594,105 @@ def _decode_scan_lossless_arith(data, pos, frame, scan, params, cond, ri):
                 out[ci][y][x] = (pred + diff) & 0xFFFF
             n += 1
     return dec.next_marker_pos()
+
+
+def _expand_plane(p, eh, ev):
+    """T.81 J.1.1.2 reference-component expansion: double the resolution
+    horizontally (eh) and/or vertically (ev). Output even samples copy
+    the input; odd samples interpolate the two neighbors with rounding,
+    Px = (Ra + Rb + 1) >> 1; at the trailing edge the missing neighbor
+    replicates (Rb = Ra). Plain lists, mod-2^16 domain — same
+    representation as the lossless planes."""
+    if eh:
+        q = []
+        for row in p:
+            w = len(row)
+            nr = [0] * (2 * w)
+            for i in range(w):
+                a = row[i]
+                b = row[i + 1] if i + 1 < w else a
+                nr[2 * i] = a
+                nr[2 * i + 1] = (a + b + 1) >> 1
+            q.append(nr)
+        p = q
+    if ev:
+        h = len(p)
+        q = []
+        for j in range(h):
+            a = p[j]
+            b = p[j + 1] if j + 1 < h else a
+            q.append(a[:])
+            q.append([(x + y + 1) >> 1 for x, y in zip(a, b)])
+        p = q
+    return p
+
+
+def _hier_apply(hier, frame):
+    """Fold a completed hierarchical frame into the reference components
+    (T.81 J.1.1/J.1.5): a non-differential lossless frame REPLACES its
+    components' references; a differential lossless frame ADDS its
+    decoded difference samples to the (expanded) reference modulo 2^16,
+    cropping the reference to the frame's dimensions (expansion may
+    overshoot by one for odd full dimensions)."""
+    if not frame.get("lossless"):
+        raise NotImplementedError(
+            "jpeg: hierarchical DCT stages are not supported; only "
+            "lossless pyramid stages (SOF3 non-differential + SOF7 "
+            "differential) decode")
+    if not frame.get("saw_scan"):
+        raise ValueError("jpeg: hierarchical frame with no scan")
+    missing = set(range(len(frame["comps"]))) - frame["lossless_seen"]
+    if missing:
+        raise ValueError(
+            f"jpeg: hierarchical frame missing scans for components "
+            f"{sorted(missing)}")
+    h, w = frame["h"], frame["w"]
+    for ci, comp in enumerate(frame["comps"]):
+        cid = comp["id"]
+        pt = frame["lossless_pt"].get(ci, 0)
+        plane = frame["lossless_planes"][ci]
+        if frame.get("differential"):
+            ref = hier["ref"].get(cid)
+            if ref is None:
+                raise ValueError(
+                    f"jpeg: differential frame for unknown component {cid}")
+            if len(ref) < h or len(ref[0]) < w:
+                raise ValueError(
+                    "jpeg: differential frame larger than its reference "
+                    f"({h}x{w} vs {len(ref)}x{len(ref[0])}) — missing EXP?")
+            hier["ref"][cid] = [
+                [(ref[y][x] + (plane[y][x] << pt)) & 0xFFFF
+                 for x in range(w)]
+                for y in range(h)
+            ]
+        else:
+            hier["ref"][cid] = [
+                [(v << pt) & 0xFFFF for v in row] for row in plane
+            ]
+
+
+def _assemble_hier(hier):
+    """Final hierarchical output: the reference components at full
+    resolution, stacked in DHP component order."""
+    import numpy as np
+
+    missing = [cid for cid in hier["comps"] if cid not in hier["ref"]]
+    if missing:
+        raise ValueError(
+            f"jpeg: hierarchical stream never coded components {missing}")
+    h, w = hier["h"], hier["w"]
+    out = []
+    for cid in hier["comps"]:
+        ref = hier["ref"][cid]
+        if len(ref) < h or len(ref[0]) < w:
+            raise ValueError(
+                "jpeg: hierarchical stream ended below full resolution "
+                f"({len(ref)}x{len(ref[0])} vs {h}x{w})")
+        out.append(np.array([row[:w] for row in ref[:h]], dtype=np.uint16))
+    arr = out[0] if len(out) == 1 else np.stack(out, axis=-1)
+    if hier["prec"] <= 8:
+        arr = arr.astype(np.uint8)
+    return arr
 
 
 def _assemble_lossless(frame):

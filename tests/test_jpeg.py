@@ -284,11 +284,12 @@ def test_bad_input_gates():
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
     with pytest.raises(ValueError, match="no scan"):
         decode_jpeg(data)
-    # differential/hierarchical (SOF15) still gated with the PIL pointer
-    # (DCT huffman+arithmetic AND huffman lossless decode natively)
+    # differential arithmetic lossless (SOF15) still gated, named
+    # precisely (hierarchical lossless pyramids DHP/EXP/SOF7 decode
+    # natively since round 9 — see test_jpeg_hierarchical.py)
     data = (b"\xff\xd8" + bytes([0xFF, 0xCF]) + struct.pack(">H", 11)
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(NotImplementedError, match="SOF15"):
         decode_jpeg(data)
 
 
