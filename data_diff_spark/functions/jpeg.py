@@ -704,16 +704,16 @@ def decode_jpeg(data: bytes):
             eh, ev = body[0] >> 4, body[0] & 0xF
             for cid in hier["ref"]:
                 hier["ref"][cid] = _expand_plane(hier["ref"][cid], eh, ev)
-        elif marker in (0xC0, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA, 0xCB, 0xCF):
             # SOF0/SOF2 huffman, SOF3 lossless, SOF7 differential lossless
             # (hierarchical), SOF9/SOF10 arithmetic DCT, SOF11 arithmetic
-            # lossless
+            # lossless, SOF15 differential arithmetic lossless
             if hier is not None and frame is not None:
                 _hier_apply(hier, frame)  # finalize the previous frame
                 frame = None
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
-            lossless = marker in (0xC3, 0xC7, 0xCB)
-            differential = marker == 0xC7
+            lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
+            differential = marker in (0xC7, 0xCF)
             if differential and (hier is None or not hier["ref"]):
                 raise ValueError(
                     "jpeg: differential frame without a hierarchical "
@@ -728,7 +728,7 @@ def decode_jpeg(data: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2 or marker == 0xCA,
-                     "arith": marker in (0xC9, 0xCA, 0xCB),
+                     "arith": marker in (0xC9, 0xCA, 0xCB, 0xCF),
                      "lossless": lossless, "differential": differential}
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
@@ -758,15 +758,14 @@ def decode_jpeg(data: bytes):
                     for c in comps
                 ]
         elif marker in (0xC1, 0xC5, 0xC6,
-                        0xCD, 0xCE, 0xCF):
+                        0xCD, 0xCE):
             raise NotImplementedError(
                 "jpeg: every DCT process (huffman/arithmetic, sequential/"
                 "progressive), both lossless processes (SOF3/SOF11) and "
-                "hierarchical lossless pyramids (DHP/EXP/SOF7, Annex J) "
-                "decode natively; this stream uses an unimplemented "
-                "process: SOF1 extended sequential, SOF5/SOF6/SOF13/SOF14 "
-                "differential DCT, or SOF15 differential arithmetic "
-                "lossless"
+                "hierarchical lossless pyramids (DHP/EXP + SOF7/SOF15, "
+                "Annex J) decode natively; this stream uses an "
+                "unimplemented process: SOF1 extended sequential or "
+                "SOF5/SOF6/SOF13/SOF14 differential DCT"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -1583,7 +1582,10 @@ def _decode_scan_lossless_arith(data, pos, frame, scan, params, cond, ri):
                 ry, rx = y, x
             for ci in order:
                 diff = read_diff(ci, x)
-                if y == ry and x == rx:
+                if frame.get("differential"):
+                    # differential frame (Annex J): no spatial prediction
+                    pred = 0
+                elif y == ry and x == rx:
                     pred = default
                 elif y == ry:
                     pred = out[ci][y][x - 1]    # Ra: interval's first line

@@ -132,3 +132,97 @@ def test_plain_sof7_outside_hierarchy_rejected():
     bad = good[:dhp] + good[dhp + 2 + dhp_len:]  # remove the DHP segment
     with pytest.raises(ValueError):
         decode_jpeg(bad)
+
+
+# --- arithmetic differential frames (SOF15) -------------------------------
+
+
+def _encode_hier_arith(img, predictor=1):
+    """Hierarchical ARITHMETIC lossless pyramid fixture: DHP + SOF11
+    non-differential reduced frame + EXP + SOF15 differential frame.
+    Reuses the mirror QM coder pinned against libjpeg's DCT arithmetic
+    path (test_jpeg_lossless_arith)."""
+    import struct
+
+    from test_jpeg_lossless_arith import _QMEnc, _encode_diff, _seg
+
+    a = np.asarray(img).astype(np.int64)
+    h, w = a.shape
+    lo, hi = (1 << 0) >> 1, (1 << 1) >> 1  # default conditioning L=0, U=1
+
+    def frame_payload(hh, ww):
+        return bytes([8]) + struct.pack(">HH", hh, ww) + bytes([1, 1, 0x11, 0])
+
+    def frame_segs(p, differential):
+        hh, ww = p.shape
+        out = _seg(0xCF if differential else 0xCB, frame_payload(hh, ww))
+        out += _seg(0xDA, bytes([1, 1, 0x00])
+                    + bytes([0 if differential else predictor, 0, 0]))
+        enc = _QMEnc()
+        stats = bytearray(158)
+        cat_above = [0] * ww
+        for y in range(hh):
+            cat_left = 0
+            for x in range(ww):
+                if differential:
+                    pred = 0
+                elif y == 0 and x == 0:
+                    pred = 128
+                elif y == 0:
+                    pred = p[y][x - 1]
+                elif x == 0:
+                    pred = p[y - 1][x]
+                else:
+                    pred = p[y][x - 1] if predictor == 1 else p[y - 1][x]
+                diff = (int(p[y][x]) - int(pred)) & 0xFFFF
+                if diff > 32767:
+                    diff -= 65536
+                cat = _encode_diff(enc, stats, cat_left, cat_above[x],
+                                   diff, lo, hi)
+                cat_left = cat_above[x] = cat
+        return out + enc.flush()
+
+    reduced = a[::2, ::2]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDE, frame_payload(h, w))
+    out += frame_segs(reduced, differential=False)
+    out += _seg(0xDF, bytes([0x11]))
+    expanded = np.array(_expand_plane(reduced.tolist(), 1, 1),
+                        dtype=np.int64)[:h, :w]
+    out += frame_segs(a - expanded, differential=True)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 11)])
+def test_roundtrip_arith_differential_sof15(shape):
+    img = _img(*shape)
+    out = decode_jpeg(_encode_hier_arith(img))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+def test_mixed_entropy_pyramid():
+    """Annex J allows mixing entropy coders across frames: a huffman SOF3
+    first frame with an arithmetic SOF15 differential stage (and the
+    huffman pyramid already covers SOF3+SOF7). Build the mixed stream by
+    splicing: huffman level-0 frame from encode_jpeg_hierarchical's
+    1-level stream, then EXP + SOF15 from the arith fixture."""
+    import struct
+
+    img = _img(12, 10)
+    reduced = img[::2, ::2]
+    huff = encode_jpeg_hierarchical(reduced, levels=1)
+    # strip SOI/EOI and the DHP of the 1-level stream, keep DHT+SOF3+SOS+data
+    dhp = huff.index(b"\xff\xde")
+    dhp_len = int.from_bytes(huff[dhp + 2:dhp + 4], "big")
+    body = huff[dhp + 2 + dhp_len:-2]
+    arith = _encode_hier_arith(img)
+    exp = arith.index(b"\xff\xdf")
+    h, w = img.shape
+    out = (b"\xff\xd8"
+           + b"\xff\xde" + struct.pack(">H", 11) + bytes([8])
+           + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+           + body + arith[exp:])
+    got = decode_jpeg(bytes(out))
+    assert np.array_equal(got, img)
