@@ -704,10 +704,15 @@ def decode_jpeg(data: bytes):
             eh, ev = body[0] >> 4, body[0] & 0xF
             for cid in hier["ref"]:
                 hier["ref"][cid] = _expand_plane(hier["ref"][cid], eh, ev)
-        elif marker in (0xC0, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA, 0xCB, 0xCF):
-            # SOF0/SOF2 huffman, SOF3 lossless, SOF7 differential lossless
-            # (hierarchical), SOF9/SOF10 arithmetic DCT, SOF11 arithmetic
-            # lossless, SOF15 differential arithmetic lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCF):
+            # SOF0/SOF2 huffman (SOF1 extended sequential: at 8-bit
+            # precision the decoding process is SOF0's — B.3; the extra
+            # latitude is 12-bit precision and 4 Huffman tables, and the
+            # 12-bit case still stops at the precision guard below),
+            # SOF3 lossless, SOF7 differential lossless (hierarchical),
+            # SOF9/SOF10 arithmetic DCT, SOF11 arithmetic lossless,
+            # SOF15 differential arithmetic lossless
             if hier is not None and frame is not None:
                 _hier_apply(hier, frame)  # finalize the previous frame
                 frame = None
@@ -757,15 +762,14 @@ def decode_jpeg(data: bytes):
                              dtype=np.int32)
                     for c in comps
                 ]
-        elif marker in (0xC1, 0xC5, 0xC6,
-                        0xCD, 0xCE):
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
             raise NotImplementedError(
                 "jpeg: every DCT process (huffman/arithmetic, sequential/"
-                "progressive), both lossless processes (SOF3/SOF11) and "
-                "hierarchical lossless pyramids (DHP/EXP + SOF7/SOF15, "
-                "Annex J) decode natively; this stream uses an "
-                "unimplemented process: SOF1 extended sequential or "
-                "SOF5/SOF6/SOF13/SOF14 differential DCT"
+                "extended/progressive), both lossless processes "
+                "(SOF3/SOF11) and hierarchical lossless pyramids "
+                "(DHP/EXP + SOF7/SOF15, Annex J) decode natively; this "
+                "stream uses differential DCT (SOF5/SOF6/SOF13/SOF14) — "
+                "the one unimplemented T.81 process family"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])

@@ -679,3 +679,20 @@ class TestWavTelephonyFormats:
 
         with _pytest.raises(NotImplementedError, match="librosa"):
             decode_audio(self._wav(0x55, 16, b"\x00\x00"))  # MPEG tag
+
+
+def test_sof1_extended_sequential_decodes_as_sof0():
+    """B.3: at 8-bit precision the extended sequential process (SOF1) is
+    decoded exactly like baseline — the extension is 12-bit precision
+    (still guarded by the precision check) and more Huffman tables."""
+    from data_diff_spark.functions.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:16]
+    img = ((yy * 5 + xx * 11) % 256).astype(np.uint8)
+    data = bytearray(encode_jpeg(img))
+    i = data.find(b"\xff\xc0")
+    assert i >= 0
+    data[i + 1] = 0xC1
+    base = decode_jpeg(encode_jpeg(img))
+    got = decode_jpeg(bytes(data))
+    assert np.array_equal(got, base)
