@@ -721,6 +721,34 @@ def attach_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(_gen, schema)
 
 
+def attach_hierjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, media: binary) with the SAME deterministic pixels as the P6 /
+    WebP / GIF+BMP fixtures, containerized as a two-level hierarchical
+    LOSSLESS JPEG pyramid (T.81 Annex J: DHP + reduced SOF3 frame + EXP +
+    differential SOF7 frame — functions/jpeg.py). Lossless is the
+    contract: the arithmetic pixel oracle applies unchanged while the
+    decode side runs the full marker dispatch, reference expansion and
+    differential reconstruction."""
+    from data_diff_spark.functions.jpeg import encode_jpeg_hierarchical
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [
+                        encode_jpeg_hierarchical(_synth_pixels(int(i)), levels=2)
+                        for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(_gen, schema)
+
+
 def attach_gif_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, media: binary) with the SAME deterministic pixels as the P6 /
     WebP fixtures, containerized as GIF for even ids and BMP for odd ids

@@ -3020,17 +3020,39 @@ def q_gifbmp_decode_features(spark, sf_dir):
     )
 
 
+def q_hierjpeg_decode_features(spark, sf_dir):
+    """REAL hierarchical-JPEG decode path (T.81 Annex J): the same
+    deterministic pixels, containerized as a two-level lossless pyramid
+    (DHP + reduced SOF3 + EXP + differential SOF7) and decoded through
+    decode_image's full marker dispatch — reference expansion and
+    differential reconstruction included (functions/jpeg.py; pyramid
+    semantics pinned in tests/test_jpeg_hierarchical.py). Lossless, so
+    the arithmetic pixel oracle applies unchanged."""
+    load_views(spark, sf_dir)
+    media = MM.attach_hierjpeg_media(spark.table("documents"))
+    return MM.extract_image_features(media).select(
+        "doc_id",
+        F.col("width").alias("hjpeg_width"),
+        F.col("height").alias("hjpeg_height"),
+        F.col("mean_r").alias("hjpeg_mean_r"),
+        F.col("mean_g").alias("hjpeg_mean_g"),
+        F.col("mean_b").alias("hjpeg_mean_b"),
+    )
+
+
 def q_multimodal_decode_all(spark, sf_dir):
-    """All five multimodal decode paths joined on doc_id: the
+    """All six multimodal decode paths joined on doc_id: the
     deterministic fake-decoder template (byte stats), the REAL netpbm
     image codec (per-channel pixel means), the REAL RIFF/WAV audio codec
-    (RMS/zero-crossings), the REAL WebP container round-trip, and the
-    REAL GIF/BMP pair — each an Arrow-batched mapInPandas pipeline."""
+    (RMS/zero-crossings), the REAL WebP container round-trip, the REAL
+    GIF/BMP pair, and the REAL hierarchical-JPEG pyramid — each an
+    Arrow-batched mapInPandas pipeline."""
     out = q_multimodal_features(spark, sf_dir)
     out = out.join(q_image_decode_features(spark, sf_dir), "doc_id")
     out = out.join(q_audio_decode_features(spark, sf_dir), "doc_id")
     out = out.join(q_webp_decode_features(spark, sf_dir), "doc_id")
     out = out.join(q_gifbmp_decode_features(spark, sf_dir), "doc_id")
+    out = out.join(q_hierjpeg_decode_features(spark, sf_dir), "doc_id")
     return out
 
 
@@ -3040,7 +3062,8 @@ with s1 as ({ORACLE_MULTIMODAL}),
 s2 as ({MM.ORACLE_IMAGE_FEATURES}),
 s3 as ({MM.ORACLE_AUDIO_FEATURES}),
 s4 as ({MM.ORACLE_IMAGE_FEATURES}),
-s5 as ({MM.ORACLE_IMAGE_FEATURES})
+s5 as ({MM.ORACLE_IMAGE_FEATURES}),
+s6 as ({MM.ORACLE_IMAGE_FEATURES})
 select s1.doc_id, s1.n_bytes, s1.content_md5, s1.byte_mean,
        s2.width, s2.height, s2.mean_r, s2.mean_g, s2.mean_b,
        s3.sample_rate, s3.n_samples, s3.rms, s3.n_zero_cross,
@@ -3049,12 +3072,16 @@ select s1.doc_id, s1.n_bytes, s1.content_md5, s1.byte_mean,
        s4.mean_b as webp_mean_b,
        s5.width as gifbmp_width, s5.height as gifbmp_height,
        s5.mean_r as gifbmp_mean_r, s5.mean_g as gifbmp_mean_g,
-       s5.mean_b as gifbmp_mean_b
+       s5.mean_b as gifbmp_mean_b,
+       s6.width as hjpeg_width, s6.height as hjpeg_height,
+       s6.mean_r as hjpeg_mean_r, s6.mean_g as hjpeg_mean_g,
+       s6.mean_b as hjpeg_mean_b
 from s1
 join s2 using (doc_id)
 join s3 using (doc_id)
 join s4 using (doc_id)
 join s5 using (doc_id)
+join s6 using (doc_id)
 """
 
 
