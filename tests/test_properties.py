@@ -258,3 +258,48 @@ def test_asof_backward_is_floor_lookup(spark, left, right):
     for t in left:
         floor = max((rt for rt in right if rt <= t), default=None)
         assert got[t] == floor
+
+
+@given(
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=9),
+             min_size=1, max_size=6),
+    st.tuples(st.sampled_from(["a", "b", "ab", "ba", "aa", "</w>"]),
+              st.sampled_from(["a", "b", "ab", "ba", "aa", "</w>"])),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_fold_sql_matches_apply_merge_scan(words, merge):
+    """Property pin for the clean_docs oracle's merge replay
+    (_bpe_fold_sql): over random two-letter words — the alphabet where
+    overlapping merge occurrences are densest — the DuckDB list_reduce
+    fold must equal _apply_merge's left-to-right non-overlapping scan
+    for ANY (a, b) merge pair, including a == b and merged symbols."""
+    import duckdb
+
+    from data_diff_spark.workload import _bpe_fold_sql
+
+    a, b = merge
+
+    def scan_fold(syms):
+        out_, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out_.append(a + b)
+                i += 2
+            else:
+                out_.append(syms[i])
+                i += 1
+        return out_
+
+    rows = []
+    for wd in words:
+        syms = list(wd) + ["</w>"]
+        rows.append((" " + " ".join(syms) + " ", scan_fold(syms)))
+
+    con = duckdb.connect()
+    # parameterized via a literal table: one row per word
+    vals = ", ".join("(?)" for _ in rows)
+    q = (f"with w(s) as (values {vals}), m(a, b) as (select ?, ?) "
+         f"select {_bpe_fold_sql('m.a', 'm.b')} as f from w, m")
+    res = con.execute(q, [s for s, _ in rows] + [a, b]).fetchall()
+    for (f,), (_, want) in zip(res, rows):
+        assert f == " " + " ".join(want) + " ", (f, want, merge)
