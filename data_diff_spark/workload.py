@@ -2696,6 +2696,121 @@ where o.o_orderkey is null or c.o_orderkey is null
 """
 
 
+def q_scd2_orders(spark, sf_dir):
+    """SCD Type-2 merge (operators/scd.py): the warehouse workflow that
+    CONSUMES a diff change set. Dimension = orders as open current rows
+    (valid_from = order date) plus a synthesized closed history version
+    for every 50th key; change batch = the modified-orders relation with
+    one effective date. The oracle replays the full merge semantics —
+    latest-per-key, null-safe no-op detection, close+insert, brand-new
+    keys, history pass-through — as one full-outer join with four
+    branches. The streaming CDC sink (streaming/cdc_stream.py) is a thin
+    composition of three independently-gated primitives (merge_scd2 here,
+    versioned.commit in the hashdiff third arm, foreachBatch plumbing) and
+    stays pytest-pinned rather than re-running a stream per bench entry —
+    same precedent as the incremental-LSH composition."""
+    from data_diff_spark.operators.scd import merge_scd2
+
+    load_views(spark, sf_dir)
+    orders = spark.table("orders")
+    odate = F.to_date("o_orderdate")
+    dim_cur = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        odate.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim_hist = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") - 1).alias("o_totalprice"),
+        F.date_sub(odate, 30).alias("valid_from"),
+        odate.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    changes = spark.sql(
+        f"select o_orderkey, o_orderstatus, o_totalprice from ({MODIFIED_ORDERS_SQL})"
+    ).withColumn("effective_ts", F.lit("1998-12-01").cast("date"))
+    merged = merge_scd2(
+        dim_cur.unionByName(dim_hist), changes, ["o_orderkey"],
+        tracked_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return merged.select(
+        F.lit("scd2").alias("scope"),
+        "o_orderkey",
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            F.col("valid_from").cast("string"),
+            F.coalesce(F.col("valid_to").cast("string"), F.lit("open")),
+            F.col("is_current").cast("string"),
+        ).alias("v_str"),
+        F.col("o_totalprice").cast("double").alias("v_num"),
+    )
+
+
+def q_snapshot_scd2_all(spark, sf_dir):
+    """Digest-snapshot diff AND the SCD2 merge that consumes such a change
+    set, as one scoped relation (both driven by the same modified-orders
+    change batch; each arm's oracle replays it independently)."""
+    snap = q_snapshot_diff(spark, sf_dir).select(
+        F.lit("snap").alias("scope"),
+        "o_orderkey",
+        F.col("sign").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+    )
+    return snap.unionByName(q_scd2_orders(spark, sf_dir))
+
+
+ORACLE_SNAPSHOT_SCD2_ALL = f"""
+with dim_cur as (
+  select o_orderkey, o_orderstatus, o_totalprice,
+         cast(o_orderdate as date) as valid_from,
+         cast(null as date) as valid_to, true as is_current
+  from orders),
+dim_hist as (
+  select o_orderkey, 'X' as o_orderstatus, o_totalprice - 1 as o_totalprice,
+         cast(o_orderdate as date) - 30 as valid_from,
+         cast(o_orderdate as date) as valid_to, false as is_current
+  from orders where o_orderkey % 50 = 0),
+ch as (
+  select o_orderkey, o_orderstatus, o_totalprice, date '1998-12-01' as eff
+  from ({MODIFIED_ORDERS_SQL})),
+j as (
+  select d.o_orderkey as dk, d.o_orderstatus as ds, d.o_totalprice as dp,
+         d.valid_from as vf,
+         c.o_orderkey as ck, c.o_orderstatus as cs, c.o_totalprice as cp, c.eff
+  from dim_cur d full outer join ch c on d.o_orderkey = c.o_orderkey),
+scd as (
+  -- unchanged current rows (no observation, or observation equals current)
+  select dk as o_orderkey, ds as o_orderstatus, dp as o_totalprice,
+         vf as valid_from, cast(null as date) as valid_to, true as is_current
+  from j where dk is not null
+    and (ck is null or ((ds, dp) is not distinct from (cs, cp)))
+  union all
+  -- real change: close the current row at the effective date
+  select dk, ds, dp, vf, eff, false
+  from j where dk is not null and ck is not null
+    and ((ds, dp) is distinct from (cs, cp))
+  union all
+  -- insert the new version (changed keys and brand-new keys)
+  select ck, cs, cp, eff, cast(null as date), true
+  from j where ck is not null
+    and (dk is null or ((ds, dp) is distinct from (cs, cp)))
+  union all
+  select * from dim_hist)
+select 'scd2' as scope, o_orderkey,
+       o_orderstatus || '|' || cast(valid_from as varchar) || '|' ||
+         coalesce(cast(valid_to as varchar), 'open') || '|' ||
+         cast(is_current as varchar) as v_str,
+       cast(o_totalprice as double) as v_num
+from scd
+union all
+select 'snap' as scope, o_orderkey, sign as v_str, cast(null as double) as v_num
+from ({{snap}})
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level dedup (operators/spans.py): maximal cross-doc
     duplicated word spans via k-gram anchoring — the passage-granularity
@@ -3227,7 +3342,11 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "redact_pii_docs": (q_redact_pii, _redact_pii_oracle()),
     "chunk_documents": (q_chunk_documents, _chunk_documents_oracle()),
     "token_vocab": (q_token_vocab_all, ORACLE_TOKEN_VOCAB_SKEWED),
-    "snapshot_diff_orders": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
+    # r9: SCD2 merge folded in as a scoped arm (it had only pytest pins)
+    "snapshot_diff_orders": (
+        q_snapshot_scd2_all,
+        ORACLE_SNAPSHOT_SCD2_ALL.format(snap=ORACLE_SNAPSHOT_DIFF),
+    ),
     "snm_pairs_docs": (q_snm_pairs, ORACLE_SNM_PAIRS),
     "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
     "zorder_key_events": (q_zorder_key_events, _zorder_oracle()),
