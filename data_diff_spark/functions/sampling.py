@@ -167,3 +167,156 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- budgeted corpus selection ----------------------------------------------
+
+# Boundary-region size at which the exact ordered prefix is finished with
+# one single-partition window. 2^17 narrow rows (id, score, n_tok) is a
+# few MB in one task — the same bound class as the components() local
+# gate. With 1024 buckets per refinement level, reaching the window from
+# a 10^11-row corpus takes 2 levels; every level is one small aggregate
+# over a shrinking filtered region.
+TOKEN_BUDGET_TAIL_ROWS = 1 << 17
+TOKEN_BUDGET_BUCKETS = 1024
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score: Optional[Column] = None,
+    n_tokens: Optional[Column] = None,
+    n_buckets: int = TOKEN_BUDGET_BUCKETS,
+    max_tail_rows: int = TOKEN_BUDGET_TAIL_ROWS,
+    max_levels: int = 16,
+) -> DataFrame:
+    """Budgeted corpus selection: keep the best-scoring documents whose
+    running token total stays within `budget` — the dataset-curation step
+    "give me the highest-quality N-token corpus". Semantics are the exact
+    greedy prefix of the corpus ordered by (score DESC, id ASC): a doc is
+    kept iff the cumulative token count up to and including it is <=
+    budget (the running sum is monotone, so the kept set is a prefix).
+    Returns (id_col, score, n_tok). `id_col` must be unique (it is the
+    deterministic tie-break).
+
+    A naive implementation is a global sort + window cumsum — one
+    all-to-one ordering of the full corpus. This one never sorts the
+    corpus: a histogram threshold search finds the score cutoff with
+    driver-side walks over per-bucket (token-sum, row-count) aggregates
+    (score is bucketed over its observed range; levels refine the ONE
+    boundary bucket, so each level is an aggregate over a region ~1/B
+    the previous). Buckets strictly above the cutoff are kept wholesale
+    by a map-side filter; only the boundary region — at most
+    `max_tail_rows` rows — pays the ordered window, in one bounded task.
+    A region of exactly tied scores (floor can't split it) refines on the
+    id range instead, which always splits since ids are unique; non-
+    numeric ids in that degenerate case fall through to the window on
+    whatever region remains (correct, single-task — documented bound)."""
+    from data_diff_spark.functions.text import quality_score, token_count
+
+    sc = score if score is not None else quality_score(F.col(text_col))
+    nt = n_tokens if n_tokens is not None else token_count(F.col(text_col))
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        sc.cast("double").alias("score"),
+        nt.cast("long").alias("n_tok"),
+    ).persist()
+
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(scored.schema["id"].dataType, NumericType)
+
+    def bucket_expr(col, lo, hi):
+        span = hi - lo
+        if span <= 0:  # single point: everything in bucket 0
+            return F.lit(0)
+        b = F.floor((col - F.lit(float(lo))) / F.lit(float(span)) * n_buckets)
+        return F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b)).cast("int")
+
+    region = F.lit(True)
+    head_preds = []
+    consumed = 0
+    tail = None  # set when the boundary region is small enough to window
+    phase = "score"  # then "id" once scores are exactly tied
+    lo, hi = None, None  # refinement bounds for the current phase column
+
+    for _level in range(max_levels):
+        col = F.col("score") if phase == "score" else F.col("id")
+        if lo is None:  # first level of a phase: observe the range
+            r = scored.filter(region).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            if r["lo"] is None:  # empty region: nothing left to place
+                break
+            lo, hi = float(r["lo"]), float(r["hi"])
+        be = bucket_expr(col, lo, hi)
+        hist = (
+            scored.filter(region)
+            .groupBy(be.alias("b"))
+            .agg(
+                F.sum("n_tok").alias("tok"), F.count(F.lit(1)).alias("cnt"),
+                F.min("score").alias("min_s"), F.max("score").alias("max_s"),
+                F.min(col).alias("min_c"), F.max(col).alias("max_c"),
+            )
+            .collect()
+        )
+        # walk in global order: score DESC <=> bucket DESC; id ASC <=> ASC
+        hist.sort(key=lambda r: r["b"], reverse=(phase == "score"))
+        boundary = None
+        cum = consumed
+        for row in hist:
+            if cum + row["tok"] <= budget:
+                cum += row["tok"]
+            else:
+                boundary = row
+                break
+        if boundary is None:  # whole region fits: keep it outright
+            head_preds.append(region)
+            break
+        cmp = (be > F.lit(boundary["b"])) if phase == "score" else (be < F.lit(boundary["b"]))
+        head_preds.append(region & cmp)
+        consumed = cum
+        region = region & (be == F.lit(boundary["b"]))
+        if boundary["cnt"] <= max_tail_rows:
+            tail = scored.filter(region)
+            break
+        if phase == "score" and boundary["min_s"] == boundary["max_s"]:
+            if not numeric_ids:
+                tail = scored.filter(region)  # documented non-numeric fallback
+                break
+            phase, lo, hi = "id", None, None  # exact ties: refine on id range
+        else:
+            lo, hi = float(boundary["min_c"]), float(boundary["max_c"])
+            if lo == hi and phase == "id":  # unreachable with unique ids
+                tail = scored.filter(region)
+                break
+    else:
+        tail = scored.filter(region)  # max_levels exhausted: window the rest
+
+    parts = []
+    if head_preds:
+        p = head_preds[0]
+        for q in head_preds[1:]:
+            p = p | q
+        parts.append(scored.filter(p))
+    if tail is not None:
+        w = (
+            Window.orderBy(F.col("score").desc(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        parts.append(
+            tail.withColumn("cum", F.sum("n_tok").over(w) + F.lit(consumed))
+            .filter(F.col("cum") <= budget)
+            .select("id", "score", "n_tok")
+        )
+    if not parts:
+        out = scored.limit(0)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    out = out.select(F.col("id").alias(id_col), "score", "n_tok")
+    out._ddspark_persisted = [scored]  # released by the workload harness
+    return out

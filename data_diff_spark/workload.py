@@ -3207,14 +3207,17 @@ def q_dedup_resolve_all(spark, sf_dir):
     load_views(spark, sf_dir)
     docs = spark.table("documents")
     pairs = DD.minhash_lsh_dedup(docs, threshold=0.8).persist()
-    clusters = DD.assign_clusters(docs, pairs).select("doc_id", "cluster_id")
-    resolved = DD.dedup_resolve(docs, pairs)
+    # one components() run feeds both the per-doc tags and the resolver
+    # (dedup_resolve would otherwise recompute the assignment from pairs)
+    assigned = DD.assign_clusters(docs, pairs).persist()
+    clusters = assigned.select("doc_id", "cluster_id")
+    resolved = DD.dedup_resolve(docs, pairs, clusters=assigned)
     out = clusters.join(resolved, "cluster_id").select(
         "doc_id", "cluster_id", "kept_id", "n_members", "kept_score"
     )
     # pairs as a handle releases ITS persist; pairs as an input harvests
     # the shingle cache riding on pairs._ddspark_persisted too
-    return _track_persisted(out, [pairs], pairs)
+    return _track_persisted(out, [pairs, assigned], pairs)
 
 
 def _dedup_resolve_all_oracle() -> str:
@@ -3241,12 +3244,47 @@ from assigned a join kept k using (cluster_id)
 """
 
 
+DOCS_TOKEN_BUDGET = 12000  # ~44% of the sf0.01 corpus, ~4.4% of sf0.1
+
+
+def q_docs_token_budget(spark, sf_dir):
+    """Budgeted corpus selection (functions/sampling.py): best-quality
+    greedy prefix under a global token budget, found by histogram
+    threshold search — no corpus sort; only the boundary region pays an
+    ordered window. The oracle IS the naive global sort + window cumsum:
+    two routes to the same kept set, per-doc token counts pinned in tag."""
+    from data_diff_spark.functions.sampling import select_by_token_budget
+
+    load_views(spark, sf_dir)
+    kept = select_by_token_budget(spark.table("documents"), DOCS_TOKEN_BUDGET)
+    out = kept.select(
+        F.lit("budget").alias("scope"), "doc_id",
+        F.col("n_tok").cast("string").alias("tag"),
+    )
+    return _track_persisted(out, getattr(kept, "_ddspark_persisted", []), kept)
+
+
+def _docs_token_budget_oracle() -> str:
+    q = TX.duckdb_quality_score("text")
+    t = TX.duckdb_tokens("text")
+    return f"""
+with s as (select doc_id as id, {q} as score, len({t})::bigint as n_tok from documents),
+c as (select id, n_tok,
+             sum(n_tok) over (order by score desc, id asc
+                              rows between unbounded preceding and current row) as cum
+      from s)
+select id as doc_id, n_tok from c where cum <= {DOCS_TOKEN_BUDGET}
+"""
+
+
 def q_docs_sampling(spark, sf_dir):
     """Deterministic sampling surface in one scoped relation: content-hash
     train/val/test split assignment, 20-per-language stratified sample,
-    and the corpus-mixture construction (r8: mix_corpora folded in here —
+    the corpus-mixture construction (r8: mix_corpora folded in here —
     both are hash-sampling semantics — to free a registry slot for the
-    clean_docs LM/BPE gate)."""
+    clean_docs LM/BPE gate), and budgeted corpus selection (r9: the
+    token-budget curation step, histogram threshold search vs the
+    oracle's global-sort cumsum)."""
     s = q_docs_split_assign(spark, sf_dir).select(
         F.lit("split").alias("scope"), "doc_id", F.col("split").alias("tag")
     )
@@ -3256,7 +3294,8 @@ def q_docs_sampling(spark, sf_dir):
     m = q_mix_corpora(spark, sf_dir).select(
         F.lit("mix").alias("scope"), "doc_id", F.col("mix_source").alias("tag")
     )
-    return s.unionAll(t).unionAll(m)
+    b = q_docs_token_budget(spark, sf_dir)
+    return _track_persisted(s.unionAll(t).unionAll(m).unionAll(b), [], b)
 
 
 def _docs_sampling_oracle() -> str:
@@ -3266,6 +3305,9 @@ union all
 select 'stratified' as scope, doc_id, lang as tag from ({_docs_stratified_oracle()})
 union all
 select 'mix' as scope, doc_id, mix_source as tag from ({_mix_corpora_oracle()})
+union all
+select 'budget' as scope, doc_id, cast(n_tok as varchar) as tag
+from ({_docs_token_budget_oracle()})
 """
 
 

@@ -103,3 +103,69 @@ def test_mix_corpora_deterministic_and_tagged(spark, sf_dir):
         mix_corpora({"x": (docs, 0.0)}, ["doc_id"])
     with pytest.raises(ValueError):
         mix_corpora({}, ["doc_id"])
+
+
+# --- budgeted corpus selection ------------------------------------------------
+
+
+def _budget_brute(rows, budget):
+    kept, cum = set(), 0
+    for i, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += t
+        if cum <= budget:
+            kept.add(i)
+        else:
+            break
+    return kept
+
+
+@pytest.fixture(scope="module")
+def budget_rows():
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.random(), rng.randrange(1, 50)) for i in range(2000)]
+    # a 300-doc block of exactly tied scores: forces the id-range phase
+    # when buckets are tiny (floor can never split equal scores)
+    rows += [(10000 + i, 0.5, rng.randrange(1, 50)) for i in range(300)]
+    return rows
+
+
+@pytest.mark.parametrize("budget", [0, 17, 5000, 23456, 10**9])
+@pytest.mark.parametrize(
+    "shape", [(1024, 1 << 17), (4, 8)], ids=["default", "deep-refine+id-phase"]
+)
+def test_token_budget_matches_global_sort(spark, budget_rows, budget, shape):
+    nb, mt = shape
+    df = spark.createDataFrame(budget_rows, "doc_id long, s double, t long")
+    got = S.select_by_token_budget(
+        df, budget, score=F.col("s"), n_tokens=F.col("t"),
+        n_buckets=nb, max_tail_rows=mt,
+    )
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == _budget_brute(budget_rows, budget)
+    got.sparkSession.catalog.clearCache()
+
+
+def test_token_budget_exact_fit_and_totals(spark):
+    rows = [(1, 0.9, 10), (2, 0.8, 10), (3, 0.7, 10), (4, 0.6, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, s double, t long")
+    got = S.select_by_token_budget(df, 30, score=F.col("s"), n_tokens=F.col("t"))
+    rs = {r["doc_id"]: r["n_tok"] for r in got.collect()}
+    assert rs == {1: 10, 2: 10, 3: 10}  # exact fit keeps the boundary doc
+    assert sum(rs.values()) <= 30
+    got.sparkSession.catalog.clearCache()
+
+
+def test_token_budget_string_ids_tie_fallback(spark):
+    # non-numeric ids with tied scores: the documented fallback windows
+    # the tied region in one task — result must still be the exact prefix
+    rows = [(f"d{i:03d}", 0.5, 5) for i in range(40)] + [("aa", 0.9, 7)]
+    df = spark.createDataFrame(rows, "doc_id string, s double, t long")
+    got = S.select_by_token_budget(
+        df, 33, score=F.col("s"), n_tokens=F.col("t"), n_buckets=4, max_tail_rows=2
+    )
+    ids = {r["doc_id"] for r in got.collect()}
+    # aa (7) then d000..d004 (5 each): 7+25=32 <= 33, next would be 37
+    assert ids == {"aa", "d000", "d001", "d002", "d003", "d004"}
+    got.sparkSession.catalog.clearCache()
