@@ -854,6 +854,198 @@ def ivf_topk_from_layout(
     return out
 
 
+# --- IVF-PQ (product quantization) -------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus_prepared: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    train_cap: int = 2048,
+) -> List[List[List[int]]]:
+    """Per-subspace deterministic integer Lloyd codebooks for product
+    quantization: the quantized vector is split into `m` contiguous
+    subvectors and each subspace trains its own `k_codes`-entry codebook
+    over the SAME md5-ordered bounded sample as train_ivf_centroids,
+    with identical exact-int64 arithmetic (argmin ties to the lowest
+    code, floored integer means) — so the DuckDB oracle replays every
+    codebook bit-identically. Returns books[m][k_codes][dim/m]."""
+    import numpy as np
+
+    rows = (
+        corpus_prepared.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(train_cap)
+        .select("qv")
+        .collect()
+    )
+    X = np.array([r["qv"] for r in rows], dtype=np.int64)
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    books = []
+    for mi in range(m):
+        Xs = np.ascontiguousarray(X[:, mi * ds:(mi + 1) * ds])
+        C = Xs[: min(k_codes, len(Xs))].copy()
+        for _ in range(n_iter):
+            assign = _argmin_cells(Xs, C)
+            for ci in range(len(C)):
+                members = Xs[assign == ci]
+                if len(members):
+                    C[ci] = members.sum(axis=0) // len(members)  # floor mean
+        books.append([[int(v) for v in row] for row in C])
+    return books
+
+
+def _book_lit(book: List[List[int]]) -> Column:
+    """One subspace codebook as an array<array<long>> literal."""
+    return F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in book
+        ) + ")"
+    )
+
+
+def pq_encode(
+    prepared: DataFrame,
+    books: List[List[List[int]]],
+    vec: str = "qv",
+) -> DataFrame:
+    """Add `codes` (array<int>, one code per subspace: exact-int argmin
+    with ties to the lowest code) and `rnrm` (double norm of the
+    reconstructed vector — the PQ stand-in for the exact vector norm in
+    the cosine denominator). Projections are staged with the same
+    barriers as _with_dists: the subvector slices and the per-subspace
+    distance arrays each live behind their own projection so neither
+    CollapseProject nor InferFilters re-evaluates the quantize pipeline
+    per code (the round-9 double-evaluation traps)."""
+    m, k_codes = len(books), len(books[0])
+    ds = len(books[0][0])
+    sv = prepared.select(
+        "*",
+        *[F.slice(vec, mi * ds + 1, ds).alias(f"__sv{mi}") for mi in range(m)],
+        F.monotonically_increasing_id().alias("__nd__"),
+    ).drop("__nd__")
+    dists = sv.select(
+        "*",
+        *[_int_l2_dists(f"__sv{mi}", books[mi]).alias(f"__pqd{mi}") for mi in range(m)],
+        F.monotonically_increasing_id().alias("__nd__"),
+    ).drop("__nd__")
+
+    def code(mi: int) -> Column:
+        structs = F.transform(
+            F.sequence(F.lit(0), F.lit(k_codes - 1)),
+            lambda i: F.struct(
+                F.element_at(f"__pqd{mi}", i + 1).alias("d"), i.alias("c")
+            ),
+        )
+        return F.array_min(structs)["c"]
+
+    coded = dists.select(
+        *prepared.columns,
+        F.array(*[code(mi) for mi in range(m)]).alias("codes"),
+        F.monotonically_increasing_id().alias("__nd__"),
+    ).drop("__nd__")
+    rvec = F.flatten(
+        F.array(*[
+            F.element_at(_book_lit(books[mi]), F.element_at("codes", mi + 1) + 1)
+            for mi in range(m)
+        ])
+    )
+    return coded.select(
+        "*", _qnorm(rvec).alias("rnrm"),
+        F.monotonically_increasing_id().alias("__nd__"),
+    ).drop("__nd__")
+
+
+def _pq_lut(books: List[List[List[int]]], vec: str = "qv") -> Column:
+    """Per-query asymmetric-distance lookup table: lut[m][k] = exact int
+    dot of the query's m-th subvector with codebook m's k-th entry. One
+    m x k_codes table per query row; every candidate afterwards costs m
+    array lookups instead of a dim-wide dot."""
+    m = len(books)
+    ds = len(books[0][0])
+
+    # NOTE: a `lambda c, _mi=mi:` default-arg closure is a trap here —
+    # pyspark keys unary-vs-binary HOF on the lambda's ARITY, so the
+    # two-parameter form would receive the array INDEX as _mi
+    def sub_lut(mi: int) -> Column:
+        sl = F.slice(vec, mi * ds + 1, ds)
+        return F.transform(_book_lit(books[mi]), lambda c: _qdot(sl, c))
+
+    return F.array(*[sub_lut(mi) for mi in range(m)])
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    train_cap: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: the IVF coarse quantizer restricts each
+    query to n_probe cells; within them, ranking uses PRODUCT-QUANTIZED
+    vectors — each candidate is m code bytes, its approximate dot with
+    the query is m lookup-table reads (asymmetric distance, ADC), and the
+    cosine denominator uses the reconstructed-vector norm.
+
+    This is the memory-bound ANN design for the 100 TB regime: a 64-dim
+    int64 quantized vector is 512 bytes, its PQ form (m=8 codes into
+    16-entry books) is 8 small ints + one double — the candidate scan
+    never touches raw vectors, so the per-cell working set shrinks ~50x
+    and the per-pair cost drops from a 64-wide integer dot to 8 lookups.
+    Training, encoding, and ADC are all exact integer arithmetic, so the
+    DuckDB oracle replays the whole pipeline (coarse Lloyd + m subspace
+    Lloyds + encode argmin + ADC, which it computes equivalently as
+    dot(query, reconstructed vector) — identical integers by linearity)
+    and hash-matches ranks and cosines. Approximation quality is the PQ
+    trade: recall vs cosine_topk is pinned in pytest, not claimed here."""
+    c = _prepared(df, id_col, vec_col)
+    centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
+    books = train_pq_codebooks(c, m, k_codes, n_iter, train_cap)
+    n_cells = len(centroids)
+
+    assigned = (
+        _with_dists(c, "qv", centroids)
+        .withColumn("cell", F.array_min(_cell_structs(n_cells))["c"])
+        .drop("__dists__")
+    )
+    # the candidate side carries ONLY (id, cell, codes, rnrm) — the PQ
+    # point: raw vectors never reach the per-pair work
+    encoded = pq_encode(assigned, books).select("id", "cell", "codes", "rnrm").persist()
+
+    probed = _probed_queries(queries, centroids, n_probe, id_col, vec_col)
+    lut = probed.select(
+        "id_q", "nrm_q", "cell", _pq_lut(books, "qv_q").alias("lut"),
+        F.monotonically_increasing_id().alias("__nd__"),
+    ).drop("__nd__").persist()
+
+    adc = F.aggregate(
+        F.zip_with("codes", "lut", lambda cd, row: F.element_at(row, cd + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        encoded.join(F.broadcast(lut), "cell")
+        .filter(F.col("id") != F.col("id_q"))
+        .select(
+            "id_q",
+            F.col("id").alias("id_c"),
+            (adc.cast("double") / (F.col("nrm_q") * F.col("rnrm"))).alias("cosine"),
+        )
+    )
+    out = _topk(pairs, k)
+    out._ddspark_persisted = [encoded, probed, lut]
+    return out
+
+
 # --- SemDeDup (semantic near-dup removal) ------------------------------------
 
 

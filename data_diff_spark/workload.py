@@ -1407,6 +1407,27 @@ def q_ann_topk_ivf(spark, sf_dir):
     return SIM.ivf_topk(_emb_base(spark), _emb_queries(spark), k=5)
 
 
+def q_ann_topk_ivf_all(spark, sf_dir):
+    """Two scoped arms off the same coarse quantizer:
+
+      scope='ivf'     ivf_topk — exact cosine re-rank inside probed cells;
+      scope='ivf_pq'  ivf_pq_topk — the memory-bound 100 TB path: ranking
+                      reads only m=8 PQ codes per candidate (ADC lookup
+                      tables), never the raw vectors. The oracle replays
+                      coarse training, all m subspace codebook trainings,
+                      the encode argmin, and ADC (as dot(query,
+                      reconstruction) — equal by linearity) end-to-end.
+    """
+    load_views(spark, sf_dir)
+    base, qs = _emb_base(spark), _emb_queries(spark)
+    ivf = SIM.ivf_topk(base, qs, k=5)
+    pq = SIM.ivf_pq_topk(base, qs, k=5)
+    out = ivf.select(F.lit("ivf").alias("scope"), "*").unionAll(
+        pq.select(F.lit("ivf_pq").alias("scope"), "*")
+    )
+    return _track_persisted(out, [], ivf, pq)
+
+
 def _lloyd_iter_ctes(n_iter: int, dim: int) -> Tuple[str, str]:
     """Unrolled deterministic integer Lloyd iterations as DuckDB CTEs —
     bit-identical replay of train_ivf_centroids' numpy int64 arithmetic
@@ -1465,6 +1486,103 @@ p as (select pr.id_q, a.id as id_c,
       from acorp a join probe pr on a.cell = pr.cell where a.id <> pr.id_q),
 r as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from p)
 select id_q, id_c, rank::BIGINT as rank, cosine from r where rank <= {k}
+"""
+
+
+def _pq_lloyd_ctes(mi: int, off: int, ds: int, n_iter: int, k_codes: int) -> Tuple[str, str]:
+    """Per-subspace PQ codebook training as unrolled CTEs — the subspace
+    analogue of _lloyd_iter_ctes, bit-identical to train_pq_codebooks'
+    numpy loop (same md5-ordered `samp`, seeds = first k_codes subvectors,
+    argmin ties to the lowest code, floored integer means). Names are
+    prefixed p{mi}_ so all m chains coexist in one WITH."""
+    def dist(a, b):
+        return SIM.duckdb_int_l2(a, b, ds)
+
+    p = f"p{mi}"
+    ctes = [f"""
+{p}s as (select rn, qv[{off + 1}:{off + ds}] as sv from samp),
+{p}c0 as (select rn - 1 as code, sv as cv from {p}s where rn <= {k_codes})"""]
+    prev = f"{p}c0"
+    for it in range(1, n_iter + 1):
+        ctes.append(f"""
+{p}a{it} as (select rn, sv, code from (
+         select s.rn, s.sv, c.code,
+                row_number() over (partition by s.rn order by {dist('s.sv', 'c.cv')}, c.code) as rk
+         from {p}s s cross join {prev} c) t where rk = 1),
+{p}u{it} as (select code, list(cv order by dim) as cv from (
+         select code, dim, cast(floor(sum(val)::double / count(*)) as bigint) as cv from (
+           select code, unnest(sv) as val, unnest(range(1, {ds + 1})) as dim from {p}a{it}) z
+         group by code, dim) g group by code),
+{p}c{it} as (select {prev}.code, coalesce({p}u{it}.cv, {prev}.cv) as cv
+          from {prev} left join {p}u{it} using (code))""")
+        prev = f"{p}c{it}"
+    return ",".join(ctes), prev
+
+
+def _ann_ivf_all_oracle(k=5, n_cells=16, n_probe=4, n_iter=2, train_cap=2048,
+                        m=8, k_codes=16, dim=EMB_DIM) -> str:
+    """One WITH replaying BOTH arms off shared coarse CTEs: scope='ivf'
+    is the existing ivf_topk replay; scope='ivf_pq' additionally replays
+    the m per-subspace codebook trainings, the encode argmin, and ADC —
+    computed by linearity as dot(query, reconstructed vector), which
+    equals the Spark side's m lookup-table reads integer-for-integer."""
+    def dist(a, b):
+        return SIM.duckdb_int_l2(a, b, dim)
+
+    ds = dim // m
+    iter_sql, prev = _lloyd_iter_ctes(n_iter, dim)
+    pq_chains, pq_finals = [], []
+    for mi in range(m):
+        c, fin = _pq_lloyd_ctes(mi, mi * ds, ds, n_iter, k_codes)
+        pq_chains.append(c)
+        pq_finals.append(fin)
+    enc = ",".join(f"""
+e{mi} as (select id, code from (
+    select a.id, c.code,
+           row_number() over (partition by a.id
+               order by {SIM.duckdb_int_l2(f'a.qv[{mi * ds + 1}:{mi * ds + ds}]', 'c.cv', ds)}, c.code) as rk
+    from acorp a cross join {pq_finals[mi]} c) t where rk = 1)"""
+        for mi in range(m))
+    enc_joins = " ".join(f"join e{mi} using (id)" for mi in range(m))
+    rv_concat = " || ".join(f"b{mi}.cv" for mi in range(m))
+    book_joins = " ".join(
+        f"join {pq_finals[mi]} b{mi} on b{mi}.code = e{mi}.code" for mi in range(m)
+    )
+    return f"""
+with n as (select vec_id as id,
+            list_transform(embedding, x -> round(x::double * {SIM.QUANT_SCALE})::bigint) as qv
+           from embeddings),
+m as (select id, qv, {SIM.duckdb_norm('qv', dim)} as nrm from n),
+samp as (select qv, row_number() over (order by md5(id::varchar), id) as rn
+         from m order by md5(id::varchar), id limit {train_cap}),
+c0 as (select rn - 1 as cell, qv as cv from samp where rn <= {n_cells}),
+{iter_sql},
+acorp as (select id, qv, nrm, cell from (
+            select m.id, m.qv, m.nrm, c.cell,
+                   row_number() over (partition by m.id order by {dist('m.qv', 'c.cv')}, c.cell) as rk
+            from m cross join {prev} c) t where rk = 1),
+probe as (select id_q, qv_q, nrm_q, cell from (
+            select q.id as id_q, q.qv as qv_q, q.nrm as nrm_q, c.cell,
+                   row_number() over (partition by q.id order by {dist('q.qv', 'c.cv')}, c.cell) as rk
+            from m q cross join {prev} c where q.id % 20 = 0) t where rk <= {n_probe}),
+p as (select pr.id_q, a.id as id_c,
+             {SIM.duckdb_dot('pr.qv_q', 'a.qv', dim)}::double / (pr.nrm_q * a.nrm) as cosine
+      from acorp a join probe pr on a.cell = pr.cell where a.id <> pr.id_q),
+r as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from p),
+{",".join(pq_chains)},
+{enc},
+recon as (select a.id, {rv_concat} as rv
+          from acorp a {enc_joins} {book_joins}),
+rnorms as (select id, sqrt({SIM.duckdb_dot('rv', 'rv', dim)}::double) as rnrm from recon),
+ppq as (select pr.id_q, a.id as id_c,
+               {SIM.duckdb_dot('pr.qv_q', 're.rv', dim)}::double / (pr.nrm_q * rn.rnrm) as cosine
+        from acorp a join probe pr on a.cell = pr.cell
+        join recon re on re.id = a.id join rnorms rn on rn.id = a.id
+        where a.id <> pr.id_q),
+rpq as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from ppq)
+select 'ivf' as scope, id_q, id_c, rank::BIGINT as rank, cosine from r where rank <= {k}
+union all
+select 'ivf_pq' as scope, id_q, id_c, rank::BIGINT as rank, cosine from rpq where rank <= {k}
 """
 
 
@@ -3367,7 +3485,8 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
             pairs=ORACLE_EMBEDDING_NEARDUP, sem=_semdedup_oracle()),
     ),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_lsh_oracle()),
-    "ann_topk_ivf": (q_ann_topk_ivf, _ann_ivf_oracle()),
+    # r9: IVF-PQ folded in as a second scope (same coarse quantizer)
+    "ann_topk_ivf": (q_ann_topk_ivf_all, _ann_ivf_all_oracle()),
     "multimodal_decode": (q_multimodal_decode_all, _multimodal_all_oracle()),
     "events_json_extract": (q_events_json_extract, ORACLE_EVENTS_JSON),
     "collect_stats_lineitem": (q_collect_stats_lineitem, ORACLE_COLLECT_STATS),

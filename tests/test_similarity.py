@@ -519,3 +519,95 @@ def test_ann_gate_auto_recall_arm(spark, sf_dir):
         .filter("vec_id % 20 = 0").count()
     assert claim["n_queries"] == float(nq)
     assert len(by_scope["topk"]) == 5 * nq
+
+
+# --- IVF-PQ (product quantization) --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with 5 planted near-duplicates per query id: PQ ADC must
+    rank planted dups (cosine ~0.998) far above random vectors (~0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(400, 64))
+    for q in range(0, 400, 20):
+        for j in range(1, 6):
+            X[q + j] = X[q] + 0.05 * rng.normal(size=64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_ivf_pq_recall_on_planted_dups(planted):
+    qs = planted.filter(F.col("vec_id") % 20 == 0)
+    exact = {(r.id_q, r.id_c) for r in SIM.cosine_topk(planted, qs, k=5).collect()}
+    approx = {(r.id_q, r.id_c) for r in SIM.ivf_pq_topk(planted, qs, k=5).collect()}
+    assert len(approx) == len(exact)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF-PQ recall on planted dups too low: {recall}"
+    planted.sparkSession.catalog.clearCache()
+
+
+def test_pq_encode_is_exact_argmin_and_rnrm(planted):
+    """codes = per-subspace exact-int argmin (ties to lowest code); rnrm =
+    norm of the concatenated codebook reconstruction — numpy replay."""
+    import numpy as np
+
+    c = SIM._prepared(planted, "vec_id", "embedding")
+    books = SIM.train_pq_codebooks(c, m=8, k_codes=16)
+    cents = SIM.train_ivf_centroids(c, 16)
+    assigned = (
+        SIM._with_dists(c, "qv", cents)
+        .withColumn("cell", F.array_min(SIM._cell_structs(len(cents)))["c"])
+        .drop("__dists__")
+    )
+    enc = {r["id"]: r for r in SIM.pq_encode(assigned, books).collect()}
+    B = [np.array(b, dtype=np.int64) for b in books]
+    for vid in (0, 7, 21, 399):
+        r = enc[vid]
+        qv = np.array(r["qv"], dtype=np.int64)
+        want = [int(np.argmin(((qv[mi * 8:(mi + 1) * 8] - B[mi]) ** 2).sum(axis=1)))
+                for mi in range(8)]
+        assert list(r["codes"]) == want
+        rvec = np.concatenate([B[mi][r["codes"][mi]] for mi in range(8)])
+        assert abs(float(np.sqrt(float((rvec * rvec).sum()))) - r["rnrm"]) < 1e-9
+    planted.sparkSession.catalog.clearCache()
+
+
+def test_ivf_pq_adc_equals_reconstruction_dot(planted):
+    """The m-lookup ADC fold must equal dot(query, reconstructed vector)
+    exactly (linearity over subspaces) — the identity the oracle relies
+    on. Recompute one query's cosines via numpy reconstruction."""
+    import numpy as np
+
+    qs = planted.filter(F.col("vec_id") == 0)
+    got = {r.id_c: r.cosine for r in SIM.ivf_pq_topk(planted, qs, k=5).collect()}
+
+    c = SIM._prepared(planted, "vec_id", "embedding")
+    books = SIM.train_pq_codebooks(c, m=8, k_codes=16)
+    cents = SIM.train_ivf_centroids(c, 16)
+    assigned = (
+        SIM._with_dists(c, "qv", cents)
+        .withColumn("cell", F.array_min(SIM._cell_structs(len(cents)))["c"])
+        .drop("__dists__")
+    )
+    enc = {r["id"]: r for r in SIM.pq_encode(assigned, books).collect()}
+    B = [np.array(b, dtype=np.int64) for b in books]
+    q = np.array(enc[0]["qv"], dtype=np.int64)
+    qn = float(np.sqrt(float((q * q).sum())))
+    for id_c, cos in got.items():
+        r = enc[id_c]
+        rvec = np.concatenate([B[mi][r["codes"][mi]] for mi in range(8)])
+        want = float(int((q * rvec).sum())) / (qn * r["rnrm"])
+        assert abs(cos - want) < 1e-12
+    planted.sparkSession.catalog.clearCache()
+
+
+def test_pq_dim_not_divisible_raises(planted):
+    c = SIM._prepared(planted, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="not divisible"):
+        SIM.train_pq_codebooks(c, m=7)
