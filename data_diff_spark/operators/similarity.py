@@ -1022,17 +1022,30 @@ def ivf_pq_topk(
     encoded = pq_encode(assigned, books).select("id", "cell", "codes", "rnrm").persist()
 
     probed = _probed_queries(queries, centroids, n_probe, id_col, vec_col)
-    lut = probed.select(
+    lut = _pq_lut_frame(probed, books)
+    out = _topk(_pq_pairs(encoded, lut), k)
+    out._ddspark_persisted = [encoded, probed, lut]
+    return out
+
+
+def _pq_lut_frame(probed: DataFrame, books: List[List[List[int]]]) -> DataFrame:
+    """(id_q, nrm_q, cell, lut) — the per-query ADC tables, persisted (tiny:
+    |Q| * n_probe rows of m x k_codes longs) behind the usual projection
+    barrier."""
+    return probed.select(
         "id_q", "nrm_q", "cell", _pq_lut(books, "qv_q").alias("lut"),
         F.monotonically_increasing_id().alias("__nd__"),
     ).drop("__nd__").persist()
 
+
+def _pq_pairs(encoded: DataFrame, lut: DataFrame) -> DataFrame:
+    """ADC candidate scoring: m lookup-table reads per (query, candidate)."""
     adc = F.aggregate(
         F.zip_with("codes", "lut", lambda cd, row: F.element_at(row, cd + 1)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    pairs = (
+    return (
         encoded.join(F.broadcast(lut), "cell")
         .filter(F.col("id") != F.col("id_q"))
         .select(
@@ -1041,8 +1054,66 @@ def ivf_pq_topk(
             (adc.cast("double") / (F.col("nrm_q") * F.col("rnrm"))).alias("cosine"),
         )
     )
-    out = _topk(pairs, k)
-    out._ddspark_persisted = [encoded, probed, lut]
+
+
+def write_ivf_pq_layout(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    train_cap: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the IVF-PQ index: (id, codes, rnrm) parquet partitioned
+    by cell — the CODES-ONLY form, ~50x smaller than the raw-vector IVF
+    layout, so repeated query batches scan a few MB per probed cell where
+    the exact layout scans raw vectors. Centroids + codebooks persist as
+    index metadata (integer lists — json round-trips exactly); a fresh
+    session queries with only the path. Returns (centroids, books)."""
+    import json
+    import os
+
+    c = _prepared(df, id_col, vec_col)
+    centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
+    books = train_pq_codebooks(c, m, k_codes, n_iter, train_cap)
+    assigned = (
+        _with_dists(c, "qv", centroids)
+        .withColumn("cell", F.array_min(_cell_structs(len(centroids)))["c"])
+        .drop("__dists__")
+    )
+    encoded = pq_encode(assigned, books).select("id", "cell", "codes", "rnrm")
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "pq_meta.json"), "w") as f:
+        json.dump({"centroids": centroids, "books": books}, f)
+    return centroids, books
+
+
+def ivf_pq_topk_from_layout(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ layout: partition pruning reads only the
+    probed cells' code files; ranking is the same ADC lookup fold as
+    ivf_pq_topk. No training, no raw-vector reads."""
+    import json
+    import os
+
+    with open(os.path.join(path, "pq_meta.json")) as f:
+        meta = json.load(f)
+    centroids, books = meta["centroids"], meta["books"]
+    encoded = spark.read.parquet(path)
+    probed = _probed_queries(queries, centroids, n_probe, id_col, vec_col)
+    lut = _pq_lut_frame(probed, books)
+    out = _topk(_pq_pairs(encoded, lut), k)
+    out._ddspark_persisted = [probed, lut]
     return out
 
 

@@ -611,3 +611,28 @@ def test_pq_dim_not_divisible_raises(planted):
     c = SIM._prepared(planted, "vec_id", "embedding")
     with pytest.raises(ValueError, match="not divisible"):
         SIM.train_pq_codebooks(c, m=7)
+
+
+def test_ivf_pq_layout_roundtrip(planted, tmp_path):
+    """write_ivf_pq_layout + ivf_pq_topk_from_layout == direct ivf_pq_topk
+    (same deterministic centroids/codebooks), corpus stored as codes only."""
+    import os
+
+    spark = planted.sparkSession
+    qs = planted.filter(F.col("vec_id") % 20 == 0)
+    path = str(tmp_path / "pq_layout")
+    SIM.write_ivf_pq_layout(planted, path)
+    direct = sorted(
+        (r.id_q, r.id_c, r.rank, r.cosine)
+        for r in SIM.ivf_pq_topk(planted, qs, k=5).collect()
+    )
+    from_layout = sorted(
+        (r.id_q, r.id_c, r.rank, r.cosine)
+        for r in SIM.ivf_pq_topk_from_layout(spark, path, qs, k=5).collect()
+    )
+    assert direct == from_layout
+    # physically partitioned by cell, and codes-only (no raw vectors)
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+    cols = set(spark.read.parquet(path).columns)
+    assert cols == {"id", "codes", "rnrm", "cell"}
+    spark.catalog.clearCache()
