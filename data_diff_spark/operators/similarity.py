@@ -704,16 +704,54 @@ def _with_dists(df: DataFrame, vec: str, centroids: List[List[int]]) -> DataFram
     ).drop("__nd__")
 
 
+# IVF auto cell sizing (r9): ceil(rows/1000) cells, floor 16 — the same
+# occupancy rule as SemDeDup's _auto_n_cells, for the same reason: with
+# cells growing linearly in the corpus, candidates per query stay flat at
+# ~n_probe * 1000 instead of growing linearly (the sf1.0 probe measured
+# the fixed-16 gate shape at 8x candidates/query for 10x corpus, the auto
+# shape flat — tools/PROBE_ivf_growth.json). Above the cap the auto mode
+# REFUSES with the bound named rather than quietly degrading (a 65M-row
+# corpus wants an explicit layout + tuned shape, not a silent default).
+IVF_MAX_AUTO_CELLS = 65536
+
+
+def _auto_ivf_cells(n_rows: int) -> int:
+    import math
+
+    cells = max(16, math.ceil(n_rows / 1000))
+    if cells > IVF_MAX_AUTO_CELLS:
+        raise ValueError(
+            f"auto IVF sizing derives {cells} cells for {n_rows} rows, above "
+            f"IVF_MAX_AUTO_CELLS={IVF_MAX_AUTO_CELLS}; pass n_cells explicitly"
+        )
+    return cells
+
+
+def _resolve_ivf_cells(df: DataFrame, n_cells, n_rows, train_cap):
+    """(n_cells, train_cap, n_rows) with the auto rule applied. n_rows is
+    the action-free hint (memoized table_rows at the call sites that have
+    it); without it the auto mode pays one count() — the counted value is
+    returned so downstream size gates (pq_encode's BLAS path) reuse it.
+    The training cap grows with the derived cell count — seeds need a
+    sample row per cell (the r6 semdedup lesson)."""
+    if n_cells is not None:
+        return n_cells, train_cap, n_rows
+    rows = n_rows if n_rows is not None else df.count()
+    cells = _auto_ivf_cells(rows)
+    return cells, max(train_cap, 2 * cells), rows
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: Optional[int] = None,
     n_probe: int = 4,
     n_iter: int = 2,
     train_cap: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """IVF approximate top-k: the deterministic integer quantizer
     (train_ivf_centroids) partitions the corpus into cells; each query
@@ -727,8 +765,13 @@ def ivf_topk(
     (each corpus row sits in exactly one cell, so no distinct is needed);
     ranking is the two-stage _topk. write_ivf_layout persists the
     cell-partitioned corpus so repeated query batches prune at the scan.
-    """
+
+    n_cells=None (the default) applies the rows/1000 auto rule — the
+    corpus-growth story; the driver gate pins n_cells=16 because a static
+    SQL oracle cannot replay size-dependent cell counts (same precedent
+    as ann_topk_lsh's pinned 8x4 shape vs its auto default)."""
     c = _prepared(df, id_col, vec_col)
+    n_cells, train_cap, n_rows = _resolve_ivf_cells(df, n_cells, n_rows, train_cap)
     centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
     n_cells = len(centroids)
 
@@ -737,13 +780,10 @@ def ivf_topk(
     # lazy, Catalyst inlines the quantization into the per-pair cosine and
     # the argmin into the join-key filter (measured 15s -> 4.6s at sf0.1).
     # At scale, write_ivf_layout is the durable form of the same
-    # materialization.
-    assigned = (
-        _with_dists(c, "qv", centroids)
-        .withColumn("cell", F.array_min(_cell_structs(n_cells))["c"])
-        .drop("__dists__")
-        .persist()
-    )
+    # materialization. _assign_cells routes large cell counts to the
+    # exact chunked-BLAS argmin (the SQL literal transform is O(cells*dim)
+    # interpreted ops per row).
+    assigned = _assign_cells(c, centroids).persist()
 
     probed = _probed_queries(queries, centroids, n_probe, id_col, vec_col)
     out = _topk(_ivf_pairs(assigned, probed), k)
@@ -797,11 +837,12 @@ def _ivf_pairs(assigned: DataFrame, probed: DataFrame) -> DataFrame:
 def write_ivf_layout(
     df: DataFrame,
     path: str,
-    n_cells: int = 16,
+    n_cells: Optional[int] = None,
     n_iter: int = 2,
     train_cap: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: Optional[int] = None,
 ) -> List[List[int]]:
     """Materialize the IVF bucketed layout: the corpus written as parquet
     partitioned by cell, so a query batch reading n_probe cells scans only
@@ -812,12 +853,9 @@ def write_ivf_layout(
     import os
 
     c = _prepared(df, id_col, vec_col)
+    n_cells, train_cap, n_rows = _resolve_ivf_cells(df, n_cells, n_rows, train_cap)
     centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
-    assigned = (
-        _with_dists(c, "qv", centroids)
-        .withColumn("cell", F.array_min(_cell_structs(len(centroids)))["c"])
-        .drop("__dists__")
-    )
+    assigned = _assign_cells(c, centroids)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     # centroids ARE the index metadata: store them with the layout so a
     # later session queries without retraining (they are integer lists —
@@ -907,54 +945,96 @@ def _book_lit(book: List[List[int]]) -> Column:
     )
 
 
+# Above this many corpus rows pq_encode moves from the SQL literal argmin
+# (m*k_codes*ds interpreted lambda ops per row — dim*k_codes = ~16k at the
+# defaults; the 200k-row growth probe measured the SQL path at ~100s) to a
+# pandas UDF running _argmin_cells per subspace (exact chunked BLAS, the
+# _assign_cells design). Both paths are exact int64 argmin with
+# first-occurrence ties — bit-identical, pinned in pytest. The driver gate
+# passes no row hint and stays on the SQL path its oracle replays.
+_PQ_ENCODE_BLAS_MIN_ROWS = 50_000
+
+
 def pq_encode(
     prepared: DataFrame,
     books: List[List[List[int]]],
     vec: str = "qv",
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Add `codes` (array<int>, one code per subspace: exact-int argmin
     with ties to the lowest code) and `rnrm` (double norm of the
     reconstructed vector — the PQ stand-in for the exact vector norm in
-    the cosine denominator). Projections are staged with the same
-    barriers as _with_dists: the subvector slices and the per-subspace
-    distance arrays each live behind their own projection so neither
-    CollapseProject nor InferFilters re-evaluates the quantize pipeline
-    per code (the round-9 double-evaluation traps)."""
+    the cosine denominator; subspaces are disjoint coordinate blocks, so
+    the squared norm is the SUM of per-code squared norms — a literal
+    lookup per subspace, no reconstruction). Two encode plans, one
+    semantics (see _PQ_ENCODE_BLAS_MIN_ROWS); SQL projections are staged
+    with the same barriers as _with_dists so neither CollapseProject nor
+    InferFilters re-evaluates the quantize pipeline per code (the
+    round-9 double-evaluation traps)."""
     m, k_codes = len(books), len(books[0])
     ds = len(books[0][0])
-    sv = prepared.select(
-        "*",
-        *[F.slice(vec, mi * ds + 1, ds).alias(f"__sv{mi}") for mi in range(m)],
-        F.monotonically_increasing_id().alias("__nd__"),
-    ).drop("__nd__")
-    dists = sv.select(
-        "*",
-        *[_int_l2_dists(f"__sv{mi}", books[mi]).alias(f"__pqd{mi}") for mi in range(m)],
-        F.monotonically_increasing_id().alias("__nd__"),
-    ).drop("__nd__")
+    if n_rows is not None and n_rows >= _PQ_ENCODE_BLAS_MIN_ROWS:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
 
-    def code(mi: int) -> Column:
-        structs = F.transform(
-            F.sequence(F.lit(0), F.lit(k_codes - 1)),
-            lambda i: F.struct(
-                F.element_at(f"__pqd{mi}", i + 1).alias("d"), i.alias("c")
-            ),
+        sc_ = prepared.sparkSession.sparkContext
+        bc = sc_.broadcast([np.asarray(b, dtype=np.int64) for b in books])
+
+        def _codes_of(qv):
+            X = _stack_i64(qv)
+            if not len(X):
+                return pd.Series([], dtype=object)
+            cols = [
+                _argmin_cells(np.ascontiguousarray(X[:, mi * ds:(mi + 1) * ds]),
+                              bc.value[mi]).astype(np.int32)
+                for mi in range(m)
+            ]
+            C = np.stack(cols, axis=1)
+            return pd.Series(list(C))
+
+        _codes_of.__annotations__ = {"qv": pd.Series, "return": pd.Series}
+        coded = prepared.withColumn(
+            "codes", pandas_udf(_codes_of, "array<int>")(F.col(vec))
         )
-        return F.array_min(structs)["c"]
+    else:
+        sv = prepared.select(
+            "*",
+            *[F.slice(vec, mi * ds + 1, ds).alias(f"__sv{mi}") for mi in range(m)],
+            F.monotonically_increasing_id().alias("__nd__"),
+        ).drop("__nd__")
+        dists = sv.select(
+            "*",
+            *[_int_l2_dists(f"__sv{mi}", books[mi]).alias(f"__pqd{mi}") for mi in range(m)],
+            F.monotonically_increasing_id().alias("__nd__"),
+        ).drop("__nd__")
 
-    coded = dists.select(
-        *prepared.columns,
-        F.array(*[code(mi) for mi in range(m)]).alias("codes"),
-        F.monotonically_increasing_id().alias("__nd__"),
-    ).drop("__nd__")
-    rvec = F.flatten(
-        F.array(*[
-            F.element_at(_book_lit(books[mi]), F.element_at("codes", mi + 1) + 1)
-            for mi in range(m)
-        ])
-    )
+        def code(mi: int) -> Column:
+            structs = F.transform(
+                F.sequence(F.lit(0), F.lit(k_codes - 1)),
+                lambda i: F.struct(
+                    F.element_at(f"__pqd{mi}", i + 1).alias("d"), i.alias("c")
+                ),
+            )
+            return F.array_min(structs)["c"]
+
+        coded = dists.select(
+            *prepared.columns,
+            F.array(*[code(mi) for mi in range(m)]).alias("codes"),
+            F.monotonically_increasing_id().alias("__nd__"),
+        ).drop("__nd__")
+
+    def sqnorm_lit(book: List[List[int]]) -> Column:
+        return F.expr(
+            "array(" + ", ".join(str(sum(v * v for v in row)) + "L" for row in book) + ")"
+        )
+
+    rsq = None
+    for mi in range(m):
+        term = F.element_at(sqnorm_lit(books[mi]), F.element_at("codes", mi + 1) + 1)
+        rsq = term if rsq is None else rsq + term
     return coded.select(
-        "*", _qnorm(rvec).alias("rnrm"),
+        "*", F.sqrt(rsq.cast("double")).alias("rnrm"),
         F.monotonically_increasing_id().alias("__nd__"),
     ).drop("__nd__")
 
@@ -981,7 +1061,7 @@ def ivf_pq_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: Optional[int] = None,
     n_probe: int = 4,
     m: int = 8,
     k_codes: int = 16,
@@ -989,6 +1069,7 @@ def ivf_pq_topk(
     train_cap: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: the IVF coarse quantizer restricts each
     query to n_probe cells; within them, ranking uses PRODUCT-QUANTIZED
@@ -1008,18 +1089,18 @@ def ivf_pq_topk(
     and hash-matches ranks and cosines. Approximation quality is the PQ
     trade: recall vs cosine_topk is pinned in pytest, not claimed here."""
     c = _prepared(df, id_col, vec_col)
+    n_cells, train_cap, n_rows = _resolve_ivf_cells(df, n_cells, n_rows, train_cap)
     centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
     books = train_pq_codebooks(c, m, k_codes, n_iter, train_cap)
     n_cells = len(centroids)
 
-    assigned = (
-        _with_dists(c, "qv", centroids)
-        .withColumn("cell", F.array_min(_cell_structs(n_cells))["c"])
-        .drop("__dists__")
-    )
+    assigned = _assign_cells(c, centroids)
     # the candidate side carries ONLY (id, cell, codes, rnrm) — the PQ
     # point: raw vectors never reach the per-pair work
-    encoded = pq_encode(assigned, books).select("id", "cell", "codes", "rnrm").persist()
+    encoded = (
+        pq_encode(assigned, books, n_rows=n_rows)
+        .select("id", "cell", "codes", "rnrm").persist()
+    )
 
     probed = _probed_queries(queries, centroids, n_probe, id_col, vec_col)
     lut = _pq_lut_frame(probed, books)
@@ -1059,13 +1140,14 @@ def _pq_pairs(encoded: DataFrame, lut: DataFrame) -> DataFrame:
 def write_ivf_pq_layout(
     df: DataFrame,
     path: str,
-    n_cells: int = 16,
+    n_cells: Optional[int] = None,
     m: int = 8,
     k_codes: int = 16,
     n_iter: int = 2,
     train_cap: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: Optional[int] = None,
 ):
     """Materialize the IVF-PQ index: (id, codes, rnrm) parquet partitioned
     by cell — the CODES-ONLY form, ~50x smaller than the raw-vector IVF
@@ -1077,14 +1159,11 @@ def write_ivf_pq_layout(
     import os
 
     c = _prepared(df, id_col, vec_col)
+    n_cells, train_cap, n_rows = _resolve_ivf_cells(df, n_cells, n_rows, train_cap)
     centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
     books = train_pq_codebooks(c, m, k_codes, n_iter, train_cap)
-    assigned = (
-        _with_dists(c, "qv", centroids)
-        .withColumn("cell", F.array_min(_cell_structs(len(centroids)))["c"])
-        .drop("__dists__")
-    )
-    encoded = pq_encode(assigned, books).select("id", "cell", "codes", "rnrm")
+    assigned = _assign_cells(c, centroids)
+    encoded = pq_encode(assigned, books, n_rows=n_rows).select("id", "cell", "codes", "rnrm")
     encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(os.path.join(path, "pq_meta.json"), "w") as f:
         json.dump({"centroids": centroids, "books": books}, f)

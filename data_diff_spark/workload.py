@@ -1404,7 +1404,7 @@ def q_ann_topk_ivf(spark, sf_dir):
     int64 assignment/update), so the whole pipeline — training included —
     is replayed by the DuckDB oracle and hash-matched."""
     load_views(spark, sf_dir)
-    return SIM.ivf_topk(_emb_base(spark), _emb_queries(spark), k=5)
+    return SIM.ivf_topk(_emb_base(spark), _emb_queries(spark), k=5, n_cells=16)
 
 
 def q_ann_topk_ivf_all(spark, sf_dir):
@@ -1420,8 +1420,10 @@ def q_ann_topk_ivf_all(spark, sf_dir):
     """
     load_views(spark, sf_dir)
     base, qs = _emb_base(spark), _emb_queries(spark)
-    ivf = SIM.ivf_topk(base, qs, k=5)
-    pq = SIM.ivf_pq_topk(base, qs, k=5)
+    # the gate PINS n_cells=16: a static SQL oracle cannot replay the
+    # size-dependent auto cell count (ann_topk_lsh precedent)
+    ivf = SIM.ivf_topk(base, qs, k=5, n_cells=16)
+    pq = SIM.ivf_pq_topk(base, qs, k=5, n_cells=16)
     out = ivf.select(F.lit("ivf").alias("scope"), "*").unionAll(
         pq.select(F.lit("ivf_pq").alias("scope"), "*")
     )

@@ -636,3 +636,37 @@ def test_ivf_pq_layout_roundtrip(planted, tmp_path):
     cols = set(spark.read.parquet(path).columns)
     assert cols == {"id", "codes", "rnrm", "cell"}
     spark.catalog.clearCache()
+
+
+def test_ivf_auto_cell_rule(planted):
+    assert SIM._auto_ivf_cells(500) == 16
+    assert SIM._auto_ivf_cells(16000) == 16
+    assert SIM._auto_ivf_cells(20000) == 20
+    assert SIM._auto_ivf_cells(2_500_000) == 2500
+    with pytest.raises(ValueError, match="IVF_MAX_AUTO_CELLS"):
+        SIM._auto_ivf_cells(100_000_000)
+    # auto (with the action-free hint) == explicit floor shape at small corpora
+    qs = planted.filter(F.col("vec_id") % 20 == 0)
+    auto = sorted((r.id_q, r.id_c, r.rank)
+                  for r in SIM.ivf_topk(planted, qs, k=5, n_rows=400).collect())
+    pinned = sorted((r.id_q, r.id_c, r.rank)
+                    for r in SIM.ivf_topk(planted, qs, k=5, n_cells=16).collect())
+    assert auto == pinned
+    planted.sparkSession.catalog.clearCache()
+
+
+def test_pq_encode_blas_path_bit_identical(planted, monkeypatch):
+    """The pandas-UDF BLAS encode (row-count gated) must produce the
+    identical (codes, rnrm) as the SQL literal argmin — same exact int64
+    arithmetic, first-occurrence ties."""
+    c = SIM._prepared(planted, "vec_id", "embedding")
+    books = SIM.train_pq_codebooks(c, m=8, k_codes=16)
+    cents = SIM.train_ivf_centroids(c, 16)
+    assigned = SIM._assign_cells(c, cents)
+    sql = {r["id"]: (list(r["codes"]), r["rnrm"])
+           for r in SIM.pq_encode(assigned, books).collect()}
+    monkeypatch.setattr(SIM, "_PQ_ENCODE_BLAS_MIN_ROWS", 1)
+    blas = {r["id"]: (list(r["codes"]), r["rnrm"])
+            for r in SIM.pq_encode(assigned, books, n_rows=400).collect()}
+    assert sql == blas
+    planted.sparkSession.catalog.clearCache()
