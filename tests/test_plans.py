@@ -118,16 +118,17 @@ def test_topk_partial_group_limit_before_shuffle(spark, sf_dir):
 def test_ivf_no_distance_reeval_and_single_cell_join(spark, sf_dir):
     """IVF assignment must compute the centroid-distance array once per row
     (projection barrier vs catalyst alias inlining) and candidate pairs come
-    from one equi-join on cell — no cartesian, no distinct shuffle."""
+    from equi-joins on cell — no cartesian, no distinct shuffle. Two arms
+    since r9 (exact-rank ivf + ivf_pq), each broadcasting its small query
+    side (probed queries / ADC lookup tables): exactly two broadcasts."""
     from data_diff_spark.workload import WORKLOAD
 
     import re
 
     plan = plan_of(WORKLOAD["ann_topk_ivf"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # one broadcast (probed queries); a distinct would add a HashAggregate
-    # pair over the pair stream
-    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    # a distinct would add a HashAggregate pair over the pair stream
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 2
     assert "HashAggregate" not in plan
 
 
