@@ -2680,12 +2680,74 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
-def _quantize_oracle() -> str:
+DOC_CLUSTERS = 8
+
+
+def q_embeddings_repr_all(spark, sf_dir):
+    """Representation operators in one scoped relation:
+
+      scope='quantize'      int8 symmetric embedding quantization;
+      scope='doc_clusters'  cluster_documents — feature-hashed doc
+                            vectors + the deterministic integer Lloyd
+                            (r9): per-doc cluster id, training replayed
+                            by the oracle like the IVF arms;
+      scope='cluster_sizes' the per-cluster membership counts (the
+                            mixture-inspection output).
+    """
+    load_views(spark, sf_dir)
+    q = q_quantize_embeddings(spark, sf_dir).select(
+        F.lit("quantize").alias("scope"), F.col("vec_id").alias("k"),
+        F.col("qvec_str").alias("v_str"), F.col("scale").cast("double").alias("v_num"),
+    )
+    cl = SIM.cluster_documents(spark.table("documents"), n_clusters=DOC_CLUSTERS).persist()
+    docs = cl.select(
+        F.lit("doc_clusters").alias("scope"), F.col("doc_id").alias("k"),
+        F.lit(None).cast("string").alias("v_str"),
+        F.col("cluster").cast("double").alias("v_num"),
+    )
+    sizes = cl.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("cluster_sizes").alias("scope"), F.col("cluster").cast("long").alias("k"),
+        F.lit(None).cast("string").alias("v_str"), F.col("n").cast("double").alias("v_num"),
+    )
+    return _track_persisted(q.unionAll(docs).unionAll(sizes), [cl], cl)
+
+
+def _doc_clusters_oracle(n_clusters=DOC_CLUSTERS, dim=64, n_iter=2, train_cap=2048) -> str:
+    """Replay of cluster_documents: the feature-hash vectorizer
+    (duckdb_hashed_vector) feeds the same md5-ordered-sample Lloyd CTEs
+    the IVF oracle uses; assignment = argmin with ties to the lowest
+    cluster."""
+    hv = TX.duckdb_hashed_vector("text", dim)
+    iter_sql, prev = _lloyd_iter_ctes(n_iter, dim)
+    dist = SIM.duckdb_int_l2("h.qv", "c.cv", dim)
+    return f"""
+with hv as (select doc_id as id, {hv} as qv from documents),
+samp as (select qv, row_number() over (order by md5(id::varchar), id) as rn
+         from hv order by md5(id::varchar), id limit {train_cap}),
+c0 as (select rn - 1 as cell, qv as cv from samp where rn <= {n_clusters}),
+{iter_sql}
+select id as doc_id, cluster from (
+  select h.id, c.cell as cluster,
+         row_number() over (partition by h.id order by {dist}, c.cell) as rk
+  from hv h cross join {prev} c) t where rk = 1
+"""
+
+
+def _embeddings_repr_oracle() -> str:
     e = SIM.duckdb_quantize()
     return f"""
-select vec_id, {e['scale']} as scale,
-       array_to_string({e['qvec']}, ',') as qvec_str
+select 'quantize' as scope, vec_id as k,
+       array_to_string({e['qvec']}, ',') as v_str,
+       cast({e['scale']} as double) as v_num
 from embeddings
+union all
+select 'doc_clusters' as scope, doc_id as k, cast(null as varchar) as v_str,
+       cast(cluster as double) as v_num
+from ({{dc}})
+union all
+select 'cluster_sizes' as scope, cluster as k, cast(null as varchar) as v_str,
+       cast(count(*) as double) as v_num
+from ({{dc}}) group by cluster
 """
 
 
@@ -3511,7 +3573,11 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         ORACLE_SNAPSHOT_SCD2_ALL.format(snap=ORACLE_SNAPSHOT_DIFF),
     ),
     "snm_pairs_docs": (q_snm_pairs, ORACLE_SNM_PAIRS),
-    "quantize_embeddings": (q_quantize_embeddings, _quantize_oracle()),
+    # r9: cluster_documents folded in as scopes (same entry key)
+    "quantize_embeddings": (
+        q_embeddings_repr_all,
+        _embeddings_repr_oracle().format(dc=_doc_clusters_oracle()),
+    ),
     "zorder_key_events": (q_zorder_key_events, _zorder_oracle()),
     # r8: mix_corpora folded into docs_sampling (scope='mix'); its slot now
     # gates the LM/BPE/clean_corpus family (VERDICT r7 Next #3)

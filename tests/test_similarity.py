@@ -670,3 +670,16 @@ def test_pq_encode_blas_path_bit_identical(planted, monkeypatch):
             for r in SIM.pq_encode(assigned, books, n_rows=400).collect()}
     assert sql == blas
     planted.sparkSession.catalog.clearCache()
+
+
+def test_cluster_documents_deterministic_and_total(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    a = sorted((r.doc_id, r.cluster) for r in SIM.cluster_documents(docs).collect())
+    b = sorted(
+        (r.doc_id, r.cluster)
+        for r in SIM.cluster_documents(docs.repartition(13)).collect()
+    )
+    assert a == b  # md5-ordered sample + exact int argmin: partition-invariant
+    assert len(a) == docs.count()  # every doc assigned exactly once
+    assert {c for _, c in a} <= set(range(8))
+    assert len({c for _, c in a}) > 1  # the corpus genuinely splits
