@@ -303,3 +303,80 @@ def test_bpe_fold_sql_matches_apply_merge_scan(words, merge):
     res = con.execute(q, [s for s, _ in rows] + [a, b]).fetchall()
     for (f,), (_, want) in zip(res, rows):
         assert f == " " + " ".join(want) + " ", (f, want, merge)
+
+
+BUDGET_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),            # id (unique-ified below)
+        st.floats(min_value=0.0, max_value=1.0,
+                  allow_nan=False, allow_infinity=False),   # score (ties likely via rounding)
+        st.integers(min_value=0, max_value=30),             # n_tok
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(**COMMON)
+@given(rows=BUDGET_ROWS,
+       budget=st.integers(min_value=0, max_value=200),
+       shape=st.sampled_from([(1024, 1 << 17), (3, 2), (2, 1)]))
+def test_token_budget_equals_global_sort_prefix(spark, rows, budget, shape):
+    """select_by_token_budget (histogram threshold search, any bucket
+    shape) == the greedy prefix of the (score desc, id asc) global sort.
+    Scores are rounded to 1 decimal so exact ties exercise the id-range
+    refinement phase."""
+    from data_diff_spark.functions.sampling import select_by_token_budget
+    from pyspark.sql import functions as F
+
+    uniq = {}
+    for i, s, t in rows:
+        uniq.setdefault(i, (i, round(s, 1), t))
+    data = list(uniq.values())
+    df = spark.createDataFrame(data, "doc_id long, s double, t long")
+    nb, mt = shape
+    got = select_by_token_budget(
+        df, budget, score=F.col("s"), n_tokens=F.col("t"),
+        n_buckets=nb, max_tail_rows=mt,
+    )
+    ids = {r["doc_id"] for r in got.collect()}
+    kept, cum = set(), 0
+    for i, s, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        cum += t
+        if cum <= budget:
+            kept.add(i)
+        else:
+            break
+    assert ids == kept
+    spark.catalog.clearCache()
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)),
+    min_size=1, max_size=20,
+).map(lambda es: [e for e in es if e[0] != e[1]])
+
+
+@settings(**COMMON)
+@given(edges=EDGES)
+def test_components_local_matches_min_label_reference(spark, edges):
+    """The driver union-find (small-graph fast path) must assign every node
+    the MINIMUM id reachable from it — checked against a transitive-closure
+    reference."""
+    from data_diff_spark.operators import dedup as DD
+
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["id"]: r["component"] for r in DD.components(pairs).collect()}
+    # reference: repeated relaxation to fixpoint
+    nodes = {v for e in edges for v in e}
+    lbl = {v: v for v in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(lbl[a], lbl[b])
+            if lbl[a] != m or lbl[b] != m:
+                lbl[a] = lbl[b] = m
+                changed = True
+    assert got == lbl
