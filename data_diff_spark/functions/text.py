@@ -272,16 +272,54 @@ def duckdb_rolling_fingerprint(col: str) -> str:
 # --- feature hashing (text -> fixed-dim vector) ------------------------------
 
 
-def hashed_vector(df, text_col: str = "text", id_col: str = "doc_id", dim: int = 64):
+# Above this many rows the SQL fold (dim interpreted aggregate lambdas per
+# row, each rescanning the token-hash array — O(dim * tokens) interpreted
+# ops) yields to an Arrow-batched numpy scatter-add over the SAME staged
+# JVM-md5 hash column. Values are bit-identical (the hashing — the only
+# engine-replayed arithmetic — stays in SQL; the fold is exact integer
+# adds either way; parity pinned in tests/test_text_analysis.py). The
+# same size-gated split as _assign_cells / pq_encode.
+_HASHED_VEC_UDF_MIN_ROWS = 2048
+
+
+def hashed_vector(df, text_col: str = "text", id_col: str = "doc_id", dim: int = 64,
+                  n_rows: int | None = None):
     """Feature-hashing vectorizer ("hashing trick"): token t contributes
     sign(t) to dimension hash(t) mod dim, signs from an independent hash bit
     to cancel collision bias — sklearn's HashingVectorizer semantics, as a
-    pure map-only Column pipeline (no vocabulary, no fitting, no shuffle),
-    which is why it scales to 100 TB where a fitted vocabulary cannot.
+    pure map-only pipeline (no vocabulary, no fitting, no shuffle), which
+    is why it scales to 100 TB where a fitted vocabulary cannot. Pass the
+    action-free `n_rows` hint to route big corpora to the numpy fold
+    (see _HASHED_VEC_UDF_MIN_ROWS).
 
     Output column 'vector': array<long> of length dim, ready for the
     operators/similarity.py cosine machinery."""
     hs = "_hv_hs"
+    staged = df.withColumn(hs, F.transform(tokens(F.col(text_col)), hash60))
+
+    if n_rows is not None and n_rows >= _HASHED_VEC_UDF_MIN_ROWS:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _fold(hcol):
+            arrs = [np.asarray(a, dtype=np.int64) for a in hcol]
+            n = len(arrs)
+            if not n:
+                return pd.Series([], dtype=object)
+            out = np.zeros((n, dim), dtype=np.int64)
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+            if lens.sum():
+                h = np.concatenate([a for a in arrs if len(a)])
+                rows = np.repeat(np.arange(n), lens)
+                signs = (((h >> 32) & 1) * 2 - 1).astype(np.int64)
+                np.add.at(out, (rows, h % dim), signs)
+            return pd.Series(list(out))
+
+        _fold.__annotations__ = {"hcol": pd.Series, "return": pd.Series}
+        return staged.withColumn(
+            "vector", pandas_udf(_fold, "array<long>")(F.col(hs))
+        ).drop(hs)
 
     def _dim_sum(i: int) -> Column:
         return F.aggregate(
@@ -293,11 +331,9 @@ def hashed_vector(df, text_col: str = "text", id_col: str = "doc_id", dim: int =
                      ).otherwise(0),
         )
 
-    return (
-        df.withColumn(hs, F.transform(tokens(F.col(text_col)), hash60))
-        .withColumn("vector", F.array(*[_dim_sum(i) for i in range(dim)]))
-        .drop(hs)
-    )
+    return staged.withColumn(
+        "vector", F.array(*[_dim_sum(i) for i in range(dim)])
+    ).drop(hs)
 
 
 def duckdb_hashed_vector(col: str = "text", dim: int = 64) -> str:

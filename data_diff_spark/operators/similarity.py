@@ -1204,6 +1204,7 @@ def cluster_documents(
     train_cap: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Corpus topic clustering with zero fitting infrastructure: feature-
     hashed doc vectors (functions/text.py:hashed_vector — the map-only
@@ -1224,7 +1225,7 @@ def cluster_documents(
     # row); persist the narrow (id, qv) frame so the training collect and
     # the assignment pass both read it once — without this the pipeline
     # recomputes the vectorize per consumer (measured 3x at sf0.1)
-    prepared = hashed_vector(df, text_col, id_col, dim).select(
+    prepared = hashed_vector(df, text_col, id_col, dim, n_rows=n_rows).select(
         F.col(id_col).alias("id"), F.col("vector").alias("qv")
     ).persist()
     cents = train_ivf_centroids(prepared, n_clusters, n_iter, train_cap)

@@ -1053,7 +1053,12 @@ def q_hashed_doc_vectors(spark, sf_dir):
     """Feature-hashing vectorizer (map-only text -> 64-dim signed count
     vector); serialized to a canonical string for the value-hash compare."""
     load_views(spark, sf_dir)
-    return TX.hashed_vector(spark.table("documents"), dim=64).select(
+    from data_diff_spark.streaming.events_stream import table_rows
+
+    return TX.hashed_vector(
+        spark.table("documents"), dim=64,
+        n_rows=table_rows(spark, sf_dir, "documents"),
+    ).select(
         "doc_id", F.concat_ws(",", F.col("vector")).alias("vector_str")
     )
 
@@ -2699,7 +2704,12 @@ def q_embeddings_repr_all(spark, sf_dir):
         F.lit("quantize").alias("scope"), F.col("vec_id").alias("k"),
         F.col("qvec_str").alias("v_str"), F.col("scale").cast("double").alias("v_num"),
     )
-    cl = SIM.cluster_documents(spark.table("documents"), n_clusters=DOC_CLUSTERS).persist()
+    from data_diff_spark.streaming.events_stream import table_rows
+
+    cl = SIM.cluster_documents(
+        spark.table("documents"), n_clusters=DOC_CLUSTERS,
+        n_rows=table_rows(spark, sf_dir, "documents"),
+    ).persist()
     docs = cl.select(
         F.lit("doc_clusters").alias("scope"), F.col("doc_id").alias("k"),
         F.lit(None).cast("string").alias("v_str"),
@@ -3249,11 +3259,14 @@ def q_text_analysis_docs(spark, sf_dir):
     other with no stable winner (e.g. mins 3.99/4.17/4.12, medians
     4.67/4.25/5.03). The wide-stage overhead is NOT the codegen width;
     the fused shape stays (fewest operators, existing plan pin)."""
+    from data_diff_spark.streaming.events_stream import table_rows
+
     load_views(spark, sf_dir)
     c = F.col("text")
     base = spark.table("documents").select("doc_id", "text")
     base = DD.with_simhash(base, "text", out="simhash")
-    base = TX.hashed_vector(base, dim=64)
+    base = TX.hashed_vector(base, dim=64,
+                            n_rows=table_rows(spark, sf_dir, "documents"))
     # collapse barrier: without it CollapseProject folds the final scalar
     # select into the simhash/vector projections and the token-hash arrays
     # re-evaluate per reference (measured 5.0s vs 1.3s); shape pinned in

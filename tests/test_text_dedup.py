@@ -428,3 +428,21 @@ class TestIncrementalLshIndex:
         inc = self._pairset(DD.minhash_lsh_incremental(new, idx))
         assert old_pairs | inc == full
         assert len(full) > 0
+
+
+def test_hashed_vector_udf_path_bit_identical(spark, sf_dir):
+    """The Arrow/numpy scatter-add fold (row-count gated) must produce the
+    identical vectors as the SQL dim-fold — hashing stays JVM md5 in both,
+    the fold is exact integer adds either way. Includes the empty-token
+    row shape (zero vector)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = docs.unionByName(
+        spark.createDataFrame([(999999, "   ")], "doc_id long, text string")
+    )
+    sql = {r["doc_id"]: list(r["vector"])
+           for r in TX.hashed_vector(docs).select("doc_id", "vector").collect()}
+    udf = {r["doc_id"]: list(r["vector"])
+           for r in TX.hashed_vector(docs, n_rows=10**6)
+           .select("doc_id", "vector").collect()}
+    assert sql == udf
+    assert udf[999999] == [0] * 64
