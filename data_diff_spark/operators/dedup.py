@@ -516,25 +516,63 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     return _simhash_votes(F.transform(tokens(col), hash60), bits)
 
 
+# Above this many rows the SQL vote folds (bits interpreted aggregate
+# lambdas per row, each rescanning the token-hash array — O(bits*tokens)
+# interpreted ops) yield to an Arrow-batched numpy bit-unpack + scatter
+# over the SAME staged JVM-md5 hash column — identical packing, ties
+# (vote == 0 -> bit clear) included; parity pinned in
+# tests/test_text_dedup.py. Same size-gated split as hashed_vector.
+_SIMHASH_UDF_MIN_ROWS = 2048
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",
     out: str = "sh",
     bits: int = SIMHASH_BITS,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """df plus a simhash column, computed map-only (zero shuffle) in two
     projections: the token-hash array is aliased in its own Project, and
     because it is non-cheap and referenced `bits` times, Catalyst's
     CollapseProject keeps the boundary — so md5 runs once per token, not
-    once per (token, bit)."""
+    once per (token, bit). Pass the action-free `n_rows` hint to route
+    big corpora to the numpy vote fold (_SIMHASH_UDF_MIN_ROWS)."""
     from data_diff_spark.functions.text import tokens
 
     hs = "_simhash_hs"
-    return (
-        df.withColumn(hs, F.transform(tokens(F.col(text_col)), hash60))
-        .withColumn(out, _simhash_votes(F.col(hs), bits))
-        .drop(hs)
-    )
+    staged = df.withColumn(hs, F.transform(tokens(F.col(text_col)), hash60))
+    if n_rows is not None and n_rows >= _SIMHASH_UDF_MIN_ROWS:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        J = None
+
+        def _votes(hcol):
+            nonlocal J
+            if J is None:
+                J = np.arange(bits, dtype=np.int64)
+            arrs = [np.asarray(a, dtype=np.int64) for a in hcol]
+            n = len(arrs)
+            if not n:
+                return pd.Series([], dtype="int64")
+            votes = np.zeros((n, bits), dtype=np.int64)
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+            if lens.sum():
+                h = np.concatenate([a for a in arrs if len(a)])
+                rows = np.repeat(np.arange(n), lens)
+                # chunk the T x bits unpack so the temp stays ~tens of MB
+                step = max(1, (1 << 22) // bits)
+                for lo in range(0, len(h), step):
+                    contrib = (((h[lo:lo + step, None] >> J) & 1) * 2 - 1)
+                    np.add.at(votes, rows[lo:lo + step], contrib)
+            packed = ((votes > 0).astype(np.int64) << J).sum(axis=1)
+            return pd.Series(packed)
+
+        _votes.__annotations__ = {"hcol": pd.Series, "return": pd.Series}
+        return staged.withColumn(out, pandas_udf(_votes, "long")(F.col(hs))).drop(hs)
+    return staged.withColumn(out, _simhash_votes(F.col(hs), bits)).drop(hs)
 
 
 def duckdb_simhash(col: str, bits: int = SIMHASH_BITS) -> str:
@@ -899,6 +937,7 @@ def simhash_pairs(
     chunks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Pairs within hamming distance `max_hamming` of each other's simhash.
     Pigeonhole: with `chunks` disjoint bit-chunks and max_hamming < chunks,
@@ -907,7 +946,8 @@ def simhash_pairs(
     bit_count(xor) on the 60-bit signatures."""
     assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
     width = SIMHASH_BITS // chunks
-    sh = with_simhash(df, text_col, out="sh").select(F.col(id_col).alias("id"), "sh")
+    sh = with_simhash(df, text_col, out="sh", n_rows=n_rows).select(
+        F.col(id_col).alias("id"), "sh")
     # explode_nonnull: a plain explode's inferred filter would inline the
     # whole with_simhash vote pipeline into a per-row Filter (2x the
     # interpreted token-hash fold) — see planutil.explode_nonnull

@@ -1002,7 +1002,12 @@ from documents
 def q_doc_fingerprints(spark, sf_dir):
     load_views(spark, sf_dir)
     c = F.col("text")
-    return DD.with_simhash(spark.table("documents"), "text", out="simhash").select(
+    from data_diff_spark.streaming.events_stream import table_rows
+
+    return DD.with_simhash(
+        spark.table("documents"), "text", out="simhash",
+        n_rows=table_rows(spark, sf_dir, "documents"),
+    ).select(
         "doc_id",
         TX.set_fingerprint(c).alias("set_fp"),
         TX.rolling_fingerprint(c).alias("rolling_fp"),
@@ -1225,7 +1230,12 @@ from ranked where rn = 1
 
 def q_simhash_neardup_pairs(spark, sf_dir):
     load_views(spark, sf_dir)
-    return DD.simhash_pairs(spark.table("documents"), max_hamming=3).withColumn(
+    from data_diff_spark.streaming.events_stream import table_rows
+
+    return DD.simhash_pairs(
+        spark.table("documents"), max_hamming=3,
+        n_rows=table_rows(spark, sf_dir, "documents"),
+    ).withColumn(
         "hamming", F.col("hamming").cast("long")
     )
 
@@ -3264,7 +3274,8 @@ def q_text_analysis_docs(spark, sf_dir):
     load_views(spark, sf_dir)
     c = F.col("text")
     base = spark.table("documents").select("doc_id", "text")
-    base = DD.with_simhash(base, "text", out="simhash")
+    base = DD.with_simhash(base, "text", out="simhash",
+                           n_rows=table_rows(spark, sf_dir, "documents"))
     base = TX.hashed_vector(base, dim=64,
                             n_rows=table_rows(spark, sf_dir, "documents"))
     # collapse barrier: without it CollapseProject folds the final scalar

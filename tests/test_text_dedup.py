@@ -446,3 +446,20 @@ def test_hashed_vector_udf_path_bit_identical(spark, sf_dir):
            .select("doc_id", "vector").collect()}
     assert sql == udf
     assert udf[999999] == [0] * 64
+
+
+def test_simhash_udf_path_bit_identical(spark, sf_dir):
+    """The numpy bit-vote fold (row-count gated) must pack the identical
+    simhash as the SQL vote folds, including the vote==0 tie (bit clear)
+    and empty-token rows (sh == 0 under the all-clear packing)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = docs.unionByName(
+        spark.createDataFrame([(999999, "   ")], "doc_id long, text string")
+    )
+    sql = {r["doc_id"]: r["sh"]
+           for r in DD.with_simhash(docs, "text").select("doc_id", "sh").collect()}
+    udf = {r["doc_id"]: r["sh"]
+           for r in DD.with_simhash(docs, "text", n_rows=10**6)
+           .select("doc_id", "sh").collect()}
+    assert sql == udf
+    assert udf[999999] == 0
