@@ -114,21 +114,40 @@ def _topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+# Above this many corpus rows the exact scan moves from the SQL per-pair
+# _qdot fold (interpreted, O(dim) per pair) to a mapInPandas matmul with
+# the query matrix broadcast as numpy: dots are exact in float64 under a
+# per-batch magnitude guard (|x|·|q|·dim < 2^53 — quantized unit vectors
+# sit at ~6.4e13, far under; violations fall back to exact int64 matmul),
+# norms/divisions are the same IEEE doubles, and each batch pre-selects
+# its per-query top-k so the pair stream never materializes. Values are
+# bit-identical to the SQL path (parity pinned). The driver gate at
+# sf0.01 (500 rows) stays on the SQL path its oracle replays.
+_COSINE_BLAS_MIN_ROWS = 1024
+
+
 def cosine_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k corpus neighbors for every query row (self-matches by id
     excluded). The query side is broadcast: the corpus is scanned once and
     never shuffled; the per-query top-k is the two-stage partial rank of
-    _topk, so the global window never sees the |Q| * |corpus| pair stream."""
+    _topk, so the global window never sees the |Q| * |corpus| pair stream.
+    Pass the action-free `n_rows` hint to route big corpora to the matmul
+    scan (_COSINE_BLAS_MIN_ROWS)."""
     c = _prepared(df, id_col, vec_col)
     qr = _prepared(queries, id_col, vec_col).select(
         F.col("id").alias("id_q"), F.col("qv").alias("qv_q"), F.col("nrm").alias("nrm_q")
     )
+    if n_rows is not None and n_rows >= _COSINE_BLAS_MIN_ROWS:
+        qrows = qr.collect()
+        if qrows:
+            return _cosine_topk_blas(c, qrows, k)
     pairs = (
         c.join(F.broadcast(qr), F.col("id") != F.col("id_q"))
         .select(
@@ -139,6 +158,59 @@ def cosine_topk(
         )
     )
     return _topk(pairs, k)
+
+
+def _cosine_topk_blas(c: DataFrame, qrows, k: int) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = c.schema["id"].dataType
+    Q = np.stack([np.asarray(r["qv_q"], dtype=np.int64) for r in qrows])
+    ids_q = [r["id_q"] for r in qrows]
+    nrm_q = np.array([r["nrm_q"] for r in qrows], dtype=np.float64)
+    d = Q.shape[1]
+    qmax = int(np.abs(Q).max()) if Q.size else 0
+    sc_ = c.sparkSession.sparkContext
+    bc = sc_.broadcast((Q.astype(np.float64).T, Q.T, ids_q, nrm_q, qmax))
+    schema = StructType([
+        StructField("id_q", id_type), StructField("id_c", id_type),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        QTf, QTi, idsq, nq, qm = bc.value
+        for pdf in batches:
+            X = _stack_i64(pdf["qv"])
+            if not len(X):
+                continue
+            ids_c = pdf["id"].to_numpy()
+            nrm_c = pdf["nrm"].to_numpy(dtype=np.float64)
+            xmax = int(np.abs(X).max()) if X.size else 0
+            if xmax * qm * d < (1 << 53):
+                dots = X.astype(np.float64) @ QTf  # exact: products+sums < 2^53
+            elif xmax * qm * d < (1 << 62):
+                dots = (X @ QTi).astype(np.float64)  # exact int64 matmul
+            else:
+                raise ValueError("cosine_topk: dot magnitude exceeds int64")
+            cos = dots / (nrm_c[:, None] * nq[None, :])
+            out_q, out_c, out_cos = [], [], []
+            for j in range(len(idsq)):
+                col = cos[:, j]
+                mask = ids_c != idsq[j]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                # (cosine desc, id asc) — lexsort's LAST key is primary
+                order = idx[np.lexsort((ids_c[idx], -col[idx]))][:k]
+                out_q.extend([idsq[j]] * len(order))
+                out_c.extend(ids_c[order])
+                out_cos.extend(col[order])
+            yield pd.DataFrame({"id_q": out_q, "id_c": out_c, "cosine": out_cos})
+
+    return _topk(c.mapInPandas(gen, schema), k)
 
 
 # --- random-hyperplane LSH --------------------------------------------------

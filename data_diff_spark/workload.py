@@ -1273,7 +1273,10 @@ def q_cosine_topk(spark, sf_dir):
     """Exact top-5 corpus neighbors for a 5% query sample — broadcast the
     queries, single corpus scan, integer-exact dot products."""
     load_views(spark, sf_dir)
-    return SIM.cosine_topk(_emb_base(spark), _emb_queries(spark), k=5)
+    from data_diff_spark.streaming.events_stream import table_rows
+
+    return SIM.cosine_topk(_emb_base(spark), _emb_queries(spark), k=5,
+                           n_rows=table_rows(spark, sf_dir, "embeddings"))
 
 
 ORACLE_COSINE_TOPK = f"""
@@ -1645,7 +1648,7 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
     n = table_rows(spark, sf_dir, "embeddings")
     auto = SIM.ann_topk_lsh(base, qs, k=5, dim=EMB_DIM, n_rows=n)
-    exact = SIM.cosine_topk(base, qs, k=5)
+    exact = SIM.cosine_topk(base, qs, k=5, n_rows=n)
     # one pass: exact LEFT JOIN auto marks hits, one aggregation yields
     # (nq, hits), and BOTH output rows explode from that single 1-row
     # frame — the exact-oracle subtree (the documented brute-force

@@ -683,3 +683,20 @@ def test_cluster_documents_deterministic_and_total(spark, sf_dir):
     assert len(a) == docs.count()  # every doc assigned exactly once
     assert {c for _, c in a} <= set(range(8))
     assert len({c for _, c in a}) > 1  # the corpus genuinely splits
+
+
+def test_cosine_topk_blas_path_bit_identical(planted):
+    """The matmul scan (row-gated) must equal the SQL per-pair fold —
+    same dots (exact under the magnitude guard), same IEEE divisions,
+    same (cosine desc, id asc) selection including ties."""
+    qs = planted.filter(F.col("vec_id") % 20 == 0)
+    sql = sorted(
+        (r.id_q, r.id_c, r.rank, r.cosine)
+        for r in SIM.cosine_topk(planted, qs, k=5).collect()
+    )
+    blas = sorted(
+        (r.id_q, r.id_c, r.rank, r.cosine)
+        for r in SIM.cosine_topk(planted, qs, k=5, n_rows=400_000).collect()
+    )
+    assert sql == blas
+    planted.sparkSession.catalog.clearCache()
