@@ -858,7 +858,7 @@ def ivf_topk(
     assigned = _assign_cells(c, centroids).persist()
 
     probed = _probed_queries(queries, centroids, n_probe, id_col, vec_col)
-    out = _topk(_ivf_pairs(assigned, probed), k)
+    out = _topk(_ivf_pairs(assigned, probed, n_rows=n_rows, k=k), k)
     out._ddspark_persisted = [assigned, probed]
     return out
 
@@ -893,7 +893,67 @@ def _probed_queries(queries: DataFrame, centroids: List[List[int]], n_probe: int
     )
 
 
-def _ivf_pairs(assigned: DataFrame, probed: DataFrame) -> DataFrame:
+def _ivf_pairs(assigned: DataFrame, probed: DataFrame,
+               n_rows: Optional[int] = None, k: Optional[int] = None) -> DataFrame:
+    """Exact cosines for (probed query, same-cell candidate) pairs. Above
+    _COSINE_BLAS_MIN_ROWS (row hint) the per-pair interpreted _qdot fold
+    yields to a cell-cogrouped applyInPandas matmul — same magnitude
+    guard and IEEE arithmetic as _cosine_topk_blas, and when `k` is given
+    each (cell, query) emits only its local top-k by (cosine desc, id
+    asc), so the downstream global _topk never sees the full candidate
+    stream. Bit-parity with the SQL path pinned in pytest. Tasks stay
+    bounded: one per cell, cell sizes ~1000 under the auto rule."""
+    if n_rows is not None and n_rows >= _COSINE_BLAS_MIN_ROWS:
+        import numpy as np
+
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        id_type = assigned.schema["id"].dataType
+        schema = StructType([
+            StructField("id_q", id_type), StructField("id_c", id_type),
+            StructField("cosine", DoubleType()),
+        ])
+
+        def fold(_key, corp, qs):
+            import pandas as pd
+
+            if not len(corp) or not len(qs):
+                return pd.DataFrame({"id_q": [], "id_c": [], "cosine": []})
+            X = _stack_i64(corp["qv"])
+            Q = _stack_i64(qs["qv_q"])
+            ids_c = corp["id"].to_numpy()
+            nrm_c = corp["nrm"].to_numpy(dtype=np.float64)
+            ids_q = qs["id_q"].to_numpy()
+            nrm_q = qs["nrm_q"].to_numpy(dtype=np.float64)
+            d = X.shape[1]
+            xmax = int(np.abs(X).max()) if X.size else 0
+            qmax = int(np.abs(Q).max()) if Q.size else 0
+            if xmax * qmax * d < (1 << 53):
+                dots = X.astype(np.float64) @ Q.T.astype(np.float64)
+            elif xmax * qmax * d < (1 << 62):
+                dots = (X @ Q.T).astype(np.float64)
+            else:
+                raise ValueError("_ivf_pairs: dot magnitude exceeds int64")
+            cos = dots / (nrm_c[:, None] * nrm_q[None, :])
+            out_q, out_c, out_cos = [], [], []
+            for j in range(len(ids_q)):
+                col = cos[:, j]
+                idx = np.nonzero(ids_c != ids_q[j])[0]
+                if not len(idx):
+                    continue
+                order = idx[np.lexsort((ids_c[idx], -col[idx]))]
+                if k is not None:
+                    order = order[:k]
+                out_q.extend([ids_q[j]] * len(order))
+                out_c.extend(ids_c[order])
+                out_cos.extend(col[order])
+            return pd.DataFrame({"id_q": out_q, "id_c": out_c, "cosine": out_cos})
+
+        return (
+            assigned.select("id", "qv", "nrm", "cell").groupBy("cell")
+            .cogroup(probed.groupBy("cell"))
+            .applyInPandas(fold, schema)
+        )
     return (
         assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("id") != F.col("id_q"))

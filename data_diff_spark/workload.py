@@ -1438,10 +1438,15 @@ def q_ann_topk_ivf_all(spark, sf_dir):
     """
     load_views(spark, sf_dir)
     base, qs = _emb_base(spark), _emb_queries(spark)
+    from data_diff_spark.streaming.events_stream import table_rows
+
     # the gate PINS n_cells=16: a static SQL oracle cannot replay the
-    # size-dependent auto cell count (ann_topk_lsh precedent)
-    ivf = SIM.ivf_topk(base, qs, k=5, n_cells=16)
-    pq = SIM.ivf_pq_topk(base, qs, k=5, n_cells=16)
+    # size-dependent auto cell count (ann_topk_lsh precedent). The row
+    # hint only routes the exact re-rank/encode folds to their BLAS
+    # parity paths above sf0.01 — values identical, oracle unaffected.
+    n = table_rows(spark, sf_dir, "embeddings")
+    ivf = SIM.ivf_topk(base, qs, k=5, n_cells=16, n_rows=n)
+    pq = SIM.ivf_pq_topk(base, qs, k=5, n_cells=16, n_rows=n)
     out = ivf.select(F.lit("ivf").alias("scope"), "*").unionAll(
         pq.select(F.lit("ivf_pq").alias("scope"), "*")
     )

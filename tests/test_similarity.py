@@ -700,3 +700,19 @@ def test_cosine_topk_blas_path_bit_identical(planted):
     )
     assert sql == blas
     planted.sparkSession.catalog.clearCache()
+
+
+def test_ivf_rerank_blas_path_bit_identical(planted):
+    """The cell-cogrouped matmul re-rank (row-gated, with per-cell top-k
+    pre-selection) must equal the SQL per-pair fold end-to-end."""
+    qs = planted.filter(F.col("vec_id") % 20 == 0)
+    sql = sorted(
+        (r.id_q, r.id_c, r.rank, r.cosine)
+        for r in SIM.ivf_topk(planted, qs, k=5, n_cells=16).collect()
+    )
+    blas = sorted(
+        (r.id_q, r.id_c, r.rank, r.cosine)
+        for r in SIM.ivf_topk(planted, qs, k=5, n_cells=16, n_rows=400_000).collect()
+    )
+    assert sql == blas
+    planted.sparkSession.catalog.clearCache()
