@@ -218,10 +218,24 @@ def select_by_token_budget(
 
     sc = score if score is not None else quality_score(F.col(text_col))
     nt = n_tokens if n_tokens is not None else token_count(F.col(text_col))
+    # Null discipline (r9 ADVICE): the histogram walk and the greedy
+    # prefix both assume non-null, non-NaN score and a non-negative
+    # token count. n_tok is clamped (F.size(tokens(NULL)) returns -1,
+    # which would break the monotone-cumsum prefix invariant; a null
+    # count becomes 0). Rows whose score is NULL or NaN are NOT
+    # selectable — there is no deterministic place for them in the
+    # (score DESC, id ASC) order — and are filtered here; callers
+    # wanting them ranked must coalesce their score expression first.
+    # the barrier column keeps predicate pushdown from substituting the
+    # score expression into the null-guard Filter (the usual inlined-
+    # filter double-eval trap — see _with_dists)
     scored = df.select(
         F.col(id_col).alias("id"),
         sc.cast("double").alias("score"),
-        nt.cast("long").alias("n_tok"),
+        F.greatest(F.lit(0).cast("long"), F.coalesce(nt.cast("long"), F.lit(0))).alias("n_tok"),
+        F.monotonically_increasing_id().alias("__nd__"),
+    ).drop("__nd__").filter(
+        F.col("score").isNotNull() & ~F.isnan(F.col("score"))
     ).persist()
 
     from pyspark.sql.types import NumericType

@@ -293,9 +293,18 @@ def hashed_vector(df, text_col: str = "text", id_col: str = "doc_id", dim: int =
     (see _HASHED_VEC_UDF_MIN_ROWS).
 
     Output column 'vector': array<long> of length dim, ready for the
-    operators/similarity.py cosine machinery."""
+    operators/similarity.py cosine machinery.
+
+    NULL text yields the ZERO vector on every route: the staged hash
+    column coalesces text to '' (empty token array), so the SQL fold's
+    init-0 aggregate, the numpy scatter-add, and the DuckDB oracle's
+    coalesce(list_sum(...), 0) all agree — without it the SQL fold
+    returned an array of NULL dims and the numpy path raised on
+    np.asarray(None) (r9 ADVICE)."""
     hs = "_hv_hs"
-    staged = df.withColumn(hs, F.transform(tokens(F.col(text_col)), hash60))
+    staged = df.withColumn(
+        hs, F.transform(tokens(F.coalesce(F.col(text_col), F.lit(""))), hash60)
+    )
 
     if n_rows is not None and n_rows >= _HASHED_VEC_UDF_MIN_ROWS:
         import numpy as np
@@ -303,7 +312,10 @@ def hashed_vector(df, text_col: str = "text", id_col: str = "doc_id", dim: int =
         from pyspark.sql.functions import pandas_udf
 
         def _fold(hcol):
-            arrs = [np.asarray(a, dtype=np.int64) for a in hcol]
+            # belt-and-braces: the staged column is non-null by
+            # construction (text coalesced to ''), but a caller staging
+            # its own hash column must not crash the whole job
+            arrs = [np.asarray(a if a is not None else (), dtype=np.int64) for a in hcol]
             n = len(arrs)
             if not n:
                 return pd.Series([], dtype=object)

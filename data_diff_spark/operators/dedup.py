@@ -541,7 +541,13 @@ def with_simhash(
     from data_diff_spark.functions.text import tokens
 
     hs = "_simhash_hs"
-    staged = df.withColumn(hs, F.transform(tokens(F.col(text_col)), hash60))
+    # NULL text -> empty hash array -> simhash 0 on every route (the SQL
+    # vote folds already treated the NULL fold as 0 via `when`, and the
+    # DuckDB oracle coalesces votes to 0; the numpy path raised on
+    # np.asarray(None) — r9 ADVICE)
+    staged = df.withColumn(
+        hs, F.transform(tokens(F.coalesce(F.col(text_col), F.lit(""))), hash60)
+    )
     if n_rows is not None and n_rows >= _SIMHASH_UDF_MIN_ROWS:
         import numpy as np
         import pandas as pd
@@ -553,7 +559,7 @@ def with_simhash(
             nonlocal J
             if J is None:
                 J = np.arange(bits, dtype=np.int64)
-            arrs = [np.asarray(a, dtype=np.int64) for a in hcol]
+            arrs = [np.asarray(a if a is not None else (), dtype=np.int64) for a in hcol]
             n = len(arrs)
             if not n:
                 return pd.Series([], dtype="int64")

@@ -169,3 +169,29 @@ def test_token_budget_string_ids_tie_fallback(spark):
     # aa (7) then d000..d004 (5 each): 7+25=32 <= 33, next would be 37
     assert ids == {"aa", "d000", "d001", "d002", "d003", "d004"}
     got.sparkSession.catalog.clearCache()
+
+def test_token_budget_null_rows_do_not_crash(spark):
+    """r9 ADVICE: a null score used to break the driver-side histogram
+    sort (TypeError), a null token count broke the cumsum, and null TEXT
+    made F.size(tokens(null)) return -1 — a negative n_tok breaking the
+    monotone-prefix invariant. Contract now: null/NaN-score rows are not
+    selectable; null/negative token counts clamp to 0."""
+    rows = [(1, 0.9, 10), (2, None, 10), (3, 0.7, None), (4, 0.6, 10),
+            (5, float("nan"), 3)]
+    df = spark.createDataFrame(rows, "doc_id long, s double, t long")
+    got = {r["doc_id"]: r["n_tok"]
+           for r in S.select_by_token_budget(
+               df, 15, score=F.col("s"), n_tokens=F.col("t")).collect()}
+    # 1 (10) + 3 (clamped to 0) + 4 (10) would blow the budget at 4:
+    # prefix = [1, 3] — doc 3's null count costs 0; 2 and 5 excluded
+    assert got == {1: 10, 3: 0}
+    # null TEXT through the default score/token expressions: no crash —
+    # quality_score(null) is a small negative double (its case arms
+    # coalesce), so the doc ranks worst, and its F.size(tokens(null)) = -1
+    # clamps to 0 tokens instead of corrupting the cumsum
+    docs = spark.createDataFrame(
+        [(1, "good clean sentence here."), (2, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_tok"] for r in S.select_by_token_budget(docs, 10**6).collect()}
+    assert set(out) == {1, 2} and out[2] == 0
+    spark.catalog.clearCache()

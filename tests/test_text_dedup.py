@@ -434,10 +434,13 @@ def test_hashed_vector_udf_path_bit_identical(spark, sf_dir):
     """The Arrow/numpy scatter-add fold (row-count gated) must produce the
     identical vectors as the SQL dim-fold — hashing stays JVM md5 in both,
     the fold is exact integer adds either way. Includes the empty-token
-    row shape (zero vector)."""
+    row shape (zero vector) and a NULL-text row (zero vector on both
+    paths — the numpy fold used to raise on np.asarray(None); r9
+    ADVICE)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     docs = docs.unionByName(
-        spark.createDataFrame([(999999, "   ")], "doc_id long, text string")
+        spark.createDataFrame(
+            [(999999, "   "), (999998, None)], "doc_id long, text string")
     )
     sql = {r["doc_id"]: list(r["vector"])
            for r in TX.hashed_vector(docs).select("doc_id", "vector").collect()}
@@ -446,15 +449,18 @@ def test_hashed_vector_udf_path_bit_identical(spark, sf_dir):
            .select("doc_id", "vector").collect()}
     assert sql == udf
     assert udf[999999] == [0] * 64
+    assert udf[999998] == [0] * 64
 
 
 def test_simhash_udf_path_bit_identical(spark, sf_dir):
     """The numpy bit-vote fold (row-count gated) must pack the identical
     simhash as the SQL vote folds, including the vote==0 tie (bit clear)
-    and empty-token rows (sh == 0 under the all-clear packing)."""
+    and empty-token rows (sh == 0 under the all-clear packing) and a
+    NULL-text row (sh == 0 on both paths; r9 ADVICE)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     docs = docs.unionByName(
-        spark.createDataFrame([(999999, "   ")], "doc_id long, text string")
+        spark.createDataFrame(
+            [(999999, "   "), (999998, None)], "doc_id long, text string")
     )
     sql = {r["doc_id"]: r["sh"]
            for r in DD.with_simhash(docs, "text").select("doc_id", "sh").collect()}
@@ -463,3 +469,4 @@ def test_simhash_udf_path_bit_identical(spark, sf_dir):
            .select("doc_id", "sh").collect()}
     assert sql == udf
     assert udf[999999] == 0
+    assert udf[999998] == 0
