@@ -47,6 +47,14 @@ def _znorm_query(query: Sequence[float]) -> List[float]:
     return [(q - mu) / sd for q in query]
 
 
+def _sq(e: Column) -> Column:
+    """e*e, NOT e**2: Spark's ** compiles to Math.pow, whose exactness for
+    integer exponents is only 1-ulp-bounded — an explicit product is the
+    same correctly-rounded IEEE multiply DuckDB's (x*x) oracle computes,
+    so distances stay bit-identical cross-engine."""
+    return e * e
+
+
 def subsequence_match(
     df: DataFrame,
     query: Sequence[float],
@@ -54,11 +62,16 @@ def subsequence_match(
     value_col: str = "value",
     by: Sequence[str] = ("user_id",),
     top_k: int = 10,
+    max_dist: float = None,
 ) -> DataFrame:
-    """Top-k (by..., start_ts, dist) rows: the k closest length-m
-    subsequences to `query` under z-normalized Euclidean distance.
-    Ordering within a key must be unambiguous — deduplicate or tiebreak
-    `ts_col` first if a key can carry simultaneous rows."""
+    """(by..., start_ts, dist) rows for subsequences close to `query`
+    under z-normalized Euclidean distance: the global top-k by default,
+    or — when `max_dist` is given — EVERY subsequence with dist <=
+    max_dist (threshold semantics; set top_k=None for no limit). The
+    threshold form is the scale shape: no global ordering at all, the
+    filter rides the per-key window stage map-side. Ordering within a
+    key must be unambiguous — deduplicate or tiebreak `ts_col` first if
+    a key can carry simultaneous rows."""
     m = len(query)
     if m < 2:
         raise ValueError("query pattern needs at least 2 points")
@@ -75,7 +88,7 @@ def subsequence_match(
     )
     mean = _fsum(F.col("__seq")) / m
     sub = sub.withColumn("__mu", mean)
-    var = _fsum(F.transform("__seq", lambda x: (x - F.col("__mu")) ** 2)) / m
+    var = _fsum(F.transform("__seq", lambda x: _sq(x - F.col("__mu")))) / m
     sub = sub.withColumn("__sd", F.sqrt(var))
 
     if q_flat:
@@ -84,19 +97,34 @@ def subsequence_match(
         # their z-normed self-distance to the zero vector
         dist = F.when(F.col("__sd") == 0.0, F.lit(0.0)).otherwise(
             F.sqrt(_fsum(F.transform(
-                "__seq", lambda x: ((x - F.col("__mu")) / F.col("__sd")) ** 2
+                "__seq", lambda x: _sq((x - F.col("__mu")) / F.col("__sd"))
             )))
         )
     else:
         dist = F.when(F.col("__sd") == 0.0, F.lit(float("inf"))).otherwise(
             F.sqrt(_fsum(F.zip_with(
                 "__seq", qlit,
-                lambda x, qv: ((x - F.col("__mu")) / F.col("__sd") - qv) ** 2,
+                lambda x, qv: _sq((x - F.col("__mu")) / F.col("__sd") - qv),
             )))
         )
-    out = sub.withColumn("dist", dist).select(
-        *by, F.col(ts_col).alias("start_ts"), "dist"
-    )
+    if max_dist is not None:
+        # Fence the threshold filter: PushDownPredicate substitutes a
+        # deterministic alias into the Filter condition, which would
+        # inline the whole mu/sd/sqrt fold and evaluate it TWICE per
+        # subsequence (the inlined-filter double-eval trap the plan audit
+        # counts; drop-column uuid riders get pruned before they fence —
+        # r9 lesson). A value-neutral nondeterministic rider on the dist
+        # expression itself cannot be pruned (the column is consumed) and
+        # blocks both CollapseProject and predicate pushdown: 0.0*rand()
+        # is exactly 0.0 and dist >= 0, so dist + 0.0*rand() == dist
+        # bit-for-bit.
+        dist = dist + F.lit(0.0) * F.rand(12345)
+        out = sub.select(*by, F.col(ts_col).alias("start_ts"), dist.alias("dist"))
+        out = out.filter(F.col("dist") <= float(max_dist))
+        if top_k is None:
+            return out
+    else:
+        out = sub.select(*by, F.col(ts_col).alias("start_ts"), dist.alias("dist"))
     return out.orderBy(F.col("dist").asc(), *by, "start_ts").limit(top_k)
 
 

@@ -114,14 +114,17 @@ def merge3(
     ours: TableSegment,
     theirs: TableSegment,
     prefer: Optional[str] = None,
+    d3: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The merged table: every non-conflicting change applied. Conflicts
     RAISE unless `prefer` ('ours'|'theirs') resolves them — a silent
     default would merge data loss invisibly. Use diff3() to inspect
-    conflicts first."""
+    conflicts first; pass that frame back as `d3` to reuse the
+    classification join instead of re-running it (persist it yourself if
+    both consumers should share one materialization)."""
     if prefer not in (None, "ours", "theirs"):
         raise ValueError(f"prefer must be ours|theirs|None, got {prefer!r}")
-    d = diff3(base, ours, theirs).persist()
+    d = (d3 if d3 is not None else diff3(base, ours, theirs)).persist()
     try:
         if prefer is None:
             n = d.filter(F.col(STATUS_COL) == "conflict").count()

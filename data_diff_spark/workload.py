@@ -263,6 +263,39 @@ select o_orderkey + 10000000 as o_orderkey, o_custkey, o_orderstatus, o_totalpri
 from orders where o_orderkey % 100 = 3
 """
 
+# The "theirs" divergent copy for the three-way merge gate (merge3): with
+# base=orders and ours=MODIFIED_ORDERS_SQL, these rules are built so every
+# diff3 status occurs with real counts —
+#   unchanged   keys no rule touches
+#   ours        %100==2, %3==2: only ours updates (+100)
+#   theirs      %100==5 (status->'X'), %100==7 (deleted),
+#               +10M inserts for %100==4
+#   both_same   %100==2, %3==0: both +100; %100==1 odd: both delete;
+#               +10M inserts for %100==3 even: identical insert
+#   conflict    %100==2, %3==1: +100 vs +200; %100==1 even: ours deletes,
+#               theirs updates (+50); +10M inserts for %100==3 odd:
+#               different price
+MODIFIED_ORDERS2_SQL = """
+select o_orderkey, o_custkey,
+       case when o_orderkey % 100 = 5 then 'X' else o_orderstatus end as o_orderstatus,
+       case when o_orderkey % 100 = 2 and o_orderkey % 3 = 0 then o_totalprice + 100.0
+            when o_orderkey % 100 = 2 and o_orderkey % 3 = 1 then o_totalprice + 200.0
+            when o_orderkey % 100 = 1 and o_orderkey % 2 = 0 then o_totalprice + 50.0
+            else o_totalprice end as o_totalprice,
+       o_orderdate, o_orderpriority
+from orders
+where o_orderkey % 100 <> 7 and not (o_orderkey % 100 = 1 and o_orderkey % 2 = 1)
+union all
+select o_orderkey + 10000000 as o_orderkey, o_custkey, o_orderstatus,
+       case when o_orderkey % 2 = 1 then o_totalprice + 5.0 else o_totalprice end as o_totalprice,
+       o_orderdate, o_orderpriority
+from orders where o_orderkey % 100 = 3
+union all
+select o_orderkey + 10000000 as o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+from orders where o_orderkey % 100 = 4
+"""
+
 MODIFIED_LINEITEM_SQL = """
 select l_orderkey, l_linenumber, l_partkey, l_suppkey,
        case when l_orderkey % 100 = 2 then l_quantity + 1.0 else l_quantity end as l_quantity,
@@ -1850,6 +1883,154 @@ from lineitem
 """
 
 
+def q_collect_stats_all(spark, sf_dir):
+    """The stats pass AND the table-health surface that consumes it, as
+    one scoped relation (r9 VERDICT Next #1 — validate/profile were
+    implemented + pytest-pinned but had no CORRECTNESS row):
+
+      scope='stats'     the reference _collect_stats wide row
+                        (joindiff_tables.py:268-305), unpivoted;
+      scope='validate'  operators/validate.py rules over lineitem — the
+                        dbt-schema-test analogue (the reference's PK
+                        discovery reads exactly these tests,
+                        dbt_parser.py:468-504): one aggregation pass for
+                        all scan rules + broadcast left-anti joins for
+                        the two referential rules, a deliberate mix of
+                        passing and failing rules so the counts are
+                        load-bearing;
+      scope='profile'   the ANALYZE-style column profiler's exactly-
+                        replayable core (count/nulls/exact distinct/
+                        min/max over four types); mean + approx
+                        percentiles stay pytest-pinned (approximate
+                        sketches aren't DuckDB-replayable — same
+                        precedent as the HLL ndv arm's bounded-error
+                        gate)."""
+    from data_diff_spark.operators import validate as V
+
+    load_views(spark, sf_dir)
+    wide = q_collect_stats_lineitem(spark, sf_dir)
+    stat_cols = wide.columns  # count, sum_*
+    stack_args = ", ".join(
+        f"'{c}', cast(`{c}` as double)" for c in stat_cols
+    )
+    stats = wide.select(
+        F.expr(f"stack({len(stat_cols)}, {stack_args}) as (k, v_num)")
+    ).select(
+        F.lit("stats").alias("scope"), "k",
+        F.lit(None).cast("string").alias("v_str"), "v_num",
+    )
+
+    li = spark.table("lineitem")
+    rules = [
+        V.not_null("l_orderkey"),
+        V.unique("l_orderkey"),
+        V.unique("l_orderkey", "l_linenumber"),
+        V.accepted_values("l_returnflag", ["A", "N", "R"]),
+        V.accepted_values("l_linestatus", ["O"]),
+        V.in_range("l_quantity", 1, 40),
+        V.matches("l_returnflag", "[AN]"),
+        V.relationship("l_orderkey", spark.table("orders"), "o_orderkey"),
+        V.relationship(
+            "l_suppkey",
+            spark.table("supplier").filter(F.col("s_suppkey") % 2 == 0),
+            "s_suppkey",
+        ),
+    ]
+    val = V.validate(li, rules).select(
+        F.lit("validate").alias("scope"),
+        F.col("rule").alias("k"),
+        F.col("passed").cast("string").alias("v_str"),
+        F.col("n_failed").cast("double").alias("v_num"),
+    )
+
+    prof = V.profile(
+        li.select("l_quantity", "l_returnflag", "l_linenumber", "l_shipdate"),
+        exact=True,
+    )
+    pr = prof.select(
+        "column",
+        F.expr(
+            "stack(5,"
+            " 'count', cast(`count` as double), cast(null as string),"
+            " 'nulls', cast(`nulls` as double), cast(null as string),"
+            " 'distinct', cast(`distinct` as double), cast(null as string),"
+            " 'min', cast(null as double), `min`,"
+            " 'max', cast(null as double), `max`) as (stat, v_num, v_str)"
+        ),
+    ).select(
+        F.lit("profile").alias("scope"),
+        F.concat_ws(":", "column", "stat").alias("k"),
+        "v_str", "v_num",
+    )
+    return stats.unionByName(val).unionByName(pr)
+
+
+def _collect_stats_all_oracle() -> str:
+    stat_cols = [
+        "count", "sum_l_orderkey", "sum_l_linenumber", "sum_l_partkey",
+        "sum_l_suppkey", "sum_l_quantity", "sum_l_extendedprice",
+        "sum_l_discount", "sum_l_tax",
+    ]
+    ks = ", ".join(f"'{c}'" for c in stat_cols)
+    vs = ", ".join(f"cast({c} as double)" for c in stat_cols)
+    rules = [
+        ("not_null(l_orderkey)",
+         "sum(case when l_orderkey is null then 1 else 0 end)"),
+        ("unique(l_orderkey)",
+         "count(*) - count(distinct l_orderkey)"),
+        ("unique(l_orderkey, l_linenumber)",
+         "count(*) - count(distinct (l_orderkey, l_linenumber))"),
+        ("accepted_values(l_returnflag)",
+         "sum(case when l_returnflag not in ('A','N','R') and l_returnflag is not null then 1 else 0 end)"),
+        ("accepted_values(l_linestatus)",
+         "sum(case when l_linestatus not in ('O') and l_linestatus is not null then 1 else 0 end)"),
+        ("in_range(l_quantity)",
+         "sum(case when (l_quantity < 1 or l_quantity > 40) and l_quantity is not null then 1 else 0 end)"),
+        ("matches(l_returnflag)",
+         "sum(case when not regexp_full_match(l_returnflag, '(?:[AN])') and l_returnflag is not null then 1 else 0 end)"),
+    ]
+    rk = ", ".join(f"'{n}'" for n, _ in rules)
+    rv = ", ".join(f"cast({e} as double)" for _, e in rules)
+    prof = []
+    for c in ("l_quantity", "l_returnflag", "l_linenumber", "l_shipdate"):
+        prof += [
+            f"select 'profile' as scope, '{c}:count' as k, cast(null as varchar) as v_str, cast(count({c}) as double) as v_num from lineitem",
+            f"select 'profile', '{c}:nulls', cast(null as varchar), cast(sum(case when {c} is null then 1 else 0 end) as double) from lineitem",
+            f"select 'profile', '{c}:distinct', cast(null as varchar), cast(count(distinct {c}) as double) from lineitem",
+            f"select 'profile', '{c}:min', cast(min({c}) as varchar), cast(null as double) from lineitem",
+            f"select 'profile', '{c}:max', cast(max({c}) as varchar), cast(null as double) from lineitem",
+        ]
+    prof_sql = "\nunion all\n".join(prof)
+    return f"""
+with stats_wide as ({ORACLE_COLLECT_STATS})
+select 'stats' as scope, unnest([{ks}]) as k,
+       cast(null as varchar) as v_str, unnest([{vs}]) as v_num
+from stats_wide
+union all
+select 'validate' as scope, k,
+       case when v_num = 0 then 'true' else 'false' end as v_str, v_num
+from (
+  select unnest([{rk}]) as k, unnest([{rv}]) as v_num
+  from lineitem
+)
+union all
+select 'validate', 'relationship(l_orderkey -> o_orderkey)',
+       case when cnt = 0 then 'true' else 'false' end, cnt
+from (select cast(count(*) as double) as cnt from lineitem l
+      where l.l_orderkey is not null
+        and not exists (select 1 from orders o where o.o_orderkey = l.l_orderkey))
+union all
+select 'validate', 'relationship(l_suppkey -> s_suppkey)',
+       case when cnt = 0 then 'true' else 'false' end, cnt
+from (select cast(count(*) as double) as cnt from lineitem l
+      where l.l_suppkey is not null
+        and not exists (select 1 from supplier s
+                        where s.s_suppkey % 2 = 0 and s.s_suppkey = l.l_suppkey))
+union all
+{prof_sql}
+"""
+
+
 def q_events_session_window(spark, sf_dir):
     """Native Spark session windows (F.session_window, 30-min gap) reduced
     to per-user session/event counts — same oracle as the lag-based
@@ -1887,17 +2068,32 @@ group by rollup(event_type, date_trunc('hour', ts))
 _HLL_3RSE = 3 * 0.0163
 
 
+# Subsequence-match gate shape (functions/timeseries.py): the UCR-style
+# z-normalized pattern, threshold semantics (every subsequence with dist
+# <= T — no global top-k ordering, so there is no FP-tie cutoff to
+# destabilize the gate), sized by a measured probe: 126 matches at
+# sf0.01, 1240 at sf0.1. All distance arithmetic is order-pinned IEEE
+# (left folds, explicit products — see timeseries._sq), so the DuckDB
+# list_reduce replay is bit-identical.
+_SUBSEQ_PATTERN = [0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0]
+_SUBSEQ_MAX_DIST = 2.0
+
+
 def q_events_rollup_all(spark, sf_dir):
-    """Hierarchical rollup AND the streaming HLL-NDV maintenance loop in
-    one scoped relation (VERDICT r6 ask #3: sketch_stream had no
-    CORRECTNESS row). The ndv arm is _must_equal(batch distinct_rollup,
-    multi-micro-batch streaming fold read back from its versioned store)
-    — the sketch-union losslessness contract made load-bearing — and the
-    DataSketches estimate itself is oracle-checked as a bounded-error
-    claim: total_value carries the EXACT distinct count when the estimate
-    sits within 3*RSE of it, else the (negated) estimate, which can never
-    hash-match DuckDB's exact count — an approximate operator gated
-    without pretending DuckDB can replay HLL registers."""
+    """Hierarchical rollup, the streaming HLL-NDV maintenance loop, AND
+    the time-series subsequence match in one scoped relation (ndv: VERDICT
+    r6 ask #3; subseq: r9 VERDICT Next #1 — implemented + pytest-pinned,
+    no CORRECTNESS row until now). The ndv arm is _must_equal(batch
+    distinct_rollup, multi-micro-batch streaming fold read back from its
+    versioned store) — the sketch-union losslessness contract made
+    load-bearing — and the DataSketches estimate itself is oracle-checked
+    as a bounded-error claim: total_value carries the EXACT distinct
+    count when the estimate sits within 3*RSE of it, else the (negated)
+    estimate, which can never hash-match DuckDB's exact count — an
+    approximate operator gated without pretending DuckDB can replay HLL
+    registers. The subseq arm runs subsequence_match in threshold mode
+    over the (user_id, ts)-deduplicated series; its oracle replays the
+    window + z-norm + distance fold in DuckDB SQL."""
     load_views(spark, sf_dir)
     roll = spark.sql(EVENTS_ROLLUP_SQL).select(
         F.lit("rollup").alias("scope"), "event_type", "hour", "n", "total_value")
@@ -1923,8 +2119,61 @@ def q_events_rollup_all(spark, sf_dir):
             F.col("exact_ndv").cast("double"),
         ).otherwise(-F.col("user_id__ndv")).alias("total_value"),
     )
+    from data_diff_spark.functions.timeseries import subsequence_match
+
+    series = spark.table("events").groupBy("user_id", "ts").agg(
+        F.max("value").alias("value"))
+    sub = subsequence_match(
+        series, _SUBSEQ_PATTERN, top_k=None, max_dist=_SUBSEQ_MAX_DIST,
+    ).select(
+        F.lit("subseq").alias("scope"),
+        F.col("user_id").cast("string").alias("event_type"),
+        F.col("start_ts").cast(dict(roll.dtypes)["hour"]).alias("hour"),
+        F.lit(None).cast("long").alias("n"),
+        F.round("dist", 6).alias("total_value"),
+    )
     return _track_persisted(
-        roll.unionAll(ndv.select(*roll.columns)), [], core)
+        roll.unionAll(ndv.select(*roll.columns))
+        .unionAll(sub.select(*roll.columns)), [], core)
+
+
+def _subseq_oracle_arm() -> str:
+    from data_diff_spark.functions.timeseries import _znorm_query
+
+    m = len(_SUBSEQ_PATTERN)
+    q = "[" + ", ".join(repr(v) for v in _znorm_query(_SUBSEQ_PATTERN)) + "]"
+    t = repr(float(_SUBSEQ_MAX_DIST))
+    # list_reduce is a sequential left fold and (0.0 + x) == x in IEEE, so
+    # every sum matches Spark's F.aggregate fold bit-for-bit; products are
+    # explicit (never pow) on both sides
+    return f"""
+select 'subseq' as scope, cast(user_id as varchar) as event_type,
+       start_ts as hour, cast(null as bigint) as n,
+       round(dist, 6) as total_value
+from (
+  with sdedup as (
+    select user_id, ts, max(value) as v from events group by user_id, ts),
+  w as (
+    select user_id, ts,
+           list(v) over (partition by user_id order by ts
+                         rows between current row and {m - 1} following) as seq
+    from sdedup),
+  f as (select user_id, ts, seq from w where len(seq) = {m}),
+  z as (select user_id, ts, seq,
+               list_reduce(seq, (a, b) -> a + b) / {m} as mu from f),
+  z2 as (select user_id, ts, seq, mu,
+                sqrt(list_reduce(list_transform(seq, x -> (x - mu) * (x - mu)),
+                                 (a, b) -> a + b) / {m}) as sd
+         from z),
+  d as (select user_id, ts,
+               sqrt(list_reduce(list_transform(generate_series(1, {m}),
+                 i -> ((seq[i] - mu) / sd - ({q})[i])
+                      * ((seq[i] - mu) / sd - ({q})[i])),
+                 (a, b) -> a + b)) as dist
+        from z2 where sd <> 0)
+  select user_id, ts as start_ts, dist from d where dist <= {t}
+) s
+"""
 
 
 ORACLE_EVENTS_ROLLUP_ALL = f"""
@@ -1934,6 +2183,8 @@ union all
 select 'ndv' as scope, event_type, cast(null as timestamp) as hour,
        count(*) as n, cast(count(distinct user_id) as double) as total_value
 from events group by event_type
+union all
+{_subseq_oracle_arm()}
 """
 
 
@@ -2959,17 +3210,91 @@ def q_scd2_orders(spark, sf_dir):
     )
 
 
+def q_merge3_orders(spark, sf_dir):
+    """Three-way diff + merge (operators/merge3.py; r9 VERDICT Next #1 —
+    implemented + pytest-pinned, no CORRECTNESS row until now): base =
+    orders, ours = the standard modified copy, theirs = a second
+    divergent copy built so every diff3 status occurs (see
+    MODIFIED_ORDERS2_SQL). Two scoped arms off ONE pipeline family:
+    scope='diff3' is the per-key classification, scope='merge3' the
+    merged table under prefer='ours'. The oracle replays the
+    classification as a 3-frame full-outer join with row-tuple
+    IS DISTINCT FROM comparisons — fingerprint-free, so the md5-
+    fingerprint route and the raw-tuple route must agree key by key."""
+    from data_diff_spark.operators.merge3 import diff3, merge3
+
+    load_views(spark, sf_dir)
+
+    def seg(df):
+        return table_segment(df, ["o_orderkey"], extra_columns=ORDERS_COLS[1:])
+
+    base = seg(spark.table("orders").select(*ORDERS_COLS))
+    ours = seg(spark.sql(MODIFIED_ORDERS_SQL))
+    theirs = seg(spark.sql(MODIFIED_ORDERS2_SQL))
+    # ONE classification join feeds both arms: persist it here (merge3's
+    # internal persist/unpersist pair ref-counts on top of this one), and
+    # hand the handle to the workload harness for deterministic release
+    d = diff3(base, ours, theirs).persist()
+    d3 = d.select(
+        F.lit("diff3").alias("scope"), "o_orderkey",
+        F.col("merge_status").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+    )
+    m3 = merge3(base, ours, theirs, prefer="ours", d3=d).select(
+        F.lit("merge3").alias("scope"), "o_orderkey",
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("v_str"),
+        F.col("o_totalprice").cast("double").alias("v_num"),
+    )
+    return _track_persisted(d3.unionByName(m3), [d])
+
+
+def q_ivm_orders(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/incremental.py; r9
+    VERDICT Next #1): the per-custkey rollup of orders refreshed FROM THE
+    DIFF (old rollup + delta arithmetic over the -/+ rows), never
+    rescanning the 'new' table — the 100 TB point of owning a diff
+    engine. The oracle computes the rollup from scratch over the
+    modified table; the bit-identical claim (exact decimal sums) means
+    the two routes hash-match, not just approximately agree."""
+    from data_diff_spark.diff import diff_tables
+    from data_diff_spark.operators.incremental import (
+        aggregate_table, refresh_aggregate)
+
+    t1, t2 = _orders_segments(spark, sf_dir)
+    res = diff_tables(t1, t2)
+    keys, sums = ["o_custkey"], {"sum_price": "o_totalprice"}
+    old = aggregate_table(spark.table("orders"), keys, sums)
+    refreshed = refresh_aggregate(old, res.df, keys, sums)
+    out = refreshed.select(
+        F.lit("ivm").alias("scope"),
+        F.col("o_custkey").alias("o_orderkey"),
+        F.col("n").cast("string").alias("v_str"),
+        F.col("sum_price").cast("double").alias("v_num"),
+    )
+    return _track_persisted(out, [], res.df)
+
+
 def q_snapshot_scd2_all(spark, sf_dir):
-    """Digest-snapshot diff AND the SCD2 merge that consumes such a change
-    set, as one scoped relation (both driven by the same modified-orders
-    change batch; each arm's oracle replays it independently)."""
+    """Digest-snapshot diff, the SCD2 merge that consumes such a change
+    set, the three-way merge that reconciles two divergent copies, and
+    the diff-driven incremental rollup refresh — the full change-
+    consumption family, one scoped relation (r9: snap+scd2; r10 adds
+    diff3/merge3/ivm). All five arms are driven by the same
+    deterministic modified-orders machinery; each arm's oracle replays
+    it independently."""
     snap = q_snapshot_diff(spark, sf_dir).select(
         F.lit("snap").alias("scope"),
         "o_orderkey",
         F.col("sign").alias("v_str"),
         F.lit(None).cast("double").alias("v_num"),
     )
-    return snap.unionByName(q_scd2_orders(spark, sf_dir))
+    scd2 = q_scd2_orders(spark, sf_dir)
+    m3 = q_merge3_orders(spark, sf_dir)
+    ivm = q_ivm_orders(spark, sf_dir)
+    return _track_persisted(
+        snap.unionByName(scd2).unionByName(m3).unionByName(ivm),
+        [], snap, scd2, m3, ivm,
+    )
 
 
 ORACLE_SNAPSHOT_SCD2_ALL = f"""
@@ -3019,6 +3344,86 @@ union all
 select 'snap' as scope, o_orderkey, sign as v_str, cast(null as double) as v_num
 from ({{snap}})
 """
+
+
+def _merge3_ivm_oracle() -> str:
+    """DuckDB replay of the diff3 classification (fingerprint-free: raw
+    row-tuple IS DISTINCT FROM over a 3-frame full-outer join), the
+    prefer='ours' merge winner selection, and the from-scratch rollup the
+    IVM refresh must equal bit-for-bit."""
+    nk = ORDERS_COLS[1:]
+    bsel = ", ".join(f"b.{c} as b_{c}" for c in nk)
+    osel = ", ".join(f"o.{c} as o_{c}" for c in nk)
+    tsel = ", ".join(f"t.{c} as t_{c}" for c in nk)
+    bt = "(" + ", ".join(f"b_{c}" for c in nk) + ")"
+    ot = "(" + ", ".join(f"o_{c}" for c in nk) + ")"
+    tt = "(" + ", ".join(f"t_{c}" for c in nk) + ")"
+    return f"""
+with m3o as ({MODIFIED_ORDERS_SQL}),
+m3t as ({MODIFIED_ORDERS2_SQL}),
+j3 as (
+  select coalesce(b.o_orderkey, o.o_orderkey, t.o_orderkey) as k,
+         b.o_orderkey is not null as in_b,
+         o.o_orderkey is not null as in_o,
+         t.o_orderkey is not null as in_t,
+         {bsel}, {osel}, {tsel}
+  from orders b
+  full outer join m3o o on b.o_orderkey = o.o_orderkey
+  full outer join m3t t on coalesce(b.o_orderkey, o.o_orderkey) = t.o_orderkey
+),
+cls as (
+  select *, case when not oc and not tc then 'unchanged'
+                 when oc and not tc then 'ours'
+                 when not oc and tc then 'theirs'
+                 when same_res then 'both_same'
+                 else 'conflict' end as status
+  from (
+    select *,
+      ((in_b <> in_o) or (in_b and in_o and {bt} is distinct from {ot})) as oc,
+      ((in_b <> in_t) or (in_b and in_t and {bt} is distinct from {tt})) as tc,
+      ((in_o = in_t) and (not in_o or {ot} is not distinct from {tt})) as same_res
+    from j3) z
+)
+select 'diff3' as scope, k as o_orderkey, status as v_str,
+       cast(null as double) as v_num
+from cls
+union all
+select 'merge3' as scope, k as o_orderkey,
+       st || '|' || pr as v_str, cast(tp as double) as v_num
+from (
+  select k,
+    case when status = 'unchanged' then b_o_orderstatus
+         when status in ('ours','both_same','conflict') then o_o_orderstatus
+         else t_o_orderstatus end as st,
+    case when status = 'unchanged' then b_o_orderpriority
+         when status in ('ours','both_same','conflict') then o_o_orderpriority
+         else t_o_orderpriority end as pr,
+    case when status = 'unchanged' then b_o_totalprice
+         when status in ('ours','both_same','conflict') then o_o_totalprice
+         else t_o_totalprice end as tp,
+    case when status = 'unchanged' then in_b
+         when status in ('ours','both_same','conflict') then in_o
+         else in_t end as present
+  from cls) w
+where present
+union all
+select 'ivm' as scope, o_custkey as o_orderkey,
+       cast(n as varchar) as v_str, sum_price as v_num
+from (
+  select o_custkey, count(*) as n,
+         cast(sum(cast(o_totalprice as decimal(38,6))) as double) as sum_price
+  from m3o group by o_custkey) r
+"""
+
+
+def _snapshot_family_oracle() -> str:
+    return (
+        "select * from (\n"
+        + ORACLE_SNAPSHOT_SCD2_ALL.format(snap=ORACLE_SNAPSHOT_DIFF)
+        + "\n) union all select * from (\n"
+        + _merge3_ivm_oracle()
+        + "\n)"
+    )
 
 
 def q_duplicate_spans(spark, sf_dir):
@@ -3585,7 +3990,8 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ann_topk_ivf": (q_ann_topk_ivf_all, _ann_ivf_all_oracle()),
     "multimodal_decode": (q_multimodal_decode_all, _multimodal_all_oracle()),
     "events_json_extract": (q_events_json_extract, ORACLE_EVENTS_JSON),
-    "collect_stats_lineitem": (q_collect_stats_lineitem, ORACLE_COLLECT_STATS),
+    # r10: validate rules + the profiler's exact core folded in as scopes
+    "collect_stats_lineitem": (q_collect_stats_all, _collect_stats_all_oracle()),
     "events_rollup": (q_events_rollup_all, ORACLE_EVENTS_ROLLUP_ALL),
     "events_stream_validate": (q_events_stream_validate, ORACLE_STREAM_VALIDATE),
     "get_values_orders": (q_get_values_orders, _get_values_oracle()),
@@ -3599,11 +4005,10 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "redact_pii_docs": (q_redact_pii, _redact_pii_oracle()),
     "chunk_documents": (q_chunk_documents, _chunk_documents_oracle()),
     "token_vocab": (q_token_vocab_all, ORACLE_TOKEN_VOCAB_SKEWED),
-    # r9: SCD2 merge folded in as a scoped arm (it had only pytest pins)
-    "snapshot_diff_orders": (
-        q_snapshot_scd2_all,
-        ORACLE_SNAPSHOT_SCD2_ALL.format(snap=ORACLE_SNAPSHOT_DIFF),
-    ),
+    # r9: SCD2 merge folded in as a scoped arm (it had only pytest pins);
+    # r10: diff3/merge3 (three-way reconcile) + ivm (diff-driven rollup
+    # refresh) folded in — the full change-consumption family
+    "snapshot_diff_orders": (q_snapshot_scd2_all, _snapshot_family_oracle()),
     "snm_pairs_docs": (q_snm_pairs, ORACLE_SNM_PAIRS),
     # r9: cluster_documents folded in as scopes (same entry key)
     "quantize_embeddings": (
