@@ -1458,16 +1458,32 @@ def q_ann_topk_ivf(spark, sf_dir):
     return SIM.ivf_topk(_emb_base(spark), _emb_queries(spark), k=5, n_cells=16)
 
 
-def q_ann_topk_ivf_all(spark, sf_dir):
-    """Two scoped arms off the same coarse quantizer:
+# ADC candidate depth for the gated re-rank arm (the production knob is
+# ivf_pq_topk's rerank=; tools/probe_pq_rerank.py sizes it at corpus scale)
+_GATE_RERANK = 20
 
-      scope='ivf'     ivf_topk — exact cosine re-rank inside probed cells;
-      scope='ivf_pq'  ivf_pq_topk — the memory-bound 100 TB path: ranking
-                      reads only m=8 PQ codes per candidate (ADC lookup
-                      tables), never the raw vectors. The oracle replays
-                      coarse training, all m subspace codebook trainings,
-                      the encode argmin, and ADC (as dot(query,
-                      reconstruction) — equal by linearity) end-to-end.
+
+def q_ann_topk_ivf_all(spark, sf_dir):
+    """Three scoped arms off the same coarse quantizer:
+
+      scope='ivf'        ivf_topk — exact cosine re-rank inside probed
+                         cells;
+      scope='ivf_pq'     ivf_pq_topk — the memory-bound 100 TB path:
+                         ranking reads only m=8 PQ codes per candidate
+                         (ADC lookup tables), never the raw vectors. The
+                         oracle replays coarse training, all m subspace
+                         codebook trainings, the encode argmin, and ADC
+                         (as dot(query, reconstruction) — equal by
+                         linearity) end-to-end;
+      scope='ivf_pq_rr'  the ADC-then-exact re-rank stage (r9 VERDICT
+                         Next #2): exact_rerank over the ADC top-20
+                         candidate set, re-ranked to top-5 by exact
+                         cosine — the recall-recovery stage the 0.632
+                         PQ recall at 200k demanded. One ADC pass feeds
+                         both PQ scopes (ivf_pq is the rank<=5 prefix of
+                         the same total ADC ordering ivf_pq_topk(k=5)
+                         computes), so the entry never trains or encodes
+                         twice for them.
     """
     load_views(spark, sf_dir)
     base, qs = _emb_base(spark), _emb_queries(spark)
@@ -1479,11 +1495,15 @@ def q_ann_topk_ivf_all(spark, sf_dir):
     # parity paths above sf0.01 — values identical, oracle unaffected.
     n = table_rows(spark, sf_dir, "embeddings")
     ivf = SIM.ivf_topk(base, qs, k=5, n_cells=16, n_rows=n)
-    pq = SIM.ivf_pq_topk(base, qs, k=5, n_cells=16, n_rows=n)
-    out = ivf.select(F.lit("ivf").alias("scope"), "*").unionAll(
-        pq.select(F.lit("ivf_pq").alias("scope"), "*")
+    adc = SIM.ivf_pq_topk(base, qs, k=_GATE_RERANK, n_cells=16, n_rows=n).persist()
+    pq = adc.filter(F.col("rank") <= 5)
+    rr = SIM.exact_rerank(adc, base, qs, k=5, n_rows=n)
+    out = (
+        ivf.select(F.lit("ivf").alias("scope"), "*")
+        .unionAll(pq.select(F.lit("ivf_pq").alias("scope"), "*"))
+        .unionAll(rr.select(F.lit("ivf_pq_rr").alias("scope"), "*"))
     )
-    return _track_persisted(out, [], ivf, pq)
+    return _track_persisted(out, [adc], ivf, adc, rr)
 
 
 def _lloyd_iter_ctes(n_iter: int, dim: int) -> Tuple[str, str]:
@@ -1578,7 +1598,9 @@ def _pq_lloyd_ctes(mi: int, off: int, ds: int, n_iter: int, k_codes: int) -> Tup
 
 
 def _ann_ivf_all_oracle(k=5, n_cells=16, n_probe=4, n_iter=2, train_cap=2048,
-                        m=8, k_codes=16, dim=EMB_DIM) -> str:
+                        m=8, k_codes=16, dim=EMB_DIM, rerank=None) -> str:
+    if rerank is None:
+        rerank = _GATE_RERANK
     """One WITH replaying BOTH arms off shared coarse CTEs: scope='ivf'
     is the existing ivf_topk replay; scope='ivf_pq' additionally replays
     the m per-subspace codebook trainings, the encode argmin, and ADC —
@@ -1637,10 +1659,19 @@ ppq as (select pr.id_q, a.id as id_c,
         from acorp a join probe pr on a.cell = pr.cell
         join recon re on re.id = a.id join rnorms rn on rn.id = a.id
         where a.id <> pr.id_q),
-rpq as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from ppq)
+rpq as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from ppq),
+qsel as (select id, qv, nrm from m where id % 20 = 0),
+rrp as (select cnd.id_q, cnd.id_c,
+               {SIM.duckdb_dot('q.qv', 'a.qv', dim)}::double / (q.nrm * a.nrm) as cosine
+        from (select id_q, id_c from rpq where rank <= {rerank}) cnd
+        join acorp a on a.id = cnd.id_c
+        join qsel q on q.id = cnd.id_q),
+rrk as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from rrp)
 select 'ivf' as scope, id_q, id_c, rank::BIGINT as rank, cosine from r where rank <= {k}
 union all
 select 'ivf_pq' as scope, id_q, id_c, rank::BIGINT as rank, cosine from rpq where rank <= {k}
+union all
+select 'ivf_pq_rr' as scope, id_q, id_c, rank::BIGINT as rank, cosine from rrk where rank <= {k}
 """
 
 

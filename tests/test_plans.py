@@ -134,7 +134,15 @@ def test_ivf_no_distance_reeval_and_single_cell_join(spark, sf_dir):
     plan = plan_of(WORKLOAD["ann_topk_ivf"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan
     small = table_rows(spark, sf_dir, "embeddings") < _COSINE_BLAS_MIN_ROWS
-    want = 2 if small else 1
+    # small corpus (SQL arms): ivf probed-queries + ADC lut (the lut
+    # subtree prints twice — the persisted adc frame feeds both the
+    # ivf_pq prefix and the rr candidate set, and the formatted plan
+    # expands the shared subtree in each consumer; it executes once via
+    # the cache) + rr's candidate-id set + rr's query vectors = 5
+    # broadcast NODES; above the BLAS threshold the ivf arm and rr's
+    # pair fold switch to cogrouped applyInPandas, dropping their
+    # query-side broadcasts = 3.
+    want = 5 if small else 3
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == want
     # a distinct would add a HashAggregate pair over the pair stream
     assert "HashAggregate" not in plan

@@ -552,6 +552,33 @@ def test_ivf_pq_recall_on_planted_dups(planted):
     planted.sparkSession.catalog.clearCache()
 
 
+def test_ivf_pq_rerank_recovers_exact_order(planted):
+    """ADC-then-exact (rerank=R): within the ADC top-R candidate set the
+    re-ranked top-k must carry EXACT cosines in exact order — i.e. equal
+    to brute-force top-k restricted to those candidates; and its recall
+    vs unrestricted exact top-k must dominate plain ADC's (the
+    recall-recovery contract, probed at 200k in
+    tools/probe_pq_rerank.py)."""
+    qs = planted.filter(F.col("vec_id") % 20 == 0)
+    exact = {(r.id_q, r.id_c) for r in SIM.cosine_topk(planted, qs, k=5).collect()}
+    cos = {(r.id_q, r.id_c): r.cosine
+           for r in SIM.cosine_topk(planted, qs, k=400).collect()}
+    adc = SIM.ivf_pq_topk(planted, qs, k=5).collect()
+    rr = SIM.ivf_pq_topk(planted, qs, k=5, rerank=40).collect()
+    # exact cosines, not ADC approximations
+    for r in rr:
+        assert abs(r.cosine - cos[(r.id_q, r.id_c)]) < 1e-12
+    rec_adc = len(exact & {(r.id_q, r.id_c) for r in adc}) / len(exact)
+    rec_rr = len(exact & {(r.id_q, r.id_c) for r in rr}) / len(exact)
+    assert rec_rr >= rec_adc
+    assert rec_rr >= 0.9
+    # rerank < k refuses
+    import pytest as _pt
+    with _pt.raises(ValueError, match="rerank"):
+        SIM.ivf_pq_topk(planted, qs, k=5, rerank=3)
+    planted.sparkSession.catalog.clearCache()
+
+
 def test_pq_encode_is_exact_argmin_and_rnrm(planted):
     """codes = per-subspace exact-int argmin (ties to lowest code); rnrm =
     norm of the concatenated codebook reconstruction — numpy replay."""
