@@ -465,17 +465,77 @@ def cosine_pairs_lsh(
         .distinct()
     )
     p = _prepared(df, id_col, vec_col)
-    cand = (
+    withvecs = (
         cand_ids
         .join(p.select(F.col("id").alias("id_a"), F.col("qv").alias("qv_a"),
                        F.col("nrm").alias("nrm_a")), "id_a")
         .join(p.select(F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
                        F.col("nrm").alias("nrm_b")), "id_b")
-        .select("id_a", "id_b",
-                (_qdot(F.col("qv_a"), F.col("qv_b")).cast("double")
-                 / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"))
     )
+    if n_rows is not None and n_rows >= _COSINE_BLAS_MIN_ROWS:
+        # the exact verification is linear in candidate pairs but the SQL
+        # zip_with+aggregate fold is INTERPRETED O(dim) per pair — at the
+        # sf1.0 probe's 535k candidates that fold was ~10s of the 12.5s
+        # arm. Row-wise numpy dots are exact under the same magnitude
+        # guard as _cosine_topk_blas (all partial sums < 2^53, so ANY
+        # summation order gives the identical integer => bit-identical
+        # cosines; int64 fallback to 2^62); the sf0.01 gate stays on the
+        # SQL plan its oracle replays (550 rows < _COSINE_BLAS_MIN_ROWS).
+        return _pairs_verify_blas(withvecs, threshold)
+    cand = withvecs.select(
+        "id_a", "id_b",
+        (_qdot(F.col("qv_a"), F.col("qv_b")).cast("double")
+         / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"))
     return cand.filter(F.col("cosine") >= threshold)
+
+
+def _pairs_verify_blas(withvecs: DataFrame, threshold: float) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ida_t = withvecs.schema["id_a"].dataType
+    idb_t = withvecs.schema["id_b"].dataType
+    schema = StructType([
+        StructField("id_a", ida_t), StructField("id_b", idb_t),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            # zero-norm rows (null embeddings) can't clear any positive
+            # threshold and would break the rectangular stack (r9 ADVICE
+            # class); with threshold <= 0 they are still excluded — the
+            # SQL arm's null cosine rows never pass the filter either
+            ok = (pdf["nrm_a"].to_numpy(dtype=np.float64) > 0) & \
+                 (pdf["nrm_b"].to_numpy(dtype=np.float64) > 0)
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            A = _stack_i64(pdf["qv_a"])
+            B = _stack_i64(pdf["qv_b"])
+            d = A.shape[1]
+            amax = int(np.abs(A).max()) if A.size else 0
+            bmax = int(np.abs(B).max()) if B.size else 0
+            if amax * bmax * d < (1 << 53):
+                dots = (A.astype(np.float64) * B.astype(np.float64)).sum(axis=1)
+            elif amax * bmax * d < (1 << 62):
+                dots = (A * B).sum(axis=1).astype(np.float64)
+            else:
+                raise ValueError("cosine_pairs_lsh: dot magnitude exceeds int64")
+            cos = dots / (pdf["nrm_a"].to_numpy(dtype=np.float64)
+                          * pdf["nrm_b"].to_numpy(dtype=np.float64))
+            keep = cos >= threshold
+            if keep.any():
+                yield pd.DataFrame({
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                })
+
+    return withvecs.mapInPandas(gen, schema)
 
 
 def _auto_ann_bands(n_rows: int, bands: int = 8,

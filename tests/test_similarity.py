@@ -796,3 +796,21 @@ def test_query_side_caps_refuse_or_fall_back(spark, planted, monkeypatch):
     small = planted.filter(F.col("vec_id") % 40 == 0)
     assert len(SIM.cosine_topk(planted, small, k=3).collect()) > 0
     spark.catalog.clearCache()
+
+def test_pairs_lsh_blas_verify_bit_identical(emb):
+    """The row-gated numpy verification (mapInPandas dot per candidate
+    pair) must produce the identical pair set AND cosines as the SQL
+    _qdot fold — exact integer dots under the magnitude guard, any
+    summation order."""
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    corpus = emb.unionAll(copies)
+    sql = sorted((r.id_a, r.id_b, r.cosine)
+                 for r in SIM.cosine_pairs_lsh(corpus, threshold=0.99).collect())
+    blas = sorted((r.id_a, r.id_b, r.cosine)
+                  for r in SIM.cosine_pairs_lsh(corpus, threshold=0.99,
+                                                n_rows=400_000).collect())
+    assert sql == blas and len(sql) > 0
+    emb.sparkSession.catalog.clearCache()
