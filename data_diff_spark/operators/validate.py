@@ -102,36 +102,52 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             (r.name, int(res[f"r{i}"]), int(res[f"r{i}"]) == 0, r.detail)
             for i, r in enumerate(agg_rules)
         ]
-    for r in rules:
-        if r.ref is None:
-            continue
-        ref_df, col, ref_col = r.ref
-        n = (
-            df.filter(F.col(col).isNotNull())
-            .join(
-                F.broadcast(ref_df.select(F.col(ref_col).alias(col)).distinct()),
-                col, "left_anti",
+    # all relationship rules in ONE job: each is a broadcast left-anti
+    # count over its own scan, unioned — a per-rule .count() loop paid a
+    # scheduling round-trip per rule
+    rel_rules = [r for r in rules if r.ref is not None]
+    if rel_rules:
+        frames = []
+        for i, r in enumerate(rel_rules):
+            ref_df, col, ref_col = r.ref
+            frames.append(
+                df.filter(F.col(col).isNotNull())
+                .join(
+                    F.broadcast(ref_df.select(F.col(ref_col).alias(col)).distinct()),
+                    col, "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(i).alias("i"), "n")
             )
-            .count()
-        )
-        rows.append((r.name, n, n == 0, r.detail))
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        got = {row["i"]: int(row["n"]) for row in u.collect()}
+        rows += [
+            (r.name, got[i], got[i] == 0, r.detail)
+            for i, r in enumerate(rel_rules)
+        ]
     return spark.createDataFrame(
         rows, "rule string, n_failed long, passed boolean, detail string"
     )
 
 
 def profile(df: DataFrame, columns: Optional[Sequence[str]] = None,
-            exact: bool = False) -> DataFrame:
+            exact: bool = False, numeric_stats: bool = True) -> DataFrame:
     """ANALYZE-style per-column stats in one pass: (column, count, nulls,
     distinct, min, max, mean, p50, p95) — min/max/mean/percentiles as
-    strings so heterogenous columns share one report schema."""
+    strings so heterogenous columns share one report schema.
+    numeric_stats=False skips mean + approximate percentiles (those
+    columns come back NULL): percentile_approx's QuantileSummaries is
+    the expensive aggregate in the pass, and exactly-replayable
+    consumers (the DuckDB gate) can't use approximate sketches anyway."""
     from pyspark.sql import types as T
 
     cols = list(columns or df.columns)
     numeric = {
         f.name for f in df.schema.fields
         if isinstance(f.dataType, (T.NumericType,))
-    }
+    } if numeric_stats else set()
     aggs = []
     for c in cols:
         col = F.col(c)

@@ -1976,7 +1976,7 @@ def q_collect_stats_all(spark, sf_dir):
 
     prof = V.profile(
         li.select("l_quantity", "l_returnflag", "l_linenumber", "l_shipdate"),
-        exact=True,
+        exact=True, numeric_stats=False,  # gate emits the replayable core
     )
     pr = prof.select(
         "column",
