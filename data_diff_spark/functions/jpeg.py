@@ -1,15 +1,19 @@
 """JPEG decoder, pure numpy — no PIL/cv2/libjpeg at decode time.
 
-Scope: sequential (SOF0) and progressive (SOF2) Huffman streams,
-sequential (SOF9) / progressive (SOF10) ARITHMETIC-coded streams (8-bit,
-grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart
-markers in both entropy modes — every DCT-based JPEG a crawled corpus
-contains), AND huffman LOSSLESS (SOF3, Annex H: all seven predictors,
-2-16 bit precision, point transform, SSSS=16 differences, restarts;
-pinned against an independent forward encoder in
-tests/test_jpeg_lossless.py). Arithmetic-lossless / hierarchical and
-12-bit DCT raise with the PIL swap-in pointer, same contract as the
-PNG/netpbm codecs in functions/multimodal.py.
+Scope — the COMPLETE T.81 process matrix: sequential (SOF0/SOF1) and
+progressive (SOF2) Huffman streams, sequential (SOF9) / progressive
+(SOF10) ARITHMETIC-coded streams (8-bit, grayscale or YCbCr with 4:4:4
+/ 4:2:2 / 4:2:0 subsampling, restart markers in both entropy modes —
+every DCT-based JPEG a crawled corpus contains), huffman LOSSLESS
+(SOF3, Annex H: all seven predictors, 2-16 bit precision, point
+transform, SSSS=16 differences, restarts; pinned against an independent
+forward encoder in tests/test_jpeg_lossless.py), arithmetic LOSSLESS
+(SOF11), AND Annex J hierarchical pyramids with every stage kind:
+differential lossless (SOF7 huffman / SOF15 arithmetic) and — r10 —
+differential DCT (SOF5/SOF6 huffman, SOF13/SOF14 arithmetic; zero DC
+prediction, no level shift, J.1.1.6 clamp). Only 12-bit DCT precision
+raises with the PIL swap-in pointer, same contract as the PNG/netpbm
+codecs in functions/multimodal.py.
 
 Pipeline (ITU-T T.81): marker parse (DQT/DHT/DAC/SOF/SOS/DRI) → entropy
 decode (canonical Huffman over the byte-unstuffed bitstream, or the
@@ -421,6 +425,245 @@ def encode_jpeg_hierarchical(arr, levels: int = 2, predictor: int = 1) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_hierarchical_dct(arr, levels: int = 2, quant: int = 1,
+                                 progressive: bool = False) -> bytes:
+    """Hierarchical DCT pyramid (T.81 Annex J with DCT stages): DHP, a
+    non-differential sequential DCT base frame at reduced resolution,
+    then per level EXP + a DIFFERENTIAL DCT frame — SOF5 sequential or
+    SOF6 progressive (``progressive=True``) — coding the DCT of
+    (source − expanded reference) with no level shift (A.3.1) and no DC
+    prediction (F.1.1.5.1), and a FINAL differential LOSSLESS (SOF7)
+    correction frame, which Annex J's process-mixing allows and which
+    makes the whole pyramid reproduce ``arr`` bit-exactly regardless of
+    the DCT stages' quantization.
+
+    Greyscale only: DCT stages here code raw component planes, and the
+    non-hierarchical decode path applies BT.601 to 3-component DCT
+    frames — color pyramids stay lossless-only (the documented split).
+
+    CLOSED LOOP: the encoder reconstructs each stage through the
+    decoder's own `_reconstruct_planes` (same einsum, same rounding), so
+    every residual — including the final lossless correction — is
+    computed against exactly what the decoder will hold.
+
+    Honesty note (same status as encode_jpeg_hierarchical and the SOF11
+    mirror coder): libjpeg never implemented Annex J, so no conforming
+    encoder exists to cross-check; this is the fixture generator for
+    decode_jpeg's differential-DCT path. Normative pieces (marker
+    syntax, the J.1.1.2 expansion filter, zero DC prediction, no level
+    shift, the J.1.1.6 clamp) are mirrored with section cites; where the
+    spec leaves the encoder free (downsampling, scan script, tables) the
+    two sides are independent."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim != 2:
+        raise ValueError("hierarchical DCT encoder: (h,w) uint8 greyscale only")
+    levels = max(1, int(levels))
+    full = a.astype(np.int64)
+    pyr = [full]
+    for _ in range(levels - 1):
+        pyr.append(pyr[-1][::2, ::2])
+    pyr.reverse()  # smallest level first
+
+    out = bytearray(b"\xff\xd8")
+    q = np.full(64, int(quant), dtype=np.int32)
+    A = _idct_matrix()
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    def frame_payload(hh, ww):
+        return bytes([8]) + struct.pack(">HH", hh, ww) + bytes([1, 1, 0x11, 0])
+
+    h, w = a.shape
+    seg(0xDE, frame_payload(h, w))
+    seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+
+    def dct_blocks(plane, level_shift):
+        """(nby, nbx, 64) quantized zigzag blocks of a (possibly signed)
+        int plane, edge-padded to multiples of 8."""
+        hh, ww = plane.shape
+        ph, pw = -(-hh // 8) * 8, -(-ww // 8) * 8
+        p = np.pad(plane.astype(np.float64),
+                   ((0, ph - hh), (0, pw - ww)), mode="edge")
+        if level_shift:
+            p = p - 128.0
+        nby, nbx = ph // 8, pw // 8
+        blocks = np.zeros((nby, nbx, 64), dtype=np.int32)
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = A @ p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ A.T
+                blocks[by, bx] = np.round(coef.flat[ZIGZAG] / q).astype(np.int32)
+        return blocks
+
+    def decoder_recon(blocks, hh, ww, level_shift):
+        """What decode_jpeg will reconstruct for this frame — computed
+        through the decoder's OWN plane routine so the floats (and thus
+        the rounding) are identical."""
+        fake = {"comps": [{"tq": 0, "h": 1, "v": 1}], "h": hh, "w": ww,
+                "hmax": 1, "vmax": 1}
+        (plane,) = _reconstruct_planes(fake, [blocks], {0: q},
+                                       level_shift=level_shift)
+        if level_shift:
+            return np.clip(np.round(plane), 0, 255).astype(np.int64)
+        return np.round(plane).astype(np.int64)  # signed difference plane
+
+    def emit_dct_frame(blocks, hh, ww, differential):
+        nby, nbx = blocks.shape[:2]
+        dc_syms, ac_syms = set(), {0x00, 0xF0}
+        flat = blocks.reshape(-1, 64)
+        pred = 0
+        for zz in flat:
+            d = int(zz[0]) - (0 if differential else pred)
+            pred = int(zz[0])
+            dc_syms.add(_category(d))
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = (nz[-1] + 1) if len(nz) else 0
+            for k in range(1, last + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                run %= 16
+                ac_syms.add((run << 4) | _category(int(zz[k])))
+                run = 0
+        dc_counts, dc_list, dc_codes = _canonical(dc_syms)
+        ac_counts, ac_list, ac_codes = _canonical(ac_syms)
+        seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_list))
+        seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_list))
+        sof_marker = (0xC6 if progressive else 0xC5) if differential else 0xC0
+        seg(sof_marker, frame_payload(hh, ww))
+
+        def emit_ac_band(wtr, zz, kmin, kmax, eob_always=False):
+            run = 0
+            nz = [k for k in range(kmin, kmax + 1) if zz[k] != 0]
+            last = nz[-1] if nz else kmin - 1
+            for k in range(kmin, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    wtr.bits(code, ln)
+                    run -= 16
+                n = _category(v)
+                ln, code = ac_codes[(run << 4) | n]
+                wtr.bits(code, ln)
+                wtr.bits(v if v > 0 else v + (1 << n) - 1, n)
+                run = 0
+            if last < kmax or eob_always and not nz:
+                ln, code = ac_codes[0x00]
+                wtr.bits(code, ln)
+
+        def emit_dc(wtr, zz, pred):
+            d = int(zz[0]) - pred
+            n = _category(d)
+            ln, code = dc_codes[n]
+            wtr.bits(code, ln)
+            if n:
+                wtr.bits(d if d > 0 else d + (1 << n) - 1, n)
+            return int(zz[0])
+
+        if progressive and differential:
+            # minimal spec-valid progressive script: spectral selection
+            # only (Al=0) — scan 1: DC (Ss=Se=0), scan 2: AC band 1..63.
+            # Per-block EOB0 symbols (no EOB-run batching): eobrun = 1.
+            seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+            wtr = _ScanWriter(out)
+            for zz in flat:
+                emit_dc(wtr, zz, 0)
+            wtr.close()
+            seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+            wtr = _ScanWriter(out)
+            for zz in flat:
+                # EOB must terminate every block whose band has a tail of
+                # zeros INCLUDING all-zero bands
+                nz = [k for k in range(1, 64) if zz[k] != 0]
+                run = 0
+                for k in range(1, (nz[-1] if nz else 0) + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        wtr.bits(code, ln)
+                        run -= 16
+                    n = _category(v)
+                    ln, code = ac_codes[(run << 4) | n]
+                    wtr.bits(code, ln)
+                    wtr.bits(v if v > 0 else v + (1 << n) - 1, n)
+                    run = 0
+                if not nz or nz[-1] < 63:
+                    ln, code = ac_codes[0x00]
+                    wtr.bits(code, ln)
+            wtr.close()
+        else:
+            seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            wtr = _ScanWriter(out)
+            pred = 0
+            for zz in flat:
+                newdc = emit_dc(wtr, zz, 0 if differential else pred)
+                pred = newdc
+                emit_ac_band(wtr, zz, 1, 63)
+            wtr.close()
+
+    def emit_lossless_diff_frame(dplane):
+        """Final SOF7 correction: the residual coded with no spatial
+        prediction, mod-2^16 sample arithmetic (the existing
+        encode_jpeg_hierarchical differential rule)."""
+        hh, ww = dplane.shape
+        d = ((dplane + 32768) & 0xFFFF) - 32768
+        syms = set()
+        for v in np.unique(d):
+            v = int(v)
+            syms.add(16 if v == -32768 else _category(v))
+        counts, symlist, codes = _canonical(syms)
+        seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(symlist))
+        seg(0xC7, frame_payload(hh, ww))
+        seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+        wtr = _ScanWriter(out)
+        for y in range(hh):
+            for x in range(ww):
+                v = int(d[y, x])
+                if v == -32768:
+                    ln, code = codes[16]
+                    wtr.bits(code, ln)
+                    continue
+                n = _category(v)
+                ln, code = codes[n]
+                wtr.bits(code, ln)
+                if n:
+                    wtr.bits(v if v > 0 else v + (1 << n) - 1, n)
+        wtr.close()
+
+    # base: non-differential sequential DCT frame
+    hh, ww = pyr[0].shape
+    blocks = dct_blocks(pyr[0], level_shift=True)
+    emit_dct_frame(blocks, hh, ww, differential=False)
+    ref = decoder_recon(blocks, hh, ww, level_shift=True)
+
+    for lvl in pyr[1:]:
+        seg(0xDF, bytes([0x11]))  # EXP 2x both directions
+        hh, ww = lvl.shape
+        e = np.array(_expand_plane(ref.tolist(), 1, 1), dtype=np.int64)[:hh, :ww]
+        resid = lvl - e
+        blocks = dct_blocks(resid, level_shift=False)
+        emit_dct_frame(blocks, hh, ww, differential=True)
+        # J.1.1.6: the decoder clamps (reference + difference) to [0, 255]
+        ref = np.clip(e + decoder_recon(blocks, hh, ww, level_shift=False),
+                      0, 255)
+
+    # final bit-exact correction stage (differential lossless, mod 2^16)
+    emit_lossless_diff_frame(full - ref)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 class _ScanWriter:
     """Per-scan bit emitter with 0xFF stuffing; pads with 1s at close
     (each scan's entropy data is byte-aligned before the next marker)."""
@@ -704,21 +947,29 @@ def decode_jpeg(data: bytes):
             eh, ev = body[0] >> 4, body[0] & 0xF
             for cid in hier["ref"]:
                 hier["ref"][cid] = _expand_plane(hier["ref"][cid], eh, ev)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCF):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             # SOF0/SOF2 huffman (SOF1 extended sequential: at 8-bit
             # precision the decoding process is SOF0's — B.3; the extra
             # latitude is 12-bit precision and 4 Huffman tables, and the
             # 12-bit case still stops at the precision guard below),
             # SOF3 lossless, SOF7 differential lossless (hierarchical),
             # SOF9/SOF10 arithmetic DCT, SOF11 arithmetic lossless,
-            # SOF15 differential arithmetic lossless
+            # SOF15 differential arithmetic lossless, and — closing the
+            # T.81 matrix — the differential DCT family (Annex J pyramid
+            # stages): SOF5/SOF6 huffman sequential/progressive,
+            # SOF13/SOF14 their arithmetic twins. Differential DCT
+            # frames code the DCT of the (source − expanded reference)
+            # difference with NO level shift (A.3.1) and NO DC
+            # prediction (F.1.1.5.1 / G.1.2.1: PRED = 0 in differential
+            # frames); reconstruction adds the IDCT output to the
+            # reference and clamps to the sample range (J.1.1.6).
             if hier is not None and frame is not None:
                 _hier_apply(hier, frame)  # finalize the previous frame
                 frame = None
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
-            differential = marker in (0xC7, 0xCF)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
             if differential and (hier is None or not hier["ref"]):
                 raise ValueError(
                     "jpeg: differential frame without a hierarchical "
@@ -732,9 +983,16 @@ def decode_jpeg(data: bytes):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
-                     "progressive": marker == 0xC2 or marker == 0xCA,
-                     "arith": marker in (0xC9, 0xCA, 0xCB, 0xCF),
-                     "lossless": lossless, "differential": differential}
+                     "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                     "arith": marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF),
+                     "lossless": lossless, "differential": differential,
+                     "_qt": qt}
+            if differential and not lossless:
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                    raise NotImplementedError(
+                        "jpeg: subsampled differential DCT frames are not "
+                        "supported (the hierarchical reference expansion "
+                        "is full-resolution)")
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             frame["hmax"], frame["vmax"] = hmax, vmax
@@ -762,15 +1020,9 @@ def decode_jpeg(data: bytes):
                              dtype=np.int32)
                     for c in comps
                 ]
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
-            raise NotImplementedError(
-                "jpeg: every DCT process (huffman/arithmetic, sequential/"
-                "extended/progressive), both lossless processes "
-                "(SOF3/SOF11) and hierarchical lossless pyramids "
-                "(DHP/EXP + SOF7/SOF15, Annex J) decode natively; this "
-                "stream uses differential DCT (SOF5/SOF6/SOF13/SOF14) — "
-                "the one unimplemented T.81 process family"
-            )
+                # hierarchical DCT stages reconstruct at _hier_apply time,
+                # after `store` has been rebound to the NEXT frame's grids
+                frame["_store"] = store
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
@@ -942,8 +1194,14 @@ def _decode_scan_coeffs(data, pos, frame, scan, params, hufftabs, ri, store):
     pred = [0] * len(comps)
     state = {"eobrun": 0}
 
+    differential = frame.get("differential", False)
+
     def do_block(ci, by, bx, s):
         coeffs = store[ci][by, bx]
+        if differential:
+            # F.1.1.5.1: in differential frames the DC prediction is
+            # ZERO for every block — the coded value IS the coefficient
+            pred[ci] = 0
         if not progressive:
             _block_baseline(
                 r, coeffs, pred, ci, hufftabs[(0, s["dc"])], hufftabs[(1, s["ac"])]
@@ -1294,8 +1552,16 @@ def _decode_scan_coeffs_arith(data, pos, frame, scan, params, cond, ri, store):
                     raise ValueError("jpeg: corrupt arithmetic stream")
             k += 1
 
+    differential = frame.get("differential", False)
+
     def do_block(ci, by, bx, s):
         coeffs = store[ci][by, bx]
+        if differential:
+            # G.1.2.1: zero prediction in differential frames; the coded
+            # "difference" IS the coefficient. The conditioning context
+            # (dc_context, classified from the previous coded value)
+            # carries across blocks unchanged.
+            last_dc[ci] = 0
         if not progressive:
             last_dc[ci] += dc_decode(ci, s)
             coeffs[0] = last_dc[ci]
@@ -1633,20 +1899,72 @@ def _expand_plane(p, eh, ev):
     return p
 
 
+def _reconstruct_planes(frame, store, qt, level_shift=True):
+    """Per-component pixel planes from the coefficient grids — the
+    color-transform-free core of _reconstruct, shared with hierarchical
+    DCT stages. level_shift=False is the differential-frame form (A.3.1:
+    no +2^(P-1) shift; the IDCT output is a SIGNED difference plane)."""
+    import numpy as np
+
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    A = _idct_matrix()
+    shift = 128.0 if level_shift else 0.0
+    full = []
+    for ci, c in enumerate(comps):
+        blocks = store[ci]  # (nby, nbx, 64) zigzag-ordered
+        nby, nbx = blocks.shape[:2]
+        deq = blocks.astype(np.float64) * qt[c["tq"]]
+        nat = np.zeros_like(deq)
+        nat[:, :, ZIGZAG] = deq
+        X = nat.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", A.T, X, A) + shift
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        ry, rx = frame["vmax"] // c["v"], frame["hmax"] // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    return full
+
+
 def _hier_apply(hier, frame):
     """Fold a completed hierarchical frame into the reference components
-    (T.81 J.1.1/J.1.5): a non-differential lossless frame REPLACES its
-    components' references; a differential lossless frame ADDS its
-    decoded difference samples to the (expanded) reference modulo 2^16,
-    cropping the reference to the frame's dimensions (expansion may
-    overshoot by one for odd full dimensions)."""
-    if not frame.get("lossless"):
-        raise NotImplementedError(
-            "jpeg: hierarchical DCT stages are not supported; only "
-            "lossless pyramid stages (SOF3 non-differential + SOF7 "
-            "differential) decode")
+    (T.81 J.1.1/J.1.5): a non-differential frame REPLACES its components'
+    references (lossless samples, or clamped IDCT output for a DCT base
+    frame); a differential LOSSLESS frame ADDS its decoded difference
+    samples to the (expanded) reference modulo 2^16; a differential DCT
+    frame (SOF5/6/13/14) ADDS its signed no-level-shift IDCT output and
+    clamps to [0, 2^P−1] (J.1.1.6). References crop to the frame's
+    dimensions (expansion may overshoot by one for odd full
+    dimensions)."""
+    import numpy as np
+
     if not frame.get("saw_scan"):
         raise ValueError("jpeg: hierarchical frame with no scan")
+    if not frame.get("lossless"):
+        h, w = frame["h"], frame["w"]
+        planes = _reconstruct_planes(
+            frame, frame["_store"], frame["_qt"],
+            level_shift=not frame.get("differential"))
+        top = (1 << hier["prec"]) - 1
+        for ci, comp in enumerate(frame["comps"]):
+            cid = comp["id"]
+            if frame.get("differential"):
+                ref = hier["ref"].get(cid)
+                if ref is None:
+                    raise ValueError(
+                        f"jpeg: differential frame for unknown component {cid}")
+                if len(ref) < h or len(ref[0]) < w:
+                    raise ValueError(
+                        "jpeg: differential frame larger than its reference "
+                        f"({h}x{w} vs {len(ref)}x{len(ref[0])}) — missing EXP?")
+                refa = np.array([row[:w] for row in ref[:h]], dtype=np.int64)
+                newp = np.clip(
+                    refa + np.round(planes[ci]).astype(np.int64), 0, top)
+            else:
+                newp = np.clip(np.round(planes[ci]), 0, top).astype(np.int64)
+            hier["ref"][cid] = newp.tolist()
+        return
     missing = set(range(len(frame["comps"]))) - frame["lossless_seen"]
     if missing:
         raise ValueError(

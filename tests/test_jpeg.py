@@ -284,12 +284,13 @@ def test_bad_input_gates():
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
     with pytest.raises(ValueError, match="no scan"):
         decode_jpeg(data)
-    # differential DCT (SOF14) still gated, named precisely (hierarchical
-    # LOSSLESS pyramids DHP/EXP + SOF7/SOF15 decode natively since round
-    # 9 — see test_jpeg_hierarchical.py)
+    # differential DCT (SOF14) decodes natively since r10
+    # (test_jpeg_hier_dct*.py); OUTSIDE a hierarchical stream it is a
+    # stream error — no reference to difference against — not a missing
+    # feature
     data = (b"\xff\xd8" + bytes([0xFF, 0xCE]) + struct.pack(">H", 11)
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="differential DCT"):
+    with pytest.raises(ValueError, match="differential frame without"):
         decode_jpeg(data)
     # a differential lossless frame OUTSIDE a hierarchical stream is a
     # stream error, not a missing feature

@@ -430,9 +430,11 @@ def test_second_chain_used_for_large_db():
 
 
 def test_rejects_hierarchical():
+    # SOF14 decodes natively since r10 (test_jpeg_hier_dct_arith.py);
+    # spliced in WITHOUT a hierarchical reference it is a stream error
     img = _img(4, 4)
     data = bytearray(encode_sof11(img, prec=8))
     i = data.find(b"\xff\xcb")
-    data[i + 1] = 0xCE  # DHP-style differential marker
-    with pytest.raises(NotImplementedError):
+    data[i + 1] = 0xCE  # differential marker with no DHP/reference
+    with pytest.raises(ValueError, match="differential frame without"):
         decode_jpeg(bytes(data))
