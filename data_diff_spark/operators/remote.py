@@ -24,6 +24,10 @@ Three layers, mirroring the reference's dialect/adapter split
                   bucket_digests() + fetch_bucket_rows().
   DuckDBSide      in-process DB-API adapter (DuckDB stands in for any
                   reference dialect available as a local connection).
+  SQLiteSide      in-process stdlib sqlite3 adapter — the THIRD dialect
+                  this sandbox executes LIVE (md5/bucket/double-norm as
+                  registered deterministic functions, the Derby CREATE
+                  FUNCTION analogue).
   JdbcSide        any JDBC database: both the digest query and the
                   mismatched-row fetch are pushed down as JDBC source
                   queries (spark.read.jdbc query=...), so the remote
@@ -558,12 +562,65 @@ def jdbc_probe_types(spark: SparkSession, url: str, relation_sql: str) -> dict:
 # Databricks (reference databricks.py:87-116) is intentionally absent: its
 # dialect IS Spark SQL — this engine's normalize.py renders those exact
 # expressions natively, which the golden checksum tests already pin.
+class SQLiteDialect(RemoteDialect):
+    """SQLite (stdlib sqlite3) — the THIRD dialect this sandbox executes
+    LIVE (after embedded Derby and DuckDB). SQLite has no md5 and no
+    decimal type, so the checksum/bucket/double-normalization pieces are
+    registered as deterministic Python UDFs on the connection
+    (SQLiteSide.register — the same move as Derby's CREATE FUNCTION
+    registering Java MD5): the ENGINE still evaluates them per row
+    inside its own scan, and the SQL this dialect renders is what any
+    md5-capable SQLite build would run. Timestamps/dates are ISO-8601
+    TEXT (SQLite's own storage convention); normalization pads the
+    fractional part to the canonical 6 digits in pure SQL."""
+
+    name = "sqlite"
+
+    def concat_ws_sql(self, parts: Sequence[str]) -> str:
+        return " || '|' || ".join(f"({p})" for p in parts)
+
+    def norm_timestamp_sql(self, col: str) -> str:
+        # '2020-01-02 03:04:05[.ffffff]' -> exactly 26 chars with 6
+        # fractional digits: append '.000000' when there is no fraction,
+        # else pad with zeros, then truncate
+        return (f"substr({col} || (case when instr({col}, '.') > 0 "
+                f"then '000000' else '.000000' end), 1, 26)")
+
+    def norm_date_sql(self, col: str) -> str:
+        return f"substr({col}, 1, 10)"
+
+    def md5_as_int_sql(self, s: str) -> str:
+        # md5_int = int of the LOW 12 md5 hex digits (registered pure
+        # function); the centering offset stays visible in SQL like every
+        # other dialect
+        return f"(md5_int({s}) - {CHECKSUM_OFFSET})"
+
+    def bucket_sql(self, key_fp: str, n_buckets: int) -> str:
+        # md5_bucket(s, 8) = int of the FIRST 8 md5 hex digits
+        return f"(md5_bucket({key_fp}, 8) % {n_buckets})"
+
+    def norm_sql(self, col: str, sql_type: str) -> str:
+        t = sql_type.upper()
+        if t in ("DOUBLE", "REAL", "FLOAT", "DOUBLE PRECISION"):
+            return f"dnorm({col})"  # BigDecimal.valueOf + HALF_UP mirror
+        if "TIMESTAMP" in t or t == "DATETIME":
+            return self.norm_timestamp_sql(col)
+        if t == "DATE":
+            return self.norm_date_sql(col)
+        if t in ("BOOLEAN", "BOOL"):
+            return f"cast({col} as text)"  # stored 0/1 integers
+        if t in ("BIGINT", "INTEGER", "INT", "SMALLINT", "TINYINT", "INT8"):
+            return f"cast({col} as text)"
+        return col  # TEXT
+
+
 DIALECTS = {
     d.name: d
     for d in (
         DuckDBDialect(), PostgresDialect(), MySQLDialect(), ClickHouseDialect(),
         SnowflakeDialect(), MsSQLDialect(), OracleDialect(), BigQueryDialect(),
         TrinoDialect(), RedshiftDialect(), VerticaDialect(), DerbyDialect(),
+        SQLiteDialect(),
     )
 }
 
@@ -695,6 +752,83 @@ class DuckDBSide(RemoteSide):
                         lambda v, q_=q_: None if pd.isna(v) else Decimal(str(v)).quantize(q_)
                     )
             return spark.createDataFrame(pdf, schema=schema)
+
+
+class SQLiteSide(RemoteSide):
+    """Remote adapter over a LIVE stdlib sqlite3 connection: digest and
+    fetch SQL run inside SQLite, so the third executed engine computes
+    its own buckets/checksums row-by-row (md5/bucket/double-norm as
+    registered deterministic Python functions — SQLite's extension
+    mechanism, the Derby CREATE FUNCTION analogue). `types` declares the
+    logical type per column ('BIGINT'/'DOUBLE'/'TEXT'/'BOOLEAN'/'DATE'/
+    'TIMESTAMP'), since SQLite's own affinities are lossy."""
+
+    def __init__(self, con, relation_sql: str, key_columns: Sequence[str],
+                 columns: Sequence[str], types: Mapping[str, str]):
+        self.con = con
+        self.relation_sql = relation_sql
+        self.key_columns = list(key_columns)
+        self.columns = list(columns)
+        self.types = dict(types)
+        self.dialect = SQLiteDialect()
+        self.register(con)
+
+    @staticmethod
+    def register(con) -> None:
+        """Install the deterministic helper functions on a connection
+        (idempotent). dnorm mirrors Spark's normalize_number for doubles:
+        BigDecimal.valueOf (= shortest repr) -> setScale(6, HALF_UP) ->
+        plain string; BigDecimal has no negative zero."""
+        import hashlib as _hl
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def md5_int(s):
+            if s is None:
+                return None
+            return int(_hl.md5(s.encode()).hexdigest()[20:32], 16)
+
+        def md5_bucket(s, nhex):
+            if s is None:
+                return None
+            return int(_hl.md5(s.encode()).hexdigest()[:nhex], 16)
+
+        def dnorm(x):
+            if x is None:
+                return None
+            d = Decimal(repr(float(x))).quantize(
+                Decimal("1.000000"), rounding=ROUND_HALF_UP)
+            if d == 0:
+                d = abs(d)  # BigDecimal.valueOf(-0.0) is plain zero
+            return f"{d:.6f}"
+
+        kw = {"deterministic": True}
+        con.create_function("md5_int", 1, md5_int, **kw)
+        con.create_function("md5_bucket", 2, md5_bucket, **kw)
+        con.create_function("dnorm", 1, dnorm, **kw)
+
+    def bucket_digests(self, n_buckets: int):
+        q = digest_query_sql(self.dialect, self.relation_sql, self.key_columns,
+                             self.columns, self.types, n_buckets)
+        return self.con.execute(q).fetchall()
+
+    def fetch_bucket_rows(self, spark, schema, n_buckets, bucket_ids):
+        from pyspark.sql import types as T
+
+        if bucket_ids is not None and not bucket_ids:
+            return spark.createDataFrame([], schema)
+        q = fetch_query_sql(self.dialect, self.relation_sql, self.key_columns,
+                            self.columns, self.types, n_buckets, bucket_ids)
+        rows = self.con.execute(q).fetchall()
+        # everything travels as strings (SQLite hands back native
+        # int/float/str — stringify uniformly), then cast positionally to
+        # the annotated Spark-side schema; '0'/'1' casts to boolean fine
+        srows = [tuple(None if v is None else str(v) for v in r) for r in rows]
+        names = [f.name for f in schema.fields]
+        sdf = spark.createDataFrame(
+            srows, T.StructType([T.StructField(n, T.StringType()) for n in names]))
+        return sdf.select(*[
+            F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields
+        ])
 
 
 class JdbcSide(RemoteSide):

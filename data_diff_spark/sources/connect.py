@@ -14,6 +14,10 @@ Supported schemes:
     delta://<path>[@vN]      gated: needs delta-lake jars on the cluster
     versioned://<root>[@vN]  commit-log parquet table (sources/versioned.py)
     table://<catalog.tbl>    any table registered in the Spark catalog
+    duckdb://<db>#<rel>      driver-guarded DuckDB reader (small tables;
+                             big ones: operators/remote.py digests)
+    sqlite://<db>#<rel>      driver-guarded stdlib-sqlite3 reader (same
+                             contract; digest path = SQLiteSide)
     jdbc:<subprotocol>://…   pushed-down JDBC read (Postgres/MySQL/… —
                              the reference's remote-DB adapters)
 """
@@ -187,6 +191,38 @@ def _read_duckdb(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
             "tables, or pass max_rows=N to override")
     tbl = con.execute(q).fetch_arrow_table()
     return spark.createDataFrame(tbl.to_pandas())
+
+
+@register_scheme("sqlite")
+def _read_sqlite(spark: SparkSession, rest: str, opts: dict) -> DataFrame:
+    """sqlite://<db-path>#<table-or-query>  (sqlite://#<query> for :memory:).
+
+    Stdlib sqlite3 — the third LIVE engine (operators/remote.py:
+    SQLiteSide carries the digest-only cross-engine path; this scheme is
+    the row-materializing reader for small/reference-side tables, with
+    the same driver guard as duckdb://)."""
+    import sqlite3
+
+    db, _, rel = rest.partition("#")
+    con = sqlite3.connect(db or ":memory:")
+    rel = rel or opts.get("table", "")
+    if not rel:
+        raise ValueError("sqlite URI needs '#<table-or-query>'")
+    q = rel if rel.lstrip().lower().startswith("select") else f"select * from {rel}"
+    max_rows = int(opts.get("max_rows", DUCKDB_MAX_ROWS))
+    n = con.execute(f"select count(*) from ({q}) t").fetchone()[0]
+    if n > max_rows:
+        raise ValueError(
+            f"sqlite relation has {n} rows (> max_rows={max_rows}); the "
+            "sqlite:// scheme materializes through the driver — use "
+            "operators.remote.SQLiteSide + hash_diff_remote (digests-only) "
+            "for big tables, or pass max_rows=N to override")
+    cur = con.execute(q)
+    names = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    # tuples, not pandas: pandas coerces None -> NaN in float columns,
+    # silently turning SQL NULLs into NaNs on the Spark side
+    return spark.createDataFrame(rows, schema=names)
 
 
 def _read_jdbc(spark: SparkSession, uri: str, opts: dict) -> DataFrame:

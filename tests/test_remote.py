@@ -181,10 +181,16 @@ def test_all_dialects_digest_sql_golden():
         "vertica": "HEX_TO_INTEGER(SUBSTRING(MD5(x), 21))",
         "duckdb": "substring(md5(x), 21, 12)",
         "postgresql": "('x' || substring(md5(x), 21))::bit(48)::bigint",
-        # the one dialect this sandbox executes LIVE (tests/test_jdbc_derby.py)
+        # dialects this sandbox executes LIVE: Derby over JDBC
+        # (tests/test_jdbc_derby.py) and stdlib sqlite3 in-process
+        # (tests/test_sqlite_side.py — md5_int/md5_bucket are registered
+        # deterministic functions, SQLite's extension mechanism; the
+        # centering offset and modulo stay visible in SQL like every
+        # other dialect)
         "derby": "HEXLONG(substr(MD5HEX(x), 21, 12), 16)",
+        "sqlite": "md5_int(x)",
     }
-    assert set(DIALECTS) == set(want_md5)  # 12 engines + Spark-native = 13/14
+    assert set(DIALECTS) == set(want_md5)  # 13 engines + Spark-native = 14
     for name, d in DIALECTS.items():
         s = d.md5_as_int_sql("x")
         assert want_md5[name] in s, (name, s)
@@ -219,6 +225,10 @@ def test_dialect_timestamp_canonical_forms():
         # Derby has no format function: substr-reassembled cast with the
         # fraction right-padded to 6 digits (live-verified in test_jdbc_derby)
         "derby": "|| '000000', 1, 6)",
+        # SQLite stores ISO-8601 TEXT: pure-SQL pad of the fraction to 6
+        # digits, truncated to the canonical 26 chars (live-verified in
+        # test_sqlite_side)
+        "sqlite": "1, 26)",
     }
     for name, d in DIALECTS.items():
         assert marks[name] in d.norm_timestamp_sql("c"), name
