@@ -136,7 +136,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "on the dev connection)")
     p.add_argument("--remote-digest", action="store_true",
                    help="cross-engine digests-only mode: uri2's engine "
-                        "(duckdb:// or jdbc:) computes its own bucket "
+                        "(duckdb://, sqlite:// or jdbc:) computes its own bucket "
                         "checksums with the reference's md5 formula; only "
                         "digests + mismatched-bucket rows cross the wire "
                         "(the reference's hashdiff deployment shape)")
@@ -144,7 +144,7 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="|".join(sorted(
                        ("duckdb", "postgresql", "mysql", "clickhouse", "snowflake",
                         "mssql", "oracle", "bigquery", "trino", "redshift",
-                        "vertica", "derby"))),
+                        "vertica", "derby", "sqlite"))),
                    help="SQL dialect for the remote side's digest query "
                         "(default: inferred from the URI scheme/subprotocol)")
     p.add_argument("--remote-where", default=None,
@@ -505,6 +505,27 @@ def _remote_digest_diff(spark, args, keys) -> int:
         # (keys, update column, extras) POSITIONALLY — with -t set, a plain
         # keys+compare order would misalign every checksum column
         side = RM.DuckDBSide(rel, keys, list(t1.relevant_columns), con=con)
+    elif uri.startswith("sqlite://"):
+        import sqlite3
+
+        db, _, rel = uri[len("sqlite://"):].partition("#")
+        if not rel:
+            raise SystemExit("error: sqlite remote needs '#<table>'")
+        con = sqlite3.connect(db or ":memory:")
+        # pragma table_info carries the DECLARED type — exactly the
+        # logical-type declaration SQLiteSide wants (SQLite affinities
+        # alone are lossy: timestamps/dates/bools live in TEXT/INTEGER)
+        info = con.execute(f"pragma table_info({rel})").fetchall()
+        if not info:
+            raise SystemExit(
+                "error: sqlite remote needs a plain table name "
+                f"({rel!r} has no pragma table_info)")
+        types = {r[1]: (r[2] or "TEXT").upper() for r in info}
+        remote_cols = [r[1] for r in info]
+        compare = _remote_compare_columns(args, t1, remote_cols, keys)
+        t1 = t1.with_(extra_columns=tuple(compare))
+        relq = _remote_relation(rel, args, bounds, RM.SQLiteDialect())
+        side = RM.SQLiteSide(con, relq, keys, list(t1.relevant_columns), types)
     elif uri.startswith("jdbc:"):
         sub = uri.split(":", 2)[1]
         name = args.remote_dialect or _JDBC_DIALECTS.get(sub)
@@ -541,7 +562,8 @@ def _remote_digest_diff(spark, args, keys) -> int:
                            [dia.ident(c) for c in t1.relevant_columns], types,
                            dialect=dia, properties=opts)
     else:
-        raise SystemExit("error: --remote-digest needs uri2 = duckdb://… or jdbc:…")
+        raise SystemExit(
+            "error: --remote-digest needs uri2 = duckdb://…, sqlite://… or jdbc:…")
 
     diff = RM.hash_diff_remote(t1, side, n_buckets=args.n_buckets)
     try:

@@ -157,3 +157,36 @@ def test_sqlite_uri_scheme(spark, tmp_path):
         read_uri(spark, f"sqlite://{p}#t", max_rows=1)
     with pytest.raises(ValueError, match="needs"):
         read_uri(spark, f"sqlite://{p}")
+
+def test_cli_remote_digest_sqlite(spark, sf_dir, tmp_path, capsys):
+    """--remote-digest end-to-end from the command line against a LIVE
+    sqlite file: the engine computes its own digests; output matches the
+    known synthetic changes (the duckdb CLI test's twin)."""
+    from data_diff_spark.cli import main
+
+    db = str(tmp_path / "r.db")
+    c = sqlite3.connect(db)
+    c.execute("create table orders_mod (o_orderkey integer, o_custkey integer, "
+              "o_totalprice real)")
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice").collect()
+    c.executemany(
+        "insert into orders_mod values (?,?,?)",
+        [(r[0], r[1], r[2] + 100.0 if r[0] % 100 == 2 else r[2])
+         for r in rows if r[0] % 100 != 1],
+    )
+    c.commit()
+    n_changed = sum(1 for r in rows if r[0] % 100 == 2)
+    n_deleted = sum(1 for r in rows if r[0] % 100 == 1)
+    c.close()
+
+    rc = main([
+        f"parquet://{sf_dir}/orders.parquet", f"sqlite://{db}#orders_mod",
+        "-k", "o_orderkey", "-c", "o_custkey", "-c", "o_totalprice",
+        "--remote-digest", "--stats",
+    ], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    stats = dict(line.split(": ") for line in out.strip().splitlines())
+    assert int(stats["-"]) == n_changed + n_deleted
+    assert int(stats["+"]) == n_changed
