@@ -5,8 +5,9 @@ Mirrors the reference CLI (/root/reference/data_diff/__main__.py:119-345):
     python -m data_diff_spark URI1 URI2 -k KEY [-c COL ...] [options]
 
 URIs are this engine's source URIs (sources/connect.py): parquet://path,
-csv://path, json://path, orc://path, delta://path, table://name, bare
-catalog table names, and jdbc:... with ?-style options.
+csv://path, json://path, orc://path, delta://path, table://name,
+duckdb://db#rel, sqlite://db#rel, bare catalog table names, and jdbc:...
+with ?-style options.
 
 Flag parity map (reference flag -> here):
     -k/--key-columns        same (repeatable)
