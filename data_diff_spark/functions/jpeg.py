@@ -982,11 +982,20 @@ def decode_jpeg(data: bytes):
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            # _qt starts as a SNAPSHOT of the tables in effect at SOF and
+            # is re-latched at the frame's FIRST SOS (libjpeg's
+            # latch_quant_tables semantics): hierarchical DCT frames
+            # reconstruct lazily in _hier_apply at the NEXT frame's
+            # SOF/EXP/EOI, so storing the live dict would let a DQT
+            # redefining a table between pyramid frames (legal, Annex J)
+            # retroactively dequantize the previous frame with the new
+            # table (r10 ADVICE). dict(qt) suffices — DQT rebinds entries
+            # to fresh arrays, never mutates them in place.
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
                      "arith": marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF),
                      "lossless": lossless, "differential": differential,
-                     "_qt": qt}
+                     "_qt": dict(qt)}
             if differential and not lossless:
                 if any(c["h"] != 1 or c["v"] != 1 for c in comps):
                     raise NotImplementedError(
@@ -1046,6 +1055,11 @@ def decode_jpeg(data: bytes):
                 scan.append({"cs": cs, "dc": tdta >> 4, "ac": tdta & 0xF})
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             params = {"ss": ss, "se": se, "ah": ahal >> 4, "al": ahal & 0xF}
+            if not frame.get("saw_scan"):
+                # latch the frame's quant tables at its first SOS: a DQT
+                # between SOF and first scan belongs to this frame; one
+                # after the first scan belongs to the next
+                frame["_qt"] = dict(qt)
             frame["saw_scan"] = True
             if frame.get("lossless"):
                 if frame.get("arith"):

@@ -181,6 +181,26 @@ TOKEN_BUDGET_TAIL_ROWS = 1 << 17
 TOKEN_BUDGET_BUCKETS = 1024
 
 
+def _budget_scored(df: DataFrame, id_col: str, sc: Column, nt: Column) -> DataFrame:
+    """(id, score, n_tok) projection + null-score guard for
+    select_by_token_budget, with the score Filter FENCED: a drop-column
+    rider (select-then-drop monotonically_increasing_id) gets pruned by
+    ColumnPruning before it can fence, and PushDownPredicate then
+    inlines the tokenization-heavy score expression into the Filter —
+    the double-eval trap (r9 lesson, see timeseries' subsequence
+    threshold). A value-neutral nondeterministic rider on score itself
+    cannot be pruned (the column is consumed) and blocks both
+    CollapseProject and predicate pushdown: 0.0*rand() is exactly +0.0,
+    and score + 0.0 == score bit-for-bit for every non-NaN score the
+    filter keeps (a -0.0 score normalizes to +0.0, which compares and
+    orders identically). Plan-pinned in tests/test_sampling.py."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        (sc.cast("double") + F.lit(0.0) * F.rand(20260816)).alias("score"),
+        F.greatest(F.lit(0).cast("long"), F.coalesce(nt.cast("long"), F.lit(0))).alias("n_tok"),
+    ).filter(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
+
+
 def select_by_token_budget(
     df: DataFrame,
     budget: int,
@@ -226,17 +246,7 @@ def select_by_token_budget(
     # selectable — there is no deterministic place for them in the
     # (score DESC, id ASC) order — and are filtered here; callers
     # wanting them ranked must coalesce their score expression first.
-    # the barrier column keeps predicate pushdown from substituting the
-    # score expression into the null-guard Filter (the usual inlined-
-    # filter double-eval trap — see _with_dists)
-    scored = df.select(
-        F.col(id_col).alias("id"),
-        sc.cast("double").alias("score"),
-        F.greatest(F.lit(0).cast("long"), F.coalesce(nt.cast("long"), F.lit(0))).alias("n_tok"),
-        F.monotonically_increasing_id().alias("__nd__"),
-    ).drop("__nd__").filter(
-        F.col("score").isNotNull() & ~F.isnan(F.col("score"))
-    ).persist()
+    scored = _budget_scored(df, id_col, sc, nt).persist()
 
     from pyspark.sql.types import NumericType
 

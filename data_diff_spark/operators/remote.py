@@ -601,6 +601,15 @@ class SQLiteDialect(RemoteDialect):
 
     def norm_sql(self, col: str, sql_type: str) -> str:
         t = sql_type.upper()
+        if t.startswith(("DECIMAL", "NUMERIC")):
+            # SQLite has no decimal type (NUMERIC affinity stores int/real),
+            # so the base dialect's cast-to-decimal(col_scale) rendering is
+            # unavailable; route through the registered dnorm_s at the
+            # DECLARED scale so the fingerprint matches Spark's scale-padded
+            # decimal string ('1.5' as DECIMAL(10,2) -> '1.50', not '1.5').
+            m = _DECIMAL_RE.match(t)
+            scale = int(m.group(1)) if m else 6
+            return f"dnorm_s({col}, {scale})"
         if t in ("DOUBLE", "REAL", "FLOAT", "DOUBLE PRECISION"):
             return f"dnorm({col})"  # BigDecimal.valueOf + HALF_UP mirror
         if "TIMESTAMP" in t or t == "DATETIME":
@@ -777,10 +786,16 @@ class SQLiteSide(RemoteSide):
     def register(con) -> None:
         """Install the deterministic helper functions on a connection
         (idempotent). dnorm mirrors Spark's normalize_number for doubles:
-        BigDecimal.valueOf (= shortest repr) -> setScale(6, HALF_UP) ->
-        plain string; BigDecimal has no negative zero."""
+        BigDecimal.valueOf (= legacy Java <= 18 Double.toString digits,
+        see jdouble.py — NOT Python's shortest repr) -> setScale(6,
+        HALF_UP) -> plain string; BigDecimal has no negative zero.
+        dnorm_s renders DECIMAL(p,s) columns at their declared scale;
+        store decimals as TEXT for exactness past double precision
+        (SQLite's NUMERIC affinity keeps int/real otherwise)."""
         import hashlib as _hl
-        from decimal import ROUND_HALF_UP, Decimal
+        from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+        from data_diff_spark.jdouble import java_double_decimal
 
         def md5_int(s):
             if s is None:
@@ -792,19 +807,49 @@ class SQLiteSide(RemoteSide):
                 return None
             return int(_hl.md5(s.encode()).hexdigest()[:nhex], 16)
 
-        def dnorm(x):
-            if x is None:
-                return None
-            d = Decimal(repr(float(x))).quantize(
-                Decimal("1.000000"), rounding=ROUND_HALF_UP)
+        def _fixed_point(d: Decimal, scale: int) -> str:
             if d == 0:
                 d = abs(d)  # BigDecimal.valueOf(-0.0) is plain zero
-            return f"{d:.6f}"
+            return f"{d:.{scale}f}" if scale > 0 else str(d)
+
+        def dnorm(x):
+            # Mirror Spark's normalize_number for doubles EXACTLY: the
+            # Spark side goes BigDecimal.valueOf(x) -> setScale(6,
+            # HALF_UP), and on Java <= 18 BigDecimal.valueOf's digits are
+            # the LEGACY Double.toString — not Python's shortest repr
+            # (e.g. 1e23 -> '9.999999999999999E22'); jdouble.py is the
+            # fuzz-verified port. Quantize under a wide explicit context:
+            # the default 28-digit context raises InvalidOperation for
+            # |x| >= ~1e23, silently aborting the whole digest query,
+            # while the cast-to-decimal(38,6) dialects keep going to 1e32
+            # (r10 ADVICE).
+            if x is None:
+                return None
+            with localcontext() as ctx:
+                ctx.prec = 400
+                d = java_double_decimal(float(x)).quantize(
+                    Decimal("1.000000"), rounding=ROUND_HALF_UP)
+            return _fixed_point(d, 6)
+
+        def dnorm_s(x, scale):
+            # Declared-scale fixed-point rendering for DECIMAL(p,s) columns
+            # (SQLite stores them as int/real/text under NUMERIC affinity).
+            # TEXT-stored decimals parse exactly; int/real via str() keeps
+            # the shortest round-trip repr, matching dnorm's float path.
+            if x is None:
+                return None
+            with localcontext() as ctx:
+                ctx.prec = 400
+                d = Decimal(repr(x) if isinstance(x, float) else str(x))
+                d = d.quantize(Decimal(1).scaleb(-int(scale)),
+                               rounding=ROUND_HALF_UP)
+            return _fixed_point(d, int(scale))
 
         kw = {"deterministic": True}
         con.create_function("md5_int", 1, md5_int, **kw)
         con.create_function("md5_bucket", 2, md5_bucket, **kw)
         con.create_function("dnorm", 1, dnorm, **kw)
+        con.create_function("dnorm_s", 2, dnorm_s, **kw)
 
     def bucket_digests(self, n_buckets: int):
         q = digest_query_sql(self.dialect, self.relation_sql, self.key_columns,

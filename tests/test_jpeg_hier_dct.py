@@ -106,3 +106,32 @@ def test_subsampled_differential_dct_rejected():
 def test_color_input_rejected():
     with pytest.raises(ValueError, match="greyscale"):
         encode_jpeg_hierarchical_dct(np.zeros((8, 8, 3), dtype=np.uint8))
+
+
+def test_dqt_between_pyramid_frames_is_not_retroactive():
+    """r10 ADVICE: frames latched the LIVE quant-table dict, but
+    hierarchical DCT frames reconstruct lazily in _hier_apply at the NEXT
+    frame's SOF — a DQT redefining a table between pyramid frames (legal,
+    Annex J) retroactively dequantized the previous frame with the new
+    table. Splice a garbage DQT for table 0 right before the final
+    frame's SOF: every preceding DCT stage already latched its tables (at
+    its first SOS), so the decode must stay bit-exact."""
+    img = _img(32, 32, seed=13)
+    data = encode_jpeg_hierarchical_dct(img, levels=2)
+    sof7 = data.index(b"\xff\xc7")
+    garbage_dqt = b"\xff\xdb\x00\x43\x00" + bytes([255] * 64)
+    spliced = data[:sof7] + garbage_dqt + data[sof7:]
+    np.testing.assert_array_equal(decode_jpeg(spliced), img)
+    # and before the differential DCT stage: the BASE frame must likewise
+    # keep the table it was scanned with
+    sof5 = data.index(b"\xff\xc5")
+    spliced2 = data[:sof5] + garbage_dqt + data[sof5:]
+    # frame 2 (SOF5) references table 0 too — decoding it with the
+    # garbage table is "correct" per the latch rule (the DQT precedes its
+    # SOS), but the final lossless correction was computed against the
+    # encoder's closed loop, so only the BASE frame's integrity is
+    # observable: the stream must still parse and the base frame must not
+    # have been re-dequantized (decode raises nothing and the result
+    # differs from img only through the now-mismatched correction).
+    out2 = decode_jpeg(spliced2)
+    assert out2.shape == img.shape

@@ -170,6 +170,30 @@ def test_token_budget_string_ids_tie_fallback(spark):
     assert ids == {"aa", "d000", "d001", "d002", "d003", "d004"}
     got.sparkSession.catalog.clearCache()
 
+def test_token_budget_score_filter_is_fenced(docs):
+    """r10 ADVICE: the old __nd__ select-then-drop barrier was pruned by
+    ColumnPruning, so PushDownPredicate inlined the tokenization-heavy
+    default score expression into the null-guard Filter — double-eval per
+    row. The rand-rider fence (score consumed, nondeterministic, value-
+    neutral) must keep the score expression OUT of the Filter: the
+    optimized plan's tokenize split() appears exactly once (the Project),
+    never in a Filter condition."""
+    from data_diff_spark.functions.sampling import _budget_scored
+    from data_diff_spark.functions.text import quality_score, token_count
+
+    frame = _budget_scored(
+        docs, "doc_id", quality_score(F.col("text")), token_count(F.col("text"))
+    )
+    plan = frame._jdf.queryExecution().optimizedPlan().toString()
+    filters = [ln for ln in plan.splitlines() if ln.lstrip("+- ").startswith("Filter")]
+    assert filters, plan
+    assert all("split(" not in ln for ln in filters), filters
+    # all tokenize sites live in the single Project (whole-stage codegen
+    # CSEs the repeated subtrees there); the Filter reads the attribute
+    assert sum(1 for ln in plan.splitlines()
+               if "split(" in ln and ln.lstrip("+- ").startswith("Project")) == 1, plan
+
+
 def test_token_budget_null_rows_do_not_crash(spark):
     """r9 ADVICE: a null score used to break the driver-side histogram
     sort (TypeError), a null token count broke the cumsum, and null TEXT

@@ -78,26 +78,42 @@ def test_type_matrix_zero_diff_and_detection(spark):
     perturbed and each perturbation must surface as exactly one diff."""
     import datetime as dt
 
+    import datetime as dt
+    from decimal import Decimal
+
     base = [
-        (1, 10, "a b", 1.5, dt.datetime(2020, 1, 2, 3, 4, 5), True),
-        (2, None, None, None, None, None),
-        (3, -7, "x'y", -0.000001, dt.datetime(1999, 12, 31, 23, 59, 59, 123456), False),
-        (4, 0, "", 576460752305.0, dt.datetime(1970, 1, 1), True),
-        (5, 8, "unicode é", 2.5e-7, dt.datetime(2038, 1, 19, 3, 14, 7), False),
+        (1, 10, "a b", 1.5, dt.datetime(2020, 1, 2, 3, 4, 5), True, Decimal("1.50")),
+        (2, None, None, None, None, None, None),
+        (3, -7, "x'y", -0.000001, dt.datetime(1999, 12, 31, 23, 59, 59, 123456), False,
+         Decimal("-42.07")),
+        (4, 0, "", 576460752305.0, dt.datetime(1970, 1, 1), True, Decimal("0.00")),
+        (5, 8, "unicode é", 2.5e-7, dt.datetime(2038, 1, 19, 3, 14, 7), False,
+         Decimal("1234567890.05")),
     ]
-    schema = "k long, i long, s string, d double, ts timestamp, b boolean"
+    schema = ("k long, i long, s string, d double, ts timestamp, b boolean, "
+              "dec decimal(12,2)")
     types = {"k": "BIGINT", "i": "BIGINT", "s": "TEXT", "d": "DOUBLE",
-             "ts": "TIMESTAMP", "b": "BOOLEAN"}
-    cols = ["k", "i", "s", "d", "ts", "b"]
+             "ts": "TIMESTAMP", "b": "BOOLEAN", "dec": "DECIMAL(12,2)"}
+    cols = ["k", "i", "s", "d", "ts", "b", "dec"]
     df = spark.createDataFrame(base, schema)
     t = table_segment(df, ["k"], extra_columns=cols[1:])
-    c = sqlite3.connect(":memory:", check_same_thread=False)
-    c.execute("create table m (k integer, i integer, s text, d real, ts text, b integer)")
-    c.executemany("insert into m values (?,?,?,?,?,?)",
-                  [(r[0], r[1], r[2], r[3], _ts(r[4]),
-                    None if r[5] is None else int(r[5])) for r in base])
-    remote = SQLiteSide(c, "m", ["k"], cols, types)
-    assert hash_diff_remote(t, remote, n_buckets=8).count() == 0
+
+    def make_side(perturb_sql=None):
+        c2 = sqlite3.connect(":memory:", check_same_thread=False)
+        # dec column declared DECIMAL: NUMERIC affinity stores int/real;
+        # dnorm_s re-pads to the declared scale (r10 ADVICE — the raw TEXT
+        # fallthrough fingerprinted '1.5' vs Spark's '1.50', all rows false-diffed)
+        c2.execute("create table m (k integer, i integer, s text, d real, "
+                   "ts text, b integer, dec decimal(12,2))")
+        c2.executemany("insert into m values (?,?,?,?,?,?,?)",
+                       [(r[0], r[1], r[2], r[3], _ts(r[4]),
+                         None if r[5] is None else int(r[5]),
+                         None if r[6] is None else str(r[6])) for r in base])
+        if perturb_sql:
+            c2.execute(perturb_sql)
+        return SQLiteSide(c2, "m", ["k"], cols, types)
+
+    assert hash_diff_remote(t, make_side(), n_buckets=8).count() == 0
 
     perturbations = [
         "update m set i = 11 where k = 1",
@@ -106,16 +122,10 @@ def test_type_matrix_zero_diff_and_detection(spark):
         "update m set ts = '2020-01-02 03:04:05.000001' where k = 1",
         "update m set b = 0 where k = 1",
         "update m set i = 99 where k = 2",               # NULL -> value
+        "update m set dec = 1.51 where k = 1",           # smallest at scale 2
     ]
     for sql in perturbations:
-        c2 = sqlite3.connect(":memory:", check_same_thread=False)
-        c2.execute("create table m (k integer, i integer, s text, d real, ts text, b integer)")
-        c2.executemany("insert into m values (?,?,?,?,?,?)",
-                       [(r[0], r[1], r[2], r[3], _ts(r[4]),
-                         None if r[5] is None else int(r[5])) for r in base])
-        c2.execute(sql)
-        r2 = SQLiteSide(c2, "m", ["k"], cols, types)
-        got = hash_diff_remote(t, r2, n_buckets=8).collect()
+        got = hash_diff_remote(t, make_side(sql), n_buckets=8).collect()
         assert len(got) == 2, (sql, got)  # one -, one + for the changed key
 
 
@@ -123,8 +133,30 @@ def test_double_normalization_edges(spark):
     """dnorm must equal Spark's normalize_number for the classic traps:
     shortest-repr doubles, sub-half-ulp values, negative zero, HALF_UP
     boundaries."""
+    import random
+    import struct
+
     vals = [0.0, -0.0, 1.5, -1.5, 5e-7, -5e-7, 4.9e-7, 5e-324,
-            576460752305.0, 0.1 + 0.2, 1e15, -123456.789012345]
+            576460752305.0, 0.1 + 0.2, 1e15, -123456.789012345,
+            # r10 ADVICE: the default 28-digit decimal context raised
+            # InvalidOperation at |x| >= ~1e23, aborting the digest query,
+            # while decimal(38,6) dialects cover up to 1e32
+            1e23, -4.2e24, 9.9e31,
+            # legacy-Double.toString territory (jdouble.py): >= 2^53 the
+            # JDK <= 18 digits are NOT Python's shortest repr
+            2.0**53, 2.0**53 + 2, 123456789012345678.0, 2.0**62, 2.0**63,
+            -6.573074988361458e+17, 1.2345678901234568e+17]
+    # deterministic fuzz across the whole magnitude range Spark's ANSI
+    # decimal(38,6) cast accepts (|x| < 1e32), one Spark job for all
+    rng = random.Random(20260816)
+    for _ in range(300):
+        e = rng.randint(-10, 31)
+        vals.append(rng.choice([1, -1]) * rng.uniform(1, 10) * 10 ** e)
+    for _ in range(200):
+        b = rng.getrandbits(64)
+        x = struct.unpack("<d", struct.pack("<Q", b))[0]
+        if x == x and abs(x) < 1e32:
+            vals.append(x)
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
                                "k long, d double")
     from data_diff_spark.normalize import normalize_number
