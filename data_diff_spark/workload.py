@@ -1302,6 +1302,32 @@ def _emb_queries(spark):
     return _emb_base(spark).filter(F.col("vec_id") % 20 == 0)
 
 
+# replica count for the ivf_auto gate corpus: sized so the auto cell rule
+# (rows/1000, floor 16) derives DIFFERENT shapes at the two gate sfs —
+# sf0.01: 500*12 = 6000 rows -> 16 (floor); sf0.1: 2000*12 = 24000 -> 24
+_AUTO_REPLICAS = 12
+_AUTO_REPLICA_STRIDE = 10_000_000
+
+
+def _emb_auto_corpus(base):
+    """Deterministic replica augmentation for the auto-shape gate: replica
+    r carries vec_id + r*stride and the embedding CIRCULARLY SHIFTED by r
+    positions (direction changes, so clustering stays non-degenerate) —
+    one map-only explode, trivially replayed by list slicing in SQL."""
+    dim = EMB_DIM
+    r = F.col("__r")
+    return base.select(
+        "vec_id", "embedding", F.explode(
+            F.sequence(F.lit(0), F.lit(_AUTO_REPLICAS - 1))).alias("__r"),
+    ).select(
+        (F.col("vec_id") + r * F.lit(_AUTO_REPLICA_STRIDE)).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", r + 1, F.lit(dim) - r),
+            F.slice("embedding", F.lit(1), r),
+        ).alias("embedding"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Exact top-5 corpus neighbors for a 5% query sample — broadcast the
     queries, single corpus scan, integer-exact dot products."""
@@ -1419,13 +1445,83 @@ from acorp a left join (select * from best where rk = 1) b using (id)
 """
 
 
+def q_semdedup_incremental(spark, sf_dir):
+    """Persisted-layout SemDeDup increment as an oracle scope (r10
+    VERDICT Next #1 — previously pytest-only): the embeddings table is
+    written as the cell-partitioned IVF layout with frozen Lloyd
+    centroids (write_ivf_layout), then the planted scaled copies
+    (vec_id % 10, x1.01 — the same augmentation the full semdedup arm
+    dedups) ingest against it via semdedup_incremental. The oracle
+    replays the Lloyd training over the STORED corpus only (training is
+    frozen at corpus build — the incremental contract), assigns
+    old ∪ new to those centroids, and marks each NEW row's smallest
+    lower-id cell neighbor at cosine >= threshold."""
+    import shutil
+    import tempfile
+
+    load_views(spark, sf_dir)
+    old = spark.table("embeddings")
+    new = old.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    path = os.path.join(tempfile.gettempdir(), "dds_semdedup_gate",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_ivf_layout(old, path, n_cells=16)
+    return SIM.semdedup_incremental(new, path, threshold=0.99)
+
+
+def _semdedup_inc_oracle(threshold=0.99, n_cells=16, n_iter=2,
+                         train_cap=2048, dim=None) -> str:
+    """DuckDB replay of the incremental contract: Lloyd trains on the
+    stored corpus ONLY (write_ivf_layout's md5-ordered bounded sample),
+    old ∪ new assign to the frozen centroids, pairs restrict to new ids."""
+    dim = dim if dim is not None else EMB_DIM
+
+    def dist(a, b):
+        return SIM.duckdb_int_l2(a, b, dim)
+
+    iter_sql, prev = _lloyd_iter_ctes(n_iter, dim)
+    return f"""
+with old0 as (select vec_id as id,
+        list_transform(embedding, x -> round(x::double * {SIM.QUANT_SCALE})::bigint) as qv
+       from embeddings),
+new0 as (select vec_id + 1000000 as id,
+        list_transform(embedding, x -> round(x::double * 1.01 * {SIM.QUANT_SCALE})::bigint) as qv
+       from embeddings where vec_id % 10 = 0),
+m as (select id, qv, {SIM.duckdb_norm('qv', dim)} as nrm
+      from (select * from old0 union all select * from new0)),
+samp as (select qv, row_number() over (order by md5(id::varchar), id) as rn
+         from (select id, qv from old0) o
+         order by md5(id::varchar), id limit {train_cap}),
+c0 as (select rn - 1 as cell, qv as cv from samp where rn <= {n_cells}),
+{iter_sql},
+acorp as (select id, qv, nrm, cell from (
+            select m.id, m.qv, m.nrm, c.cell,
+                   row_number() over (partition by m.id order by {dist('m.qv', 'c.cv')}, c.cell) as rk
+            from m cross join {prev} c) t where rk = 1),
+p as (select a.id, b.id as id_b,
+             {SIM.duckdb_dot('a.qv', 'b.qv', dim)}::double / (a.nrm * b.nrm) as cosine
+      from acorp a join acorp b on a.cell = b.cell and b.id < a.id
+      where a.nrm > 0 and b.nrm > 0 and a.id >= 1000000),
+best as (select id, id_b, cosine,
+                row_number() over (partition by id order by id_b, cosine) as rk
+         from p where cosine >= {threshold})
+select a.id, a.cell::BIGINT as cell, b.id_b as dup_of, b.cosine as dup_cosine
+from acorp a left join (select * from best where rk = 1) b using (id)
+where a.id >= 1000000
+"""
+
+
 def q_embedding_neardup_all(spark, sf_dir):
     """LSH-bucketed cosine near-dup pairs AND SemDeDup's cluster-scoped
     duplicate marking over the same planted-duplicate corpus, as one
     scope-tagged relation (both are embedding near-dup semantics; the
-    registry is capped at 50 entries). Columns are aligned: the semdedup
-    leg reports (id, dup_of, dup_cosine) as (id_a, id_b, cosine) plus its
-    cell; the pairs leg carries a null cell."""
+    registry is capped at 50 entries), plus the persisted-layout
+    incremental ingest as its own scope (r11). Columns are aligned: the
+    semdedup legs report (id, dup_of, dup_cosine) as (id_a, id_b,
+    cosine) plus the cell; the pairs leg carries a null cell."""
     raw_pairs = q_embedding_neardup(spark, sf_dir)
     raw_sem = q_semdedup(spark, sf_dir)  # derived selects drop the
     pairs = raw_pairs.select(           # _ddspark_persisted attr, so keep
@@ -1437,7 +1533,14 @@ def q_embedding_neardup_all(spark, sf_dir):
         F.col("dup_of").alias("id_b"), F.col("dup_cosine").alias("cosine"),
         "cell",
     )
-    return _track_persisted(pairs.unionAll(sem), [], raw_pairs, raw_sem)
+    raw_inc = q_semdedup_incremental(spark, sf_dir)
+    inc = raw_inc.select(
+        F.lit("sem_inc").alias("scope"), F.col("id").alias("id_a"),
+        F.col("dup_of").alias("id_b"), F.col("dup_cosine").alias("cosine"),
+        "cell",
+    )
+    return _track_persisted(
+        pairs.unionAll(sem).unionAll(inc), [], raw_pairs, raw_sem, raw_inc)
 
 
 ORACLE_EMBEDDING_NEARDUP_ALL = f"""
@@ -1446,6 +1549,9 @@ from ({{pairs}})
 union all
 select 'semdedup' as scope, id as id_a, dup_of as id_b, dup_cosine as cosine, cell
 from ({{sem}})
+union all
+select 'sem_inc' as scope, id as id_a, dup_of as id_b, dup_cosine as cosine, cell
+from ({{sem_inc}})
 """
 
 
@@ -1495,41 +1601,61 @@ def q_ann_topk_ivf_all(spark, sf_dir):
     # parity paths above sf0.01 — values identical, oracle unaffected.
     n = table_rows(spark, sf_dir, "embeddings")
     ivf = SIM.ivf_topk(base, qs, k=5, n_cells=16, n_rows=n)
+    # scope='ivf_auto' (r10 VERDICT Next #2): the PRODUCTION auto shape —
+    # n_cells derived from the corpus size (rows/1000, floor 16), the
+    # default a user gets — gated against a SELF-SIZING oracle whose
+    # n_cells/train_cap are scalar subqueries over the same corpus, so
+    # ONE static SQL replays whatever shape the data derives. The raw
+    # embeddings table is small enough that both gate sfs would derive
+    # the floor (16), so the auto scope runs over a deterministic
+    # replica-augmented corpus (circular-shift replicas, replayed in
+    # SQL) sized so sf0.01 derives 16 and sf0.1 derives 24 — two
+    # genuinely different shapes through the same derivation.
+    au_corpus = _emb_auto_corpus(base)
+    auto = SIM.ivf_topk(
+        au_corpus,
+        au_corpus.filter((F.col("vec_id") % 20 == 0)
+                         & (F.col("vec_id") < _AUTO_REPLICA_STRIDE)),
+        k=5, n_rows=n * _AUTO_REPLICAS)
     adc = SIM.ivf_pq_topk(base, qs, k=_GATE_RERANK, n_cells=16, n_rows=n).persist()
     pq = adc.filter(F.col("rank") <= 5)
     rr = SIM.exact_rerank(adc, base, qs, k=5, n_rows=n)
     out = (
         ivf.select(F.lit("ivf").alias("scope"), "*")
+        .unionAll(auto.select(F.lit("ivf_auto").alias("scope"), "*"))
         .unionAll(pq.select(F.lit("ivf_pq").alias("scope"), "*"))
         .unionAll(rr.select(F.lit("ivf_pq_rr").alias("scope"), "*"))
     )
-    return _track_persisted(out, [adc], ivf, adc, rr)
+    return _track_persisted(out, [adc], ivf, auto, adc, rr)
 
 
-def _lloyd_iter_ctes(n_iter: int, dim: int) -> Tuple[str, str]:
+def _lloyd_iter_ctes(n_iter: int, dim: int, prefix: str = "") -> Tuple[str, str]:
     """Unrolled deterministic integer Lloyd iterations as DuckDB CTEs —
     bit-identical replay of train_ivf_centroids' numpy int64 arithmetic
     (floored integer centroid means, assignment ties to the lowest cell).
-    Assumes CTEs `samp` (rn, qv — the md5-ordered bounded sample) and `c0`
-    (cell, cv — the seeds) exist. Returns (iter_sql, final_cte_name)."""
+    Assumes CTEs `{prefix}samp` (rn, qv — the md5-ordered bounded sample)
+    and `{prefix}c0` (cell, cv — the seeds) exist; `prefix` lets two
+    independently-sized trainings coexist in one WITH (the pinned-16 and
+    the auto-shape chains). Returns (iter_sql, final_cte_name)."""
     def dist(a, b):
         return SIM.duckdb_int_l2(a, b, dim)
 
     iters = []
-    prev = "c0"
+    p = prefix
+    prev = f"{p}c0"
     for it in range(1, n_iter + 1):
         iters.append(f"""
-a{it} as (select rn, qv, cell from (
+{p}a{it} as (select rn, qv, cell from (
          select s.rn, s.qv, c.cell,
                 row_number() over (partition by s.rn order by {dist('s.qv', 'c.cv')}, c.cell) as rk
-         from samp s cross join {prev} c) t where rk = 1),
-u{it} as (select cell, list(cv order by dim) as cv from (
+         from {p}samp s cross join {prev} c) t where rk = 1),
+{p}u{it} as (select cell, list(cv order by dim) as cv from (
          select cell, dim, cast(floor(sum(val)::double / count(*)) as bigint) as cv from (
-           select cell, unnest(qv) as val, unnest(range(1, {dim + 1})) as dim from a{it}) z
+           select cell, unnest(qv) as val, unnest(range(1, {dim + 1})) as dim from {p}a{it}) z
          group by cell, dim) g group by cell),
-c{it} as (select {prev}.cell, coalesce(u{it}.cv, {prev}.cv) as cv
-          from {prev} left join u{it} using (cell))""")
-        prev = f"c{it}"
+{p}c{it} as (select {prev}.cell, coalesce({p}u{it}.cv, {prev}.cv) as cv
+          from {prev} left join {p}u{it} using (cell))""")
+        prev = f"{p}c{it}"
     return ",".join(iters), prev
 
 
@@ -1611,6 +1737,7 @@ def _ann_ivf_all_oracle(k=5, n_cells=16, n_probe=4, n_iter=2, train_cap=2048,
 
     ds = dim // m
     iter_sql, prev = _lloyd_iter_ctes(n_iter, dim)
+    au_iter, au_prev = _lloyd_iter_ctes(n_iter, dim, prefix="au_")
     pq_chains, pq_finals = [], []
     for mi in range(m):
         c, fin = _pq_lloyd_ctes(mi, mi * ds, ds, n_iter, k_codes)
@@ -1666,8 +1793,44 @@ rrp as (select cnd.id_q, cnd.id_c,
         from (select id_q, id_c from rpq where rank <= {rerank}) cnd
         join acorp a on a.id = cnd.id_c
         join qsel q on q.id = cnd.id_q),
-rrk as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from rrp)
+rrk as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from rrp),
+-- AUTO-SIZED chain (r10 VERDICT Next #2): the oracle sizes ITSELF from
+-- the data — n_cells = max(16, ceil(rows/1000)) and the grown training
+-- cap as scalar subqueries — so ONE static SQL string replays the
+-- PRODUCTION auto shape at every sf. The auto corpus is the replica
+-- augmentation (circular shifts) sized so sf0.01 derives 16 cells and
+-- sf0.1 derives 24 (two different shapes through the same derivation).
+au_raw as (select vec_id + rs.r * {_AUTO_REPLICA_STRIDE} as id,
+                  embedding[rs.r + 1:{dim}] || embedding[1:rs.r] as emb
+           from embeddings cross join
+                (select unnest(range(0, {_AUTO_REPLICAS})) as r) rs),
+au_m as (select id, qv, {SIM.duckdb_norm('qv', dim)} as nrm from (
+           select id, list_transform(emb, x -> round(x::double * {SIM.QUANT_SCALE})::bigint) as qv
+           from au_raw) t),
+au_sz as (select greatest(16, cast(ceil(count(*) / 1000.0) as bigint)) as cells from au_m),
+au_cap as (select greatest({train_cap}, 2 * cells) as cap from au_sz),
+au_samp as (select qv, rn from (
+            select qv, row_number() over (order by md5(id::varchar), id) as rn from au_m) t
+            where rn <= (select cap from au_cap)),
+au_c0 as (select rn - 1 as cell, qv as cv from au_samp
+          where rn <= (select cells from au_sz)),
+{au_iter},
+au_acorp as (select id, qv, nrm, cell from (
+            select m.id, m.qv, m.nrm, c.cell,
+                   row_number() over (partition by m.id order by {dist('m.qv', 'c.cv')}, c.cell) as rk
+            from au_m m cross join {au_prev} c) t where rk = 1),
+au_probe as (select id_q, qv_q, nrm_q, cell from (
+            select q.id as id_q, q.qv as qv_q, q.nrm as nrm_q, c.cell,
+                   row_number() over (partition by q.id order by {dist('q.qv', 'c.cv')}, c.cell) as rk
+            from au_m q cross join {au_prev} c
+            where q.id % 20 = 0 and q.id < {_AUTO_REPLICA_STRIDE}) t where rk <= {n_probe}),
+au_p as (select pr.id_q, a.id as id_c,
+             {SIM.duckdb_dot('pr.qv_q', 'a.qv', dim)}::double / (pr.nrm_q * a.nrm) as cosine
+      from au_acorp a join au_probe pr on a.cell = pr.cell where a.id <> pr.id_q),
+au_r as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from au_p)
 select 'ivf' as scope, id_q, id_c, rank::BIGINT as rank, cosine from r where rank <= {k}
+union all
+select 'ivf_auto' as scope, id_q, id_c, rank::BIGINT as rank, cosine from au_r where rank <= {k}
 union all
 select 'ivf_pq' as scope, id_q, id_c, rank::BIGINT as rank, cosine from rpq where rank <= {k}
 union all
@@ -1716,7 +1879,18 @@ def q_ann_topk_lsh(spark, sf_dir):
         F.col("cosine").cast("double").alias("v_num"),
     )
     n = table_rows(spark, sf_dir, "embeddings")
-    auto = SIM.ann_topk_lsh(base, qs, k=5, dim=EMB_DIM, n_rows=n)
+    # persisted: the auto result now feeds BOTH the recall join and the
+    # full auto_topk value gate (r10 VERDICT Next #2 — the production
+    # auto shape, occupancy-ruled width + margin-guided multi-probe, is
+    # replayed row-by-row by a SELF-SIZING oracle whose rows_per_band
+    # comes from a scalar subquery: sf0.01 derives r=4, sf0.1 r=5)
+    auto = SIM.ann_topk_lsh(base, qs, k=5, dim=EMB_DIM, n_rows=n).persist()
+    autok = auto.select(
+        F.lit("auto_topk").alias("scope"),
+        F.concat_ws(":", "id_q", "rank").alias("k"),
+        F.col("id_c").cast("string").alias("v_str"),
+        F.col("cosine").cast("double").alias("v_num"),
+    )
     exact = SIM.cosine_topk(base, qs, k=5, n_rows=n)
     # one pass: exact LEFT JOIN auto marks hits, one aggregation yields
     # (nq, hits), and BOTH output rows explode from that single 1-row
@@ -1747,20 +1921,33 @@ def q_ann_topk_lsh(spark, sf_dir):
         F.lit(None).cast("string").alias("v_str"),
         F.col("s.v_num").alias("v_num"),
     )
-    return topk.unionAll(rows2)
+    return _track_persisted(topk.unionAll(autok).unionAll(rows2), [auto])
 
 
-def _ann_lsh_oracle(k=5, bands=8, rows_per_band=4, dim=EMB_DIM) -> str:
+def _ann_lsh_oracle(k=5, bands=8, rows_per_band=4, dim=EMB_DIM,
+                    max_rpb=24, n_flip=4) -> str:
     """DuckDB replay of ann_topk_lsh: same plane matrix (plane_coefficients
     on both sides), same sign/packing arithmetic, same candidate join;
     plus the auto_recall claim rows (the bound literal — Spark only
     matches it when its measured recall clears the bound — and the
-    query-set size recomputed independently)."""
+    query-set size recomputed independently); plus the FULL auto-shape
+    replay (scope='auto_topk', r10 VERDICT Next #2): rows_per_band from
+    the occupancy rule as a scalar subquery (the 192-plane literal's
+    prefix is the derived shape's plane set — plane_coefficients is
+    prefix-stable), margin-guided multi-probe (per band, flip each of
+    the n_flip lowest-|projection| bits, ties by plane position), exact
+    cosine re-rank. ONE static SQL string replays the production shape
+    at any sf."""
     planes = SIM.duckdb_planes_literal(bands, rows_per_band, dim)
     code_terms = " + ".join(
         f"bits[b.band_idx * {rows_per_band} + {r + 1}] * {1 << r}"
         for r in range(rows_per_band)
     )
+    # plane literal wide enough for the clamp ceiling; the derived shape
+    # uses its first bands*r rows
+    planes_wide = SIM.duckdb_planes_literal(bands, max_rpb, dim)
+    dot_pl = SIM.duckdb_dot("d.qv", "p.pl[pi]", dim)
+    margin_struct = ("{'m': abs(d.dots[c.band_idx * d.r + j + 1]), 'j': j}")
     return f"""
 with n as (select vec_id as id,
             list_transform(embedding, x -> round(x::double * {SIM.QUANT_SCALE})::bigint) as qv
@@ -1775,9 +1962,51 @@ p as (select distinct q.id as id_q, c.id as id_c,
              {SIM.duckdb_dot('q.qv', 'c.qv', dim)}::double / (q.nrm * c.nrm) as cosine
       from codes c join codes q on c.band_idx = q.band_idx and c.code = q.code
       where q.id % 20 = 0 and c.id <> q.id),
-r as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from p)
+r as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank from p),
+au2_sz as (select least({max_rpb}, greatest({rows_per_band},
+             cast(ceil(log2(greatest(2.0, count(*) / 64.0))) as bigint))) as r
+           from n),
+au2_pl as (select {planes_wide} as pl),
+au2_d as (select d.id, d.qv, d.nrm, s.r,
+            list_transform(generate_series(1, {bands} * s.r),
+              pi -> {dot_pl}) as dots
+          from (select id, qv, nrm from m) d, au2_sz s, au2_pl p),
+au2_codes as (
+  select d.id, d.r, b.band_idx,
+         list_sum(list_transform(generate_series(0, d.r - 1),
+           j -> case when d.dots[b.band_idx * d.r + j + 1] > 0
+                     then (1::bigint << j) else 0::bigint end))::bigint as code
+  from au2_d d cross join (select unnest(range(0, {bands})) as band_idx) b),
+au2_qb as (
+  select c.id, c.band_idx, c.code,
+         list_transform(
+           list_sort(list_transform(generate_series(0, d.r - 1),
+             j -> {margin_struct}))[1:{n_flip}],
+           s -> s.j) as flips
+  from au2_codes c join au2_d d using (id)
+  where c.id % 20 = 0),
+au2_probe as (
+  select distinct id, band_idx, code from (
+    select id, band_idx, code from au2_qb
+    union all
+    select id, band_idx, xor(code, (1::bigint << f)) as code
+    from au2_qb, unnest(flips) as t(f))),
+au2_cand as (select distinct q.id as id_q, c.id as id_c
+  from au2_probe q join au2_codes c
+    on c.band_idx = q.band_idx and c.code = q.code
+  where c.id <> q.id),
+au2_p as (select cand.id_q, cand.id_c,
+            {SIM.duckdb_dot('qq.qv', 'cc.qv', dim)}::double / (qq.nrm * cc.nrm) as cosine
+  from au2_cand cand
+  join au2_d qq on qq.id = cand.id_q
+  join au2_d cc on cc.id = cand.id_c),
+au2_r as (select *, row_number() over (partition by id_q order by cosine desc, id_c) as rank
+          from au2_p)
 select 'topk' as scope, id_q || ':' || rank as k, id_c::varchar as v_str, cosine as v_num
 from r where rank <= {k}
+union all
+select 'auto_topk' as scope, id_q || ':' || rank as k, id_c::varchar as v_str, cosine as v_num
+from au2_r where rank <= {k}
 union all
 select 'auto_recall', 'batch', cast(null as varchar), {ANN_RECALL_CLAIM}
 union all
@@ -1939,7 +2168,32 @@ def q_collect_stats_all(spark, sf_dir):
     from data_diff_spark.operators import validate as V
 
     load_views(spark, sf_dir)
-    wide = q_collect_stats_lineitem(spark, sf_dir)
+    # ONE persisted narrow projection feeds all three arms (r10 VERDICT
+    # Next #3 — the scopes used to pay three separate parquet scans of
+    # lineitem): the union of the stats columns, every validated column,
+    # and the profiled columns. Materialized eagerly so the union action
+    # reads cache instead of racing three first-readers through the scan
+    # (the _must_equal lesson). The operators themselves are untouched —
+    # the gate still drives validate()/profile()/the stats agg verbatim,
+    # just over the cached frame.
+    _narrow_cols = sorted(set(LINEITEM_DIFF_COLS) | {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_linenumber",
+        "l_shipdate", "l_orderkey", "l_suppkey"})
+    li = spark.table("lineitem").select(*_narrow_cols).persist()
+    li.count()
+
+    keys = ["l_orderkey", "l_linenumber"]
+    t = table_segment(li.select(*LINEITEM_DIFF_COLS), keys,
+                      extra_columns=[c for c in LINEITEM_DIFF_COLS if c not in keys])
+    from pyspark.sql import types as T
+
+    numeric = [f.name for f in t.schema.fields
+               if f.name in t.relevant_columns and isinstance(f.dataType, T.NumericType)]
+    wide = t.make_select().agg(
+        F.count(F.lit(1)).alias("count"),
+        *[F.sum(F.col(c).cast("decimal(38,4)")).cast("double").alias(f"sum_{c}")
+          for c in numeric],
+    )
     stat_cols = wide.columns  # count, sum_*
     stack_args = ", ".join(
         f"'{c}', cast(`{c}` as double)" for c in stat_cols
@@ -1950,8 +2204,6 @@ def q_collect_stats_all(spark, sf_dir):
         F.lit("stats").alias("scope"), "k",
         F.lit(None).cast("string").alias("v_str"), "v_num",
     )
-
-    li = spark.table("lineitem")
     rules = [
         V.not_null("l_orderkey"),
         V.unique("l_orderkey"),
@@ -1993,7 +2245,7 @@ def q_collect_stats_all(spark, sf_dir):
         F.concat_ws(":", "column", "stat").alias("k"),
         "v_str", "v_num",
     )
-    return stats.unionByName(val).unionByName(pr)
+    return _track_persisted(stats.unionByName(val).unionByName(pr), [li])
 
 
 def _collect_stats_all_oracle() -> str:
@@ -3271,12 +3523,36 @@ def q_merge3_orders(spark, sf_dir):
         F.col("merge_status").alias("v_str"),
         F.lit(None).cast("double").alias("v_num"),
     )
-    m3 = merge3(base, ours, theirs, prefer="ours", d3=d).select(
-        F.lit("merge3").alias("scope"), "o_orderkey",
-        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("v_str"),
-        F.col("o_totalprice").cast("double").alias("v_num"),
-    )
-    return _track_persisted(d3.unionByName(m3), [d])
+
+    def m3_proj(df):
+        return df.select(
+            F.lit("merge3").alias("scope"), "o_orderkey",
+            F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("v_str"),
+            F.col("o_totalprice").cast("double").alias("v_num"),
+        )
+
+    m3 = m3_proj(merge3(base, ours, theirs, prefer="ours", d3=d))
+    # merge_versions arm (r10 VERDICT Next #1): the same three states as
+    # COMMITS of a versioned table — v1 = base snapshot, v2/v3 = diff
+    # commits reconstructed through apply_diff at read time — merged via
+    # merge_versions. _must_equal makes the versioned route share the
+    # merge3 oracle: any divergence (commit-log replay, diff folding,
+    # version addressing) adds symmetric-difference rows and fails the
+    # driver's hash gate.
+    import shutil
+    import tempfile
+
+    from data_diff_spark.operators.merge3 import merge_versions
+    from data_diff_spark.sources import versioned as V
+
+    root = os.path.join(tempfile.gettempdir(), "dds_merge_versions_gate",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+    V.create_table(base.df.select(*ORDERS_COLS), root, keys=["o_orderkey"])
+    V.commit(ours.df.select(*ORDERS_COLS), root)
+    V.commit(theirs.df.select(*ORDERS_COLS), root)
+    m3 = _must_equal(m3, m3_proj(merge_versions(spark, root, 1, 2, 3, prefer="ours")))
+    return _track_persisted(d3.unionByName(m3), [d], m3)
 
 
 def q_ivm_orders(spark, sf_dir):
@@ -3555,17 +3831,57 @@ def q_events_sessionize_all(spark, sf_dir):
     )
 
 
+_LSH_INC_MOD = 11  # doc_id % 11 == 0 is the "new ingest batch" slice
+
+
+def q_lsh_incremental(spark, sf_dir):
+    """Persisted-LSH-index increment as an oracle scope (r10 VERDICT Next
+    #1 — previously pytest-only): the corpus minus every 11th doc is
+    materialized as the bucketed bands+shingles index (lsh_index_write),
+    the 11th-doc slice probes it (minhash_lsh_incremental), and the
+    output — near-dup pairs touching AT LEAST ONE new doc — must equal
+    the full-corpus brute-force Jaccard pairs restricted to pairs with a
+    new id (same 32x4-band miss-probability argument as the full arm:
+    ~5e-8 per true pair at J=0.8). Index write + Exchange-free probe are
+    both inside the gated pipeline."""
+    import shutil
+    import tempfile
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    path = os.path.join(tempfile.gettempdir(), "dds_lsh_gate",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(path, ignore_errors=True)
+    DD.lsh_index_write(docs.filter(F.col("doc_id") % _LSH_INC_MOD != 0), path,
+                       threshold=0.8)
+    return DD.minhash_lsh_incremental(
+        docs.filter(F.col("doc_id") % _LSH_INC_MOD == 0), path)
+
+
 def q_neardup_pairs_all(spark, sf_dir):
     """Brute-ish inverted-index Jaccard AND banded MinHash-LSH (candidate
     gen + exact verify) must emit the identical pair set (at 32x4 bands the
-    per-pair miss probability at J=0.8 is ~5e-8). The persisted-index
-    incremental composition reproduces this same pair set too — pinned on
-    real corpus data in tests/test_text_dedup.py rather than as a third
-    gate arm (it would re-run half the pipeline per bench entry)."""
-    return _must_equal(
+    per-pair miss probability at J=0.8 is ~5e-8); plus the persisted-index
+    incremental composition as its own oracle scope (r11 — previously
+    pinned only in tests/test_text_dedup.py)."""
+    pairs = _must_equal(
         q_ngram_jaccard_pairs(spark, sf_dir),
         q_dedup_minhash_lsh(spark, sf_dir),
     )
+    p = pairs.select(F.lit("pairs").alias("scope"), "id_a", "id_b", "jaccard")
+    inc = q_lsh_incremental(spark, sf_dir).select(
+        F.lit("incremental").alias("scope"), "id_a", "id_b", "jaccard")
+    return _track_persisted(p.unionAll(inc), [], pairs)
+
+
+def _neardup_pairs_all_oracle() -> str:
+    return f"""
+with allp as ({_jaccard_pairs_oracle()})
+select 'pairs' as scope, * from allp
+union all
+select 'incremental' as scope, * from allp
+where id_a % {_LSH_INC_MOD} = 0 or id_b % {_LSH_INC_MOD} = 0
+"""
 
 
 def q_range_join_all(spark, sf_dir):
@@ -3669,14 +3985,87 @@ select 'window' as scope, * from ({_orders_window_oracle()})
 """
 
 
+def q_export_roundtrip_checksums(spark, sf_dir):
+    """Training-export round trip as an oracle gate (VERDICT r10 Next #1):
+    the canonical normalized strings of a deterministic orders slice
+    (o_orderkey % 7 = 0) are exported to BOTH shard formats — Arrow IPC
+    files and WebDataset tars (sources/export.py) — read back through the
+    same readers the arrowshards:// / webdataset:// URI schemes use, and
+    re-checksummed with the segment fingerprint. The oracle recomputes
+    (count, checksum) directly from the orders table, so ANY byte the
+    writer/reader pair loses or alters (member naming, utf-8 encoding,
+    null-member skipping, shard boundaries, empty strings) breaks the
+    hash. Zero-diff through the export IS the gate. Reference tie: the
+    materialize sink surface (joindiff_tables.py:396-399)."""
+    import shutil
+    import tempfile
+
+    from data_diff_spark.constants import NULL_LITERAL
+    from data_diff_spark.normalize import md5_as_int
+    from data_diff_spark.sources.export import (
+        read_arrow_shards,
+        read_webdataset,
+        write_arrow_shards,
+        write_webdataset,
+    )
+
+    load_views(spark, sf_dir)
+    sub = spark.table("orders").select(*ORDERS_COLS).filter(
+        F.col("o_orderkey") % 7 == 0)
+    t = table_segment(sub, ["o_orderkey"], extra_columns=ORDERS_COLS[1:])
+    vals = t.get_values()  # canonical strings, nulls preserved
+    base = os.path.join(tempfile.gettempdir(), "dds_export_gate",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    a_dir, w_dir = os.path.join(base, "arrow"), os.path.join(base, "wds")
+    # one member per column per key: extensions are the member suffix and
+    # must be UNIQUE per column (same-ext columns overwrite each other)
+    exts = {c: c.removeprefix("o_") for c in ORDERS_COLS[1:]}
+    for d in (a_dir, w_dir):
+        # the read-back frames are evaluated lazily by the caller, so the
+        # dirs persist for the session; a fresh run clears stale shards
+        # (leftover extra shards would be silently unioned into the scan)
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    write_arrow_shards(vals, a_dir, rows_per_shard=4096).count()
+    write_webdataset(vals, w_dir, key_col="o_orderkey", extensions=exts,
+                     rows_per_shard=4096).count()
+
+    def cks_agg(df):
+        fp = F.concat_ws(
+            "|", *[F.coalesce(F.col(c), F.lit(NULL_LITERAL)) for c in ORDERS_COLS])
+        return df.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(md5_as_int(fp)).cast("string").alias("cks"),
+        )
+
+    back_a = read_arrow_shards(spark, a_dir).select(*ORDERS_COLS)
+    back_w = read_webdataset(
+        spark, w_dir, key_col="o_orderkey", extensions=exts,
+        text_cols=set(ORDERS_COLS[1:]),
+    ).select(*ORDERS_COLS)
+    return (
+        cks_agg(back_a).withColumn("scope", F.lit("arrowshards"))
+        .unionAll(cks_agg(back_w).withColumn("scope", F.lit("webdataset")))
+    )
+
+
+ORACLE_CHECKSUM_EXPORT_SLICE = ORACLE_CHECKSUM_ORDERS.replace(
+    "from orders", "from orders where o_orderkey % 7 = 0"
+)
+
+
 def q_checksum_orders_scoped(spark, sf_dir):
     """Segment (count, checksum) over: the full table, a key-range
-    restriction, and the apply_diff(A, diff(A,B)) == B closure — three
-    checksum workflows, one scoped relation."""
+    restriction, the apply_diff(A, diff(A,B)) == B closure, and the
+    Arrow-IPC / WebDataset export round trips — five checksum workflows,
+    one scoped relation."""
     full = q_checksum_orders(spark, sf_dir).withColumn("scope", F.lit("full"))
     rng = q_checksum_orders_keyrange(spark, sf_dir).withColumn("scope", F.lit("keyrange"))
     app = q_apply_diff_roundtrip(spark, sf_dir).withColumn("scope", F.lit("applied"))
-    return full.unionAll(rng.select(*full.columns)).unionAll(app.select(*full.columns))
+    exp = q_export_roundtrip_checksums(spark, sf_dir)
+    return (full.unionAll(rng.select(*full.columns))
+            .unionAll(app.select(*full.columns))
+            .unionAll(exp.select(*full.columns)))
 
 
 def _checksum_scoped_oracle() -> str:
@@ -3686,6 +4075,10 @@ union all
 select 'keyrange' as scope, * from ({ORACLE_CHECKSUM_KEYRANGE})
 union all
 select 'applied' as scope, * from ({_apply_diff_oracle()})
+union all
+select 'arrowshards' as scope, * from ({ORACLE_CHECKSUM_EXPORT_SLICE})
+union all
+select 'webdataset' as scope, * from ({ORACLE_CHECKSUM_EXPORT_SLICE})
 """
 
 
@@ -3927,14 +4320,122 @@ select id as doc_id, n_tok from c where cum <= {DOCS_TOKEN_BUDGET}
 """
 
 
+_WARC_GATE_MOD = 5  # documents slice wrapped into the synthetic WARC corpus
+
+
+def q_warc_extract(spark, sf_dir):
+    """WARC ingestion + html_to_text as an oracle gate (r10 VERDICT Next
+    #1 — the extraction was pytest-only): a deterministic documents slice
+    is HTML-escaped, wrapped in a template carrying script/style/comment
+    traps, written as per-partition WARC files with full HTTP response
+    records (DISTRIBUTED — the driver never sees a document), read back
+    through sources/warc.py:read_warc, the HTTP envelope stripped in SQL,
+    text re-extracted with functions/web.py:html_to_text, and the doc id
+    parsed back out of the WARC-Target-URI. The oracle replays the
+    template + the exact entity/tag/whitespace pipeline from the raw
+    documents table — any drift in WARC framing (Content-Length, CRLF
+    boundaries), HTTP payload split, or the extraction regexes breaks the
+    row hash. Reference tie: C4-style ingestion is the pipeline in front
+    of every text operator here."""
+    import shutil
+    import tempfile
+    from typing import Iterator
+
+    from data_diff_spark.functions.web import html_to_text
+    from data_diff_spark.sources.warc import read_warc
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text").filter(
+        F.col("doc_id") % _WARC_GATE_MOD == 0)
+    out_dir = os.path.join(tempfile.gettempdir(), "dds_warc_gate",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_warc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import os as _os
+        import uuid
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            chunks = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                esc = ((r["text"] or "")
+                       .replace("&", "&amp;").replace("<", "&lt;")
+                       .replace(">", "&gt;"))
+                html = (
+                    f"<html><head><title>d{did}</title>"
+                    "<script>var x='<p>no</p>';</script>"
+                    "<style>.x{color:red}</style></head>"
+                    f"<body><!-- hidden --><h1>Doc {did}</h1>"
+                    f"<p>{esc}</p></body></html>"
+                ).encode("utf-8")
+                http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                        b"charset=utf-8\r\n\r\n" + html)
+                hdr = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: response\r\n"
+                    f"WARC-Record-ID: <urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, str(did))}>\r\n"
+                    f"WARC-Target-URI: http://synth.example/doc/{did}\r\n"
+                    "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                    "Content-Type: application/http; msgtype=response\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n"
+                ).encode("ascii")
+                chunks.append(hdr + http + b"\r\n\r\n")
+            name = _os.path.join(out_dir, f"part-{uuid.uuid4().hex}.warc")
+            with open(name, "wb") as f:
+                f.write(b"".join(chunks))
+            yield pd.DataFrame({"n": [len(chunks)]})
+
+    docs.mapInPandas(write_warc, "n long").count()  # materialize the corpus
+    recs = read_warc(spark, os.path.join(out_dir, "*.warc"),
+                     warc_types=["response"])
+    body = F.expr(
+        "substring(cast(content as string), "
+        "instr(cast(content as string), '\r\n\r\n') + 4)")
+    return recs.select(
+        F.lit("warc").alias("scope"),
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        html_to_text(body).alias("tag"),
+    )
+
+
+def _warc_extract_oracle() -> str:
+    # replay: escape -> (template text content) -> html_to_text's entity
+    # decode IN ORDER -> whitespace collapse + trim. The unescape chain
+    # must mirror web.py's replacement order (nbsp, amp, lt, gt, quot,
+    # #39, apos) — the amp-before-lt double-unescape is part of the
+    # pinned semantics, not a bug to "fix" on one side only.
+    esc = ("replace(replace(replace(coalesce(text,''),"
+           "'&','&amp;'),'<','&lt;'),'>','&gt;')")
+    une = esc
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''"),
+                     ("&apos;", "''")):
+        une = f"replace({une}, '{ent}', '{rep}')"
+    return f"""
+select 'warc' as scope, doc_id,
+       trim(regexp_replace(
+         'd' || doc_id || ' Doc ' || doc_id || ' ' || {une},
+         '\\s+', ' ', 'g')) as tag
+from documents where doc_id % {_WARC_GATE_MOD} = 0
+"""
+
+
 def q_docs_sampling(spark, sf_dir):
     """Deterministic sampling surface in one scoped relation: content-hash
     train/val/test split assignment, 20-per-language stratified sample,
     the corpus-mixture construction (r8: mix_corpora folded in here —
     both are hash-sampling semantics — to free a registry slot for the
-    clean_docs LM/BPE gate), and budgeted corpus selection (r9: the
+    clean_docs LM/BPE gate), budgeted corpus selection (r9: the
     token-budget curation step, histogram threshold search vs the
-    oracle's global-sort cumsum)."""
+    oracle's global-sort cumsum), and the WARC/html_to_text ingestion
+    round trip (r11 — hosted here because the (scope, doc_id, tag)
+    shape fits extraction output; see q_warc_extract)."""
     s = q_docs_split_assign(spark, sf_dir).select(
         F.lit("split").alias("scope"), "doc_id", F.col("split").alias("tag")
     )
@@ -3945,7 +4446,10 @@ def q_docs_sampling(spark, sf_dir):
         F.lit("mix").alias("scope"), "doc_id", F.col("mix_source").alias("tag")
     )
     b = q_docs_token_budget(spark, sf_dir)
-    return _track_persisted(s.unionAll(t).unionAll(m).unionAll(b), [], b)
+    w = q_warc_extract(spark, sf_dir)
+    return _track_persisted(
+        s.unionAll(t).unionAll(m).unionAll(b).unionAll(w.select(*s.columns)),
+        [], b)
 
 
 def _docs_sampling_oracle() -> str:
@@ -3958,6 +4462,8 @@ select 'mix' as scope, doc_id, mix_source as tag from ({_mix_corpora_oracle()})
 union all
 select 'budget' as scope, doc_id, cast(n_tok as varchar) as tag
 from ({_docs_token_budget_oracle()})
+union all
+select * from ({_warc_extract_oracle()})
 """
 
 
@@ -4006,15 +4512,18 @@ WORKLOAD: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_sessionize": (q_events_sessionize_all, SESSIONIZE_ORACLE),
     "text_analysis_docs": (q_text_analysis_docs, _text_analysis_oracle()),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "neardup_pairs_jaccard": (q_neardup_pairs_all, _jaccard_pairs_oracle()),
+    # r11: persisted-index increment folded in as scope='incremental'
+    "neardup_pairs_jaccard": (q_neardup_pairs_all, _neardup_pairs_all_oracle()),
     "docs_sampling": (q_docs_sampling, _docs_sampling_oracle()),
     "dedup_resolve": (q_dedup_resolve_all, _dedup_resolve_all_oracle()),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, _simhash_pairs_oracle()),
     "cosine_topk_exact": (q_cosine_topk, ORACLE_COSINE_TOPK),
+    # r11: persisted-layout incremental ingest folded in as scope='sem_inc'
     "embedding_neardup_lsh": (
         q_embedding_neardup_all,
         ORACLE_EMBEDDING_NEARDUP_ALL.format(
-            pairs=ORACLE_EMBEDDING_NEARDUP, sem=_semdedup_oracle()),
+            pairs=ORACLE_EMBEDDING_NEARDUP, sem=_semdedup_oracle(),
+            sem_inc=_semdedup_inc_oracle()),
     ),
     "ann_topk_lsh": (q_ann_topk_lsh, _ann_lsh_oracle()),
     # r9: IVF-PQ folded in as a second scope (same coarse quantizer)

@@ -77,8 +77,6 @@ def test_type_matrix_zero_diff_and_detection(spark):
     canonical string in both engines; then one cell of each type is
     perturbed and each perturbation must surface as exactly one diff."""
     import datetime as dt
-
-    import datetime as dt
     from decimal import Decimal
 
     base = [
