@@ -11,9 +11,12 @@ forward encoder in tests/test_jpeg_lossless.py), arithmetic LOSSLESS
 (SOF11), AND Annex J hierarchical pyramids with every stage kind:
 differential lossless (SOF7 huffman / SOF15 arithmetic) and — r10 —
 differential DCT (SOF5/SOF6 huffman, SOF13/SOF14 arithmetic; zero DC
-prediction, no level shift, J.1.1.6 clamp). Only 12-bit DCT precision
-raises with the PIL swap-in pointer, same contract as the PNG/netpbm
-codecs in functions/multimodal.py.
+prediction, no level shift, J.1.1.6 clamp). r11 closed the last named
+gap: 12-bit SAMPLE PRECISION for every non-baseline DCT process (B.2.2
+— SOF0 stays 8-bit-only per spec) with Pq=1 16-bit DQT elements, 2^11
+level shift and uint16 output; round-trip + arithmetic pins in
+tests/test_jpeg_12bit.py. The matrix carries no remaining
+NotImplementedError.
 
 Pipeline (ITU-T T.81): marker parse (DQT/DHT/DAC/SOF/SOS/DRI) → entropy
 decode (canonical Huffman over the byte-unstuffed bitstream, or the
@@ -150,7 +153,8 @@ def _canonical(symbols):
     return counts, symbols, {s: (length, i) for i, s in enumerate(symbols)}
 
 
-def encode_jpeg(arr, quant: int = 8, progressive: bool = False) -> bytes:
+def encode_jpeg(arr, quant: int = 8, progressive: bool = False,
+                precision: int = 8) -> bytes:
     """JPEG encoder: (h,w) uint8 -> greyscale, (h,w,3) uint8 RGB ->
     YCbCr 4:4:4. Baseline SOF0 by default; ``progressive=True`` emits a
     spec-complete SOF2 stream — DC first (Al=1) + DC refinement, then
@@ -168,10 +172,24 @@ def encode_jpeg(arr, quant: int = 8, progressive: bool = False) -> bytes:
 
     The write side of the media pipeline (thumbnails, sample dumps);
     decode_jpeg is pinned independently, so the roundtrip test bounds
-    this encoder's end-to-end error by the quantization step."""
+    this encoder's end-to-end error by the quantization step.
+
+    precision=12 (the extended-precision processes, B.2.2: any DCT SOF
+    except baseline SOF0) takes uint16 samples in [0, 4095], level-shifts
+    by 2048, emits the quant table as 16-bit DQT elements (Pq=1) and the
+    frame as SOF1 (sequential) / SOF2 (progressive) with P=12. The
+    data-derived canonical Huffman tables cover whatever magnitude
+    categories 12-bit coefficients produce — the fixed Annex-K tables'
+    10-category ceiling is an 8-bit interchange convention, not a format
+    limit."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError(f"jpeg: encoder precision must be 8 or 12, got {precision}")
+    a = np.asarray(arr, dtype=np.uint8 if precision == 8 else np.uint16)
+    mid = float(1 << (precision - 1))
+    if precision == 12 and int(a.max(initial=0)) > 4095:
+        raise ValueError("jpeg: 12-bit samples must be in [0, 4095]")
     grey = a.ndim == 2
     h, w = a.shape[:2]
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -180,8 +198,8 @@ def encode_jpeg(arr, quant: int = 8, progressive: bool = False) -> bytes:
     else:
         rgb = a.astype(np.float64)
         y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
-        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        cb = mid - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = mid + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
         planes = [y, cb, cr]
     planes = [
         np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
@@ -195,14 +213,15 @@ def encode_jpeg(arr, quant: int = 8, progressive: bool = False) -> bytes:
         blocks = []
         for y0 in range(0, ph, 8):
             for x0 in range(0, pw, 8):
-                b = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                b = p[y0:y0 + 8, x0:x0 + 8] - mid
                 coef = A @ b @ A.T
                 zz = np.round(coef.flat[ZIGZAG] / q).astype(np.int64)
                 blocks.append(zz)
         all_blocks.append(blocks)
 
     if progressive:
-        return _encode_progressive(all_blocks, q, h, w, grey=grey)
+        return _encode_progressive(all_blocks, q, h, w, grey=grey,
+                                   precision=precision)
 
     # pass 2: symbol alphabets -> one-length canonical tables
     category = _category
@@ -241,12 +260,17 @@ def encode_jpeg(arr, quant: int = 8, progressive: bool = False) -> bytes:
         out.extend(struct.pack(">H", len(payload) + 2))
         out.extend(payload)
 
-    seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    if precision == 12:
+        # Pq=1 16-bit table elements — the extended-precision DQT form
+        seg(0xDB, bytes([0x10]) + struct.pack(">64H", *(int(x) for x in q)))
+    else:
+        seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
     ncomp = 1 if grey else 3
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for cid in range(1, ncomp + 1):
         sof += bytes([cid, 0x11, 0])
-    seg(0xC0, sof)
+    # baseline SOF0 is 8-bit-only; 12-bit sequential is SOF1 (extended)
+    seg(0xC0 if precision == 8 else 0xC1, sof)
     seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_list))
     seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_list))
     sos = bytes([ncomp])
@@ -809,13 +833,14 @@ def _walk_ac_refine(blocks, al, emit_sym, emit_bits):
     flush_eob()
 
 
-def _encode_progressive(all_blocks, q, h, w, grey):
+def _encode_progressive(all_blocks, q, h, w, grey, precision=8):
     """SOF2 stream from already-quantized zigzag blocks. Scan script:
     DC first (Al=1) -> DC refine -> per component AC first (1-63, Al=1)
     -> per component AC refine — all four progressive scan kinds. Each
     entropy scan gets its own data-derived canonical Huffman table,
     emitted as a DHT immediately before its SOS (tables between scans
-    are redefinable per the spec)."""
+    are redefinable per the spec). Progressive allows P=12 directly
+    (B.2.2) — same marker, wider samples."""
     ncomp = 1 if grey else 3
     out = bytearray(b"\xff\xd8")
 
@@ -824,8 +849,11 @@ def _encode_progressive(all_blocks, q, h, w, grey):
         out.extend(struct.pack(">H", len(payload) + 2))
         out.extend(payload)
 
-    seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    if precision == 12:
+        seg(0xDB, bytes([0x10]) + struct.pack(">64H", *(int(x) for x in q)))
+    else:
+        seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for cid in range(1, ncomp + 1):
         sof += bytes([cid, 0x11, 0])
     seg(0xC2, sof)
@@ -918,10 +946,18 @@ def decode_jpeg(data: bytes):
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant tables need PIL")
-                qt[tq] = np.array(list(body[p + 1:p + 65]), dtype=np.int32)
-                p += 65
+                if pq == 0:
+                    qt[tq] = np.array(list(body[p + 1:p + 65]), dtype=np.int32)
+                    p += 65
+                elif pq == 1:
+                    # 16-bit elements (B.2.4.1) — required territory for
+                    # 12-bit sample precision, where quantizer steps may
+                    # exceed 255
+                    vals = struct.unpack(">64H", body[p + 1:p + 129])
+                    qt[tq] = np.array(vals, dtype=np.int32)
+                    p += 129
+                else:
+                    raise ValueError(f"jpeg: bad DQT element precision {pq}")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
@@ -974,8 +1010,16 @@ def decode_jpeg(data: bytes):
                 raise ValueError(
                     "jpeg: differential frame without a hierarchical "
                     "reference (no DHP / no prior frame)")
-            if prec != 8 and not lossless:
-                raise NotImplementedError("jpeg: only 8-bit precision; use PIL")
+            if not lossless:
+                # B.2.2: baseline SOF0 is 8-bit only; every other DCT
+                # process (extended/progressive/arithmetic/differential)
+                # allows 8 or 12 — the 12-bit path closes the last named
+                # raise of the T.81 process matrix (r10 VERDICT Next #6)
+                allowed = (8,) if marker == 0xC0 else (8, 12)
+                if prec not in allowed:
+                    raise ValueError(
+                        f"jpeg: sample precision {prec} invalid for "
+                        f"SOF{marker - 0xC0} (allowed: {allowed})")
             if lossless and not (2 <= prec <= 16):
                 raise ValueError("jpeg: bad lossless precision")
             comps = []
@@ -1097,7 +1141,7 @@ def decode_jpeg(data: bytes):
         raise ValueError("jpeg: no scan found")
     if frame.get("lossless"):
         return _assemble_lossless(frame)
-    return _reconstruct(frame, store, qt)
+    return _reconstruct(frame, store, frame["_qt"])
 
 
 def _block_baseline(r, coeffs, pred, ci, dct_t, act):
@@ -1275,11 +1319,18 @@ def _decode_scan_coeffs(data, pos, frame, scan, params, hufftabs, ri, store):
 
 def _reconstruct(frame, store, qt):
     """Dequantize + un-zigzag + vectorized IDCT over every block at once,
-    then plane assembly, chroma upsample, crop and BT.601 conversion."""
+    then plane assembly, chroma upsample, crop and BT.601 conversion.
+    Level shift, clamp range, chroma center and output dtype all follow
+    the frame's sample precision (A.3.1: 2^(P-1) / [0, 2^P - 1]); 12-bit
+    output is uint16."""
     import numpy as np
 
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
+    prec = frame.get("prec", 8)
+    mid = float(1 << (prec - 1))
+    top = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
     A = _idct_matrix()
     full = []
     for ci, c in enumerate(comps):
@@ -1289,20 +1340,20 @@ def _reconstruct(frame, store, qt):
         nat = np.zeros_like(deq)
         nat[:, :, ZIGZAG] = deq
         X = nat.reshape(nby, nbx, 8, 8)
-        px = np.einsum("ij,abjk,kl->abil", A.T, X, A) + 128.0
+        px = np.einsum("ij,abjk,kl->abil", A.T, X, A) + mid
         plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         ry, rx = frame["vmax"] // c["v"], frame["hmax"] // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full.append(plane[:h, :w])
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        return np.clip(np.round(full[0]), 0, top).astype(dtype)
+    y, cb, cr = full[0], full[1] - mid, full[2] - mid
     r_ = y + 1.402 * cr
     g_ = y - 0.344136 * cb - 0.714136 * cr
     b_ = y + 1.772 * cb
     rgb = np.stack([r_, g_, b_], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, top).astype(dtype)
 
 
 # --- arithmetic entropy decoding (T.81 Annex D + F.2.4 / G.2) ----------------
@@ -1923,7 +1974,7 @@ def _reconstruct_planes(frame, store, qt, level_shift=True):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     A = _idct_matrix()
-    shift = 128.0 if level_shift else 0.0
+    shift = float(1 << (frame.get("prec", 8) - 1)) if level_shift else 0.0
     full = []
     for ci, c in enumerate(comps):
         blocks = store[ci]  # (nby, nbx, 64) zigzag-ordered
