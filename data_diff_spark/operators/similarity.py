@@ -822,9 +822,13 @@ def _int_l2_dists(vec: str, centroids: List[List[int]]) -> Column:
 # the BLAS path does the same rows in seconds — the crossover is far lower
 # than the r7 guess.
 _ASSIGN_UDF_MIN_CELLS = 32
+# cells x rows above which the interpreted SQL transform loses to BLAS even
+# under 32 cells (see _assign_cells dispatch note); 16 cells x the sf0.1
+# embeddings corpus (2000 rows = 32k) stays comfortably under it
+_ASSIGN_UDF_MIN_WORK = 200_000
 
 
-def _assign_cells(prepared: DataFrame, centroids) -> DataFrame:
+def _assign_cells(prepared: DataFrame, centroids, n_rows=None) -> DataFrame:
     """`prepared` (from _prepared: id, qv, nrm) + a `cell` int column =
     nearest centroid, exact squared-L2, ties to the lowest cell id.
 
@@ -838,9 +842,21 @@ def _assign_cells(prepared: DataFrame, centroids) -> DataFrame:
         centroids broadcast once per executor, distances as a chunked
         float64 BLAS matmul that _argmin_cells guarantees exact. The SQL
         transform at 50k cells would be ~50k*dim interpreted ops per ROW;
-        the matmul form is the only shape that survives 100 TB."""
+        the matmul form is the only shape that survives 100 TB.
+
+    Dispatch is by TOTAL interpreted work, not cell count alone: the SQL
+    transform is O(cells*dim) interpreted lambda ops PER ROW, so a
+    moderate cell count over a large corpus costs like a large cell count
+    over a small one (measured: 24 cells x 24k rows = 7.5s of a 7.6s IVF
+    pass; the BLAS path does it in under a second). `n_rows` is the
+    action-free hint the call sites already carry; without it only the
+    cell-count rule applies (the gated pinned shapes — 16 cells over the
+    sf0.01/sf0.1 corpora — stay under both rules and keep the SQL plan
+    their DuckDB oracles replay)."""
     n = len(centroids)
-    if n < _ASSIGN_UDF_MIN_CELLS:
+    work_bound = (n_rows is not None
+                  and n_rows * n >= _ASSIGN_UDF_MIN_WORK)
+    if n < _ASSIGN_UDF_MIN_CELLS and not work_bound:
         return (
             _with_dists(prepared, "qv", centroids)
             .withColumn("cell", F.array_min(_cell_structs(n))["c"])
@@ -975,10 +991,10 @@ def ivf_topk(
     # lazy, Catalyst inlines the quantization into the per-pair cosine and
     # the argmin into the join-key filter (measured 15s -> 4.6s at sf0.1).
     # At scale, write_ivf_layout is the durable form of the same
-    # materialization. _assign_cells routes large cell counts to the
-    # exact chunked-BLAS argmin (the SQL literal transform is O(cells*dim)
-    # interpreted ops per row).
-    assigned = _assign_cells(c, centroids).persist()
+    # materialization. _assign_cells routes large cell counts — or large
+    # cells x rows work — to the exact chunked-BLAS argmin (the SQL
+    # literal transform is O(cells*dim) interpreted ops per row).
+    assigned = _assign_cells(c, centroids, n_rows=n_rows).persist()
 
     probed = _probed_queries(queries, centroids, n_probe, id_col, vec_col)
     # an oversized query side must not be broadcast — the cogrouped path
