@@ -89,24 +89,33 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """One report row per rule: (rule, n_failed, passed, detail). All
     aggregate rules share ONE scan; each relationship rule adds one
     left_anti join (broadcast-eligible when the reference side is a
-    dimension)."""
+    dimension). The aggregate job and the relationship-union job are
+    independent and SUBMITTED CONCURRENTLY (Spark accepts jobs from
+    multiple driver threads), so wall-clock is max(scan-agg, anti-joins)
+    rather than their sum — the count-distinct Expand in a unique() rule
+    leaves task slots idle at its stage barrier that the anti-joins fill."""
     spark = df.sparkSession
     agg_rules = [r for r in rules if r.fail_count is not None]
-    rows: List[tuple] = []
-    if agg_rules:
+    rel_rules = [r for r in rules if r.ref is not None]
+
+    def _agg_rows() -> List[tuple]:
+        if not agg_rules:
+            return []
         res = df.agg(*[
             F.coalesce(r.fail_count, F.lit(0)).alias(f"r{i}")
             for i, r in enumerate(agg_rules)
         ]).collect()[0]
-        rows += [
+        return [
             (r.name, int(res[f"r{i}"]), int(res[f"r{i}"]) == 0, r.detail)
             for i, r in enumerate(agg_rules)
         ]
-    # all relationship rules in ONE job: each is a broadcast left-anti
-    # count over its own scan, unioned — a per-rule .count() loop paid a
-    # scheduling round-trip per rule
-    rel_rules = [r for r in rules if r.ref is not None]
-    if rel_rules:
+
+    def _rel_rows() -> List[tuple]:
+        # all relationship rules in ONE job: each is a broadcast left-anti
+        # count over its own scan, unioned — a per-rule .count() loop paid
+        # a scheduling round-trip per rule
+        if not rel_rules:
+            return []
         frames = []
         for i, r in enumerate(rel_rules):
             ref_df, col, ref_col = r.ref
@@ -123,10 +132,19 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         for f in frames[1:]:
             u = u.unionByName(f)
         got = {row["i"]: int(row["n"]) for row in u.collect()}
-        rows += [
+        return [
             (r.name, got[i], got[i] == 0, r.detail)
             for i, r in enumerate(rel_rules)
         ]
+
+    if agg_rules and rel_rules:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fa, fr = ex.submit(_agg_rows), ex.submit(_rel_rows)
+            rows = fa.result() + fr.result()
+    else:
+        rows = _agg_rows() + _rel_rows()
     return spark.createDataFrame(
         rows, "rule string, n_failed long, passed boolean, detail string"
     )
