@@ -947,12 +947,16 @@ def decode_jpeg(data: bytes):
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0xF
                 if pq == 0:
+                    if len(body) < p + 65:
+                        raise ValueError("jpeg: truncated DQT")
                     qt[tq] = np.array(list(body[p + 1:p + 65]), dtype=np.int32)
                     p += 65
                 elif pq == 1:
                     # 16-bit elements (B.2.4.1) — required territory for
                     # 12-bit sample precision, where quantizer steps may
                     # exceed 255
+                    if len(body) < p + 129:
+                        raise ValueError("jpeg: truncated DQT")
                     vals = struct.unpack(">64H", body[p + 1:p + 129])
                     qt[tq] = np.array(vals, dtype=np.int32)
                     p += 129

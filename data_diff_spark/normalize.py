@@ -95,9 +95,17 @@ def normalize_number(col: ColumnOrName, precision: int = DEFAULT_NUMERIC_PRECISI
 
     cast → decimal(38, p) (HALF_UP, matching DuckDB/Postgres renderings), then
     format and strip grouping commas (databricks.py:109-113).
+
+    try_cast, not cast: a double past the decimal(38,p) envelope
+    (|x| >= 1e32 at p=6) must fingerprint as '<null>' deterministically —
+    under Spark 4's ANSI default a plain cast would instead abort the
+    whole diff job with NUMERIC_VALUE_OUT_OF_RANGE, and under non-ANSI it
+    NULLs anyway; try_cast gives the NULL behavior regardless of the
+    session's ansi flag. The SQLite dnorm mirror clamps identically
+    (operators/remote.py).
     """
     col = _to_col(col)
-    value = col.cast(T.DecimalType(38, precision))
+    value = col.try_cast(T.DecimalType(38, precision))
     if precision > 0:
         return F.replace(F.format_number(value, precision), F.lit(","), F.lit(""))
     return value.cast("string")

@@ -797,6 +797,36 @@ class SQLiteSide(RemoteSide):
 
         from data_diff_spark.jdouble import java_double_decimal
 
+        # jdouble.py ports the LEGACY (Java <= 18) Double.toString digit
+        # generation, which is what BigDecimal.valueOf — and therefore
+        # Spark's double->decimal cast — sees on those JVMs. On Java 19+
+        # (JDK-4511638 fixed) the digits become shortest-repr and dnorm
+        # would silently diverge for doubles >= 2^53, so refuse loudly
+        # rather than produce wrong digests (r11 ADVICE). Checked here
+        # because register() is the choke point every SQLite digest side
+        # passes through; skipped when no Spark session exists yet (the
+        # comparison that could diverge also needs one).
+        try:
+            from pyspark.sql import SparkSession as _SS
+            _sess = _SS.getActiveSession()
+        except Exception:
+            _sess = None
+        if _sess is not None:
+            try:
+                spec = str(_sess._jvm.java.lang.System.getProperty(
+                    "java.specification.version"))
+                major = int(spec.split(".")[-1]) if spec.startswith("1.") \
+                    else int(spec)
+            except Exception:
+                major = None
+            if major is not None and major >= 19:
+                raise RuntimeError(
+                    "sqlite digest side requires Java <= 18: jdouble.py "
+                    "mirrors the legacy Double.toString digits that "
+                    f"BigDecimal.valueOf used before JDK-4511638; Java {major} "
+                    "generates shortest-repr digits and double normalization "
+                    "would silently diverge for |x| >= 2^53")
+
         def md5_int(s):
             if s is None:
                 return None
@@ -825,10 +855,20 @@ class SQLiteSide(RemoteSide):
             # (r10 ADVICE).
             if x is None:
                 return None
+            x = float(x)
+            if x != x or x in (float("inf"), float("-inf")):
+                return None  # Spark cast(double NaN/Inf as decimal) -> NULL
             with localcontext() as ctx:
                 ctx.prec = 400
-                d = java_double_decimal(float(x)).quantize(
+                d = java_double_decimal(x).quantize(
                     Decimal("1.000000"), rounding=ROUND_HALF_UP)
+                # decimal(38,6) overflow: Spark's non-ANSI cast returns
+                # NULL once the value needs >38 digits at scale 6
+                # (|x| >= 1e32), and normalize_number fingerprints that as
+                # '<null>'. Without this clamp every such double
+                # false-diffs (r11 ADVICE).
+                if abs(d) >= Decimal(10) ** 32:
+                    return None
             return _fixed_point(d, 6)
 
         def dnorm_s(x, scale):
@@ -843,6 +883,11 @@ class SQLiteSide(RemoteSide):
                 d = Decimal(repr(x) if isinstance(x, float) else str(x))
                 d = d.quantize(Decimal(1).scaleb(-int(scale)),
                                rounding=ROUND_HALF_UP)
+                # same decimal(38,s) overflow-to-NULL clamp as dnorm: a
+                # stored value past the 38-digit envelope can't round-trip
+                # the Spark side's decimal type either.
+                if abs(d) >= Decimal(10) ** (38 - int(scale)):
+                    return None
             return _fixed_point(d, int(scale))
 
         kw = {"deterministic": True}

@@ -197,15 +197,42 @@ def warm_streaming(spark: SparkSession, sf_dir: str) -> None:
 # subset can't pass (a union-distinct merge would let it).
 
 
-def _built_once(root: str, recipe: str, build) -> None:
+def _data_fingerprint(sf_dir: str) -> str:
+    """Cheap fingerprint of a testdata dir: sorted (name, size, mtime_ns)
+    of every file under its top-level entries. Folded into _built_once
+    recipes so regenerating the tables IN PLACE (same path, new rows)
+    rebuilds fixtures instead of silently reusing stale indexes/commits
+    (r11 ADVICE). Pure metadata — no file reads."""
+    parts = []
+    try:
+        for e in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            if e.is_file():
+                st = e.stat()
+                parts.append(f"{e.name}:{st.st_size}:{st.st_mtime_ns}")
+            elif e.is_dir():
+                for f in sorted(os.scandir(e.path), key=lambda f: f.name):
+                    if f.is_file():
+                        st = f.stat()
+                        parts.append(
+                            f"{e.name}/{f.name}:{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        return "<unreadable>"
+    return ";".join(parts)
+
+
+def _built_once(root: str, recipe: str, build, sf_dir: str = None) -> None:
     """Construct an on-disk fixture (versioned table, persisted index,
     partitioned layout) at most once per (path, recipe): in a real
     deployment these artifacts EXIST and the gated operator READS them —
     paying their construction on every bench invocation misattributes
     build cost to the operator (the q_version_diff_orders policy). The
-    marker stores the construction recipe, so any recipe change rebuilds."""
+    marker stores the construction recipe, so any recipe change rebuilds;
+    passing sf_dir folds a data fingerprint into the recipe so in-place
+    data regeneration rebuilds too."""
     import shutil
 
+    if sf_dir is not None:
+        recipe = f"{recipe}|data={_data_fingerprint(sf_dir)}"
     marker = os.path.join(root, ".built")
     try:
         if open(marker).read() == recipe:
@@ -1491,7 +1518,8 @@ def q_semdedup_incremental(spark, sf_dir):
     # build-once: the persisted layout EXISTS in a real deployment — the
     # O(new) ingest probe is the operator under test
     _built_once(path, f"{sf_dir}|cells=16|write_ivf_layout-defaults",
-                lambda: SIM.write_ivf_layout(old, path, n_cells=16))
+                lambda: SIM.write_ivf_layout(old, path, n_cells=16),
+                sf_dir=sf_dir)
     return SIM.semdedup_incremental(new, path, threshold=0.99)
 
 
@@ -3591,7 +3619,7 @@ def q_merge3_orders(spark, sf_dir):
                        keys=["o_orderkey"]),
         V.commit(ours.df.select(*ORDERS_COLS).filter(sub), root),
         V.commit(theirs.df.select(*ORDERS_COLS).filter(sub), root),
-    ))
+    ), sf_dir=sf_dir)
     mv = m3_proj(merge_versions(spark, root, 1, 2, 3, prefer="ours")).persist()
     p = m3.persist()
     from concurrent.futures import ThreadPoolExecutor
@@ -3907,7 +3935,8 @@ def q_lsh_incremental(spark, sf_dir):
     _built_once(path, f"{sf_dir}|mod={_LSH_INC_MOD}|t=0.8|lsh_index_write-defaults",
                 lambda: DD.lsh_index_write(
                     docs.filter(F.col("doc_id") % _LSH_INC_MOD != 0), path,
-                    threshold=0.8))
+                    threshold=0.8),
+                sf_dir=sf_dir)
     return DD.minhash_lsh_incremental(
         docs.filter(F.col("doc_id") % _LSH_INC_MOD == 0), path)
 
@@ -4411,7 +4440,16 @@ def q_warc_extract(spark, sf_dir):
         import uuid
 
         import pandas as pd
+        from pyspark import TaskContext
 
+        # Deterministic per-partition file names: a retried or speculative
+        # task OVERWRITES its predecessor's files instead of leaving
+        # duplicate records that would spuriously fail the gate (r11
+        # ADVICE). NOTE: executor-side open() into the driver's tempdir
+        # assumes local mode — on a real cluster this writer targets a
+        # shared filesystem path instead.
+        pid = TaskContext.get().partitionId()
+        seq = 0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -4440,7 +4478,8 @@ def q_warc_extract(spark, sf_dir):
                     f"Content-Length: {len(http)}\r\n\r\n"
                 ).encode("ascii")
                 chunks.append(hdr + http + b"\r\n\r\n")
-            name = _os.path.join(out_dir, f"part-{uuid.uuid4().hex}.warc")
+            name = _os.path.join(out_dir, f"part-{pid:05d}-{seq:04d}.warc")
+            seq += 1
             with open(name, "wb") as f:
                 f.write(b"".join(chunks))
             yield pd.DataFrame({"n": [len(chunks)]})

@@ -143,17 +143,23 @@ def test_double_normalization_edges(spark):
             # legacy-Double.toString territory (jdouble.py): >= 2^53 the
             # JDK <= 18 digits are NOT Python's shortest repr
             2.0**53, 2.0**53 + 2, 123456789012345678.0, 2.0**62, 2.0**63,
-            -6.573074988361458e+17, 1.2345678901234568e+17]
-    # deterministic fuzz across the whole magnitude range Spark's ANSI
-    # decimal(38,6) cast accepts (|x| < 1e32), one Spark job for all
+            -6.573074988361458e+17, 1.2345678901234568e+17,
+            # r11 ADVICE: past the decimal(38,6) envelope Spark's
+            # non-ANSI cast overflows to NULL ('<null>' fingerprint) —
+            # dnorm must clamp to None there, not render 400 digits
+            1e32, -1e32, 9.999999999999999e31, 1.0000000000000001e32,
+            1e33, -3.7e45, 1e308, -1.7976931348623157e308,
+            float("inf"), float("-inf")]
+    # deterministic fuzz across the whole double magnitude range, one
+    # Spark job for all; |x| >= 1e32 pins the overflow-to-NULL clamp
     rng = random.Random(20260816)
     for _ in range(300):
-        e = rng.randint(-10, 31)
+        e = rng.randint(-10, 38)
         vals.append(rng.choice([1, -1]) * rng.uniform(1, 10) * 10 ** e)
     for _ in range(200):
         b = rng.getrandbits(64)
         x = struct.unpack("<d", struct.pack("<Q", b))[0]
-        if x == x and abs(x) < 1e32:
+        if x == x:
             vals.append(x)
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
                                "k long, d double")
