@@ -1677,7 +1677,26 @@ def q_ann_topk_ivf_all(spark, sf_dir):
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         list(ex.map(lambda h: h.count(), (auto, adc)))
-    pq = adc.filter(F.col("rank") <= 5)
+    # scope='ivf_pq' verifies BOTH routes to the same ADC top-5 (r11
+    # VERDICT Next #4): the in-memory rank<=5 prefix of the k=20 ADC
+    # ordering, and ivf_pq_topk_from_layout reading a PERSISTED codes-only
+    # layout (pq_meta.json + cell-partitioned parquet — the deployment
+    # shape, where the index exists and a fresh session queries by path).
+    # Training is deterministic, so layout codes == in-memory codes and
+    # any drift in the write/read/metadata round trip adds symmetric-
+    # difference rows that break the row-count + hash gate. _built_once:
+    # constructing the index is write_ivf_pq_layout's job, not the query's.
+    import tempfile
+
+    pq_path = os.path.join(tempfile.gettempdir(), "dds_ivfpq_gate",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    _built_once(pq_path,
+                f"{sf_dir}|cells=16|m=8|kc=16|write_ivf_pq_layout-defaults",
+                lambda: SIM.write_ivf_pq_layout(base, pq_path, n_cells=16,
+                                                n_rows=n),
+                sf_dir=sf_dir)
+    pq = _must_equal(adc.filter(F.col("rank") <= 5),
+                     SIM.ivf_pq_topk_from_layout(spark, pq_path, qs, k=5))
     rr = SIM.exact_rerank(adc, base, qs, k=5, n_rows=n)
     out = (
         ivf.select(F.lit("ivf").alias("scope"), "*")
@@ -1685,7 +1704,7 @@ def q_ann_topk_ivf_all(spark, sf_dir):
         .unionAll(pq.select(F.lit("ivf_pq").alias("scope"), "*"))
         .unionAll(rr.select(F.lit("ivf_pq_rr").alias("scope"), "*"))
     )
-    return _track_persisted(out, [adc, auto], ivf, adc, rr)
+    return _track_persisted(out, [adc, auto], ivf, adc, pq, rr)
 
 
 def _lloyd_iter_ctes(n_iter: int, dim: int, prefix: str = "") -> Tuple[str, str]:
@@ -3477,7 +3496,13 @@ def q_snapshot_diff(spark, sf_dir):
         os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
         f"orders_snapshot_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    SN.write_snapshot(t_orig, path)
+    # build-once (r12): the snapshot is YESTERDAY's artifact — in the
+    # workflow under test it exists and diff_against_snapshot reads it;
+    # re-writing it per bench invocation misattributed the write job to
+    # the diff (the q_version_diff_orders policy). The data fingerprint
+    # rebuilds it whenever the testdata changes.
+    _built_once(path, f"{sf_dir}|orders-digest-snapshot",
+                lambda: SN.write_snapshot(t_orig, path), sf_dir=sf_dir)
     return SN.diff_against_snapshot(t_mod, SN.load_snapshot(spark, path)).select(
         "sign", "o_orderkey"
     )
@@ -3511,7 +3536,13 @@ def q_scd2_orders(spark, sf_dir):
     composition of three independently-gated primitives (merge_scd2 here,
     versioned.commit in the hashdiff third arm, foreachBatch plumbing) and
     stays pytest-pinned rather than re-running a stream per bench entry —
-    same precedent as the incremental-LSH composition."""
+    same precedent as the incremental-LSH composition. Gating it was
+    re-costed in r12 (the r11 Next #4 ask): a trigger_once run over a 1%
+    orders slice (tools/PROBE_cdc_gate_cost.json) measures 2.8s warm
+    median / 7.0s cold at sf0.1 — versioned create + streaming machinery
+    + merge commit, near-independent of slice size (sf0.01 reads the
+    same 2.5s) — ~3x the VERDICT's own <=1s bar, so the measured-cost
+    note declines it (the r10 SQLite discipline)."""
     from data_diff_spark.operators.scd import merge_scd2
 
     load_views(spark, sf_dir)
