@@ -154,6 +154,15 @@ def main() -> None:
             rec[leg] = {"rows": n, "times": times, "min": min(times),
                         "median": sorted(times)[len(times) // 2]}
         rec["gate_tax_min"] = round(rec["gate"]["min"] - rec["arm"]["min"], 3)
+        if name == "dedup_resolve":
+            # the one family where gate < arm is structural, not noise:
+            # the gate persists pairs and shares ONE assign_clusters run
+            # across its scopes, while the plain dedup_resolve(docs,
+            # pairs) call recomputes the component assignment internally
+            # — the gate is the better-composed pipeline.
+            rec["note"] = ("negative tax expected: gate shares one "
+                           "assign_clusters run; plain arm recomputes "
+                           "assignment from pairs")
         out["families"][name] = rec
         print(f"{name:28s} arm={rec['arm']['min']:6.2f}s "
               f"gate={rec['gate']['min']:6.2f}s "

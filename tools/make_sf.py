@@ -134,14 +134,19 @@ def replicate(df, table: str, i: int):
 
 def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    topk_only = "--topk-embeddings" in sys.argv[2:]
     angle = min_cross_replica_angle_deg(factor)
-    if angle < MIN_CROSS_ANGLE_DEG:
+    if angle < MIN_CROSS_ANGLE_DEG and not topk_only:
         raise SystemExit(
             f"factor={factor}: minimum cross-replica rotation angle "
             f"{angle:.2f}deg < {MIN_CROSS_ANGLE_DEG}deg — some replica pair "
             f"would sit above cosine 0.99 and the embedding probes would "
-            f"measure spurious cross-replica near-dups. Use a smaller factor "
-            f"or change THETA_DEG.")
+            f"measure spurious cross-replica near-dups. Use a smaller factor, "
+            f"or pass --topk-embeddings if (and only if) the replica will "
+            f"feed TOP-K probes: top-k work profiles tolerate the bounded "
+            f"per-vector twin count (quantified in the marker this writes), "
+            f"but threshold-pair entries (embedding_neardup_lsh, semdedup) "
+            f"would measure the twins, not the operator.")
     dest_root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch", f"sf{factor / 10:g}",
@@ -158,6 +163,34 @@ def main():
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     os.makedirs(dest_root, exist_ok=True)
+    if angle < MIN_CROSS_ANGLE_DEG:
+        # --topk-embeddings accepted: stamp the replica with exactly what
+        # the weakened guarantee costs, so no later probe can read this
+        # dir as near-dup-clean. Same-base cross-replica cosine at
+        # distance d is exactly cos(d*THETA) (the 2x2-plane rotations act
+        # identically on every plane), so the qualifying-pair census is
+        # closed-form — no corpus scan needed.
+        import json as _json
+
+        near_d = [d for d in range(1, factor)
+                  if min((d * THETA_DEG) % 360.0,
+                         360.0 - (d * THETA_DEG) % 360.0) < 8.11]
+        pairs_per_base = sum(factor - d for d in near_d)
+        with open(os.path.join(dest_root, "EMBEDDINGS_TOPK_ONLY.json"), "w") as f:
+            _json.dump({
+                "factor": factor,
+                "min_cross_replica_angle_deg": round(angle, 3),
+                "near_twin_d": near_d,
+                "same_base_pairs_above_cos099_per_base_vector": pairs_per_base,
+                "avg_twins_per_vector": round(2 * pairs_per_base / factor, 2),
+                "valid_for": "top-k probes (ann_topk_lsh/ivf, cosine_topk):"
+                             " bounded extra candidates per query",
+                "invalid_for": "threshold-pair entries (embedding_neardup_"
+                               "lsh, semdedup, cosine_pairs_lsh): twin"
+                               " pairs would dominate the pair count",
+            }, f, indent=1)
+        print(f"embeddings marker: {len(near_d)} near-twin distances, "
+              f"~{2 * pairs_per_base / factor:.1f} twins/vector")
     for t in TABLES:
         dest = os.path.join(dest_root, f"{t}.parquet")
         if os.path.exists(os.path.join(dest, "_SUCCESS")):
