@@ -107,7 +107,13 @@ def families(W):
         "ann_topk_ivf": (_arm_ann_ivf, W.q_ann_topk_ivf_all),
         "clean_docs": (_arm_clean_docs, W.q_clean_docs),
         "diff_stats_orders": (W.q_diff_stats_orders, W.q_diff_stats_all),
-        "asof_purchase_all": (W.q_asof_purchase, W.q_asof_purchase_all),
+        # the raw asof arm must be counted THROUGH a window-result column:
+        # count() alone lets Catalyst prune the cardinality-preserving
+        # window operator and times a bare scan (~0.2s for a 7s-class op)
+        "asof_purchase_all": (
+            lambda spark, sf_dir: W.q_asof_purchase(spark, sf_dir).filter(
+                F.col("purchase_ts").isNotNull()),
+            W.q_asof_purchase_all),
         "checksum_orders": (W.q_checksum_orders, W.q_checksum_orders_scoped),
         "events_rollup": (W.q_events_rollup, W.q_events_rollup_all),
         "dedup_resolve": (W.q_dedup_resolve, W.q_dedup_resolve_all),

@@ -110,6 +110,19 @@ def _neardup_candidates(spark, DD, sf_dir):
             "n_docs": docs.count()}
 
 
+def _arm_asof_forced(W):
+    """q_asof_purchase with the window FORCED into the measured plan:
+    counting the raw result lets Catalyst drop the window operator
+    (cardinality-preserving, output columns unreferenced by count), so
+    the probe would time a scan. Filtering on the window-produced
+    purchase_ts keeps the shuffle + window in the counted plan; rows
+    become the matched-event count (the growth quantity anyway)."""
+    def arm(spark, sf_dir):
+        return W.q_asof_purchase(spark, sf_dir).filter(
+            F.col("purchase_ts").isNotNull())
+    return arm
+
+
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -150,12 +163,19 @@ def main() -> None:
          "cand_per_q ~flat (auto cells = rows/1000, n_probe fixed); "
          "training cap bounds the Lloyd pass"),
         ("clean_docs", _arm_clean_docs, None,
-         "survivors ∝ docs; LM model rows grow with vocab (sublinear: "
-         "replica tags multiply token types by the replica count once)"),
+         "CAVEAT at replica scale: the shingle-disjoint replica tags "
+         "(`r3·the`) defeat the stopword/perplexity heuristics, so "
+         "survivors collapse toward 0 above sf1 — the probe still pays "
+         "the full-corpus quality scan + LM training (the dominant "
+         "stages), but dedup/decontaminate run under-loaded; treat the "
+         "ratio as a lower bound for those two stages only"),
         ("diff_stats_orders", W.q_diff_stats_orders, None,
          "constant output; two scans + one shuffle ∝ corpus"),
-        ("asof_purchase_all", W.q_asof_purchase, None,
-         "output rows ∝ purchase events; sort within key partitions"),
+        ("asof_purchase_all", _arm_asof_forced(W), None,
+         "matched rows ∝ events; ONE shuffle on user_id + window "
+         "(count() alone would let Catalyst prune the window operator — "
+         "cardinality-preserving, no window column referenced — and time "
+         "a bare scan; the filter below references the window result)"),
     ]
 
     out = {"metric": "scale_probe_r12", "unit": "sec", "reps": reps,
