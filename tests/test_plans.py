@@ -139,13 +139,26 @@ def test_ivf_no_distance_reeval_and_single_cell_join(spark, sf_dir):
     # ivf_pq prefix and the rr candidate set, and the formatted plan
     # expands the shared subtree in each consumer; it executes once via
     # the cache) + rr's candidate-id set + rr's query vectors = 5
-    # broadcast NODES; above the BLAS threshold the ivf arm and rr's
-    # pair fold switch to cogrouped applyInPandas, dropping their
-    # query-side broadcasts = 3.
-    want = 5 if small else 3
+    # broadcast NODES, plus the r12 persisted-layout gate arm
+    # (ivf_pq_topk_from_layout inside _must_equal): its probed-query
+    # join side + its own ADC lut = 2 more — both bounded by the query
+    # cap, the correct small side at any corpus size — so 7. Above the
+    # BLAS threshold the ivf arm and rr's pair fold switch to cogrouped
+    # applyInPandas, dropping their query-side broadcasts: 7 - 2 = 5
+    # (the layout arm keeps its two — it carries no row hint and stays
+    # on the SQL plan the oracle replays).
+    want = 7 if small else 5
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == want
-    # a distinct would add a HashAggregate pair over the pair stream
-    assert "HashAggregate" not in plan
+    # a distinct over the CANDIDATE pair stream would add HashAggregates
+    # keyed on pre-rank pair ids. The only aggregates allowed are the 4
+    # from the r12 layout gate's _must_equal symmetric difference: Spark
+    # rewrites exceptAll as a flag-count aggregate over the FULL result
+    # tuple (partial+final x 2 legs), so every allowed node's key list
+    # contains the post-topk `rank` column — a candidate-stream distinct
+    # (keys without rank) or any new aggregate breaks the count.
+    aggs = re.findall(r"\(\d+\) HashAggregate[^\n]*\n[^\n]*\n(Keys [^\n]*)",
+                      plan)
+    assert len(aggs) == 4 and all("rank" in k for k in aggs), aggs
 
 
 def test_decontaminate_single_corpus_scan(spark, sf_dir):
