@@ -161,6 +161,19 @@ def _paired_digest(a: DataFrame, b: DataFrame, n_buckets: int):
     return da, db, rows_total
 
 
+def _restrict_join(df: DataFrame, ids_df: DataFrame, n: int,
+                   broadcast: bool) -> DataFrame:
+    """Restrict `df` to the buckets in `ids_df` (a single-`_BUCKET`-column
+    frame that stays in the JVM) via left-semi join — the large-id-set
+    sibling of _restrict's literal InSet probe. broadcast=True ships the
+    id frame to every task (one long column; ~16 bytes/id); above
+    _BROADCAST_KEYS_LIMIT the caller leaves the join shape to AQE."""
+    bucket = F.pmod(F.col(_H), F.lit(n))
+    rhs = F.broadcast(ids_df) if broadcast else ids_df
+    return (df.withColumn(_BUCKET, bucket)
+            .join(rhs, _BUCKET, "left_semi").drop(_BUCKET))
+
+
 def mismatched_buckets(da: DataFrame, db: DataFrame) -> DataFrame:
     """Bucket ids whose (count, checksum-sum) digests differ between sides."""
     a = da.select(F.col(_BUCKET), F.col(_CNT).alias("ca"), F.col(_SUM).alias("sa"))
@@ -260,14 +273,38 @@ def hash_diff(
     dirty_rows = sum(da[b][0] for b in bad_ids if b in da) + sum(
         db[b][0] for b in bad_ids if b in db
     )
+    extra_handles: List[DataFrame] = []
     if n_buckets is None and bad_ids and dirty_rows > _FINE_LEVEL_MIN_ROWS:
         fine_n = 1 << max(rows_total // _AUTO_ROWS_PER_BUCKET, 1).bit_length()
         if fine_n > coarse_n:
             fa = _bucket_digest(a_bad, fine_n)
             fb = _bucket_digest(b_bad, fine_n)
-            fine_ids = [r[_BUCKET] for r in mismatched_buckets(fa, fb).collect()]
-            a_bad = _restrict(a_bad, fine_ids, fine_n)
-            b_bad = _restrict(b_bad, fine_ids, fine_n)
+            # The dirty fine-bucket set must NEVER round-trip through the
+            # Python driver when it is large: at a ~2% uniform diff rate
+            # over 60M rows/side, ~2M of the 8.4M fine buckets mismatch,
+            # and the old collect() + createDataFrame ping-pong serialized
+            # millions of rows through py4j twice (the r12 sf10 probe
+            # flagged the entry SUPERLINEAR: 25.5s→131s for 3.33x data;
+            # on a 1000-executor cluster the driver hop is strictly
+            # worse). Keep the id set JVM-side: small sets still take the
+            # InSet literal probe; large sets broadcast the id FRAME
+            # directly (one long column); sets too big to broadcast fall
+            # through to a plain left-semi under AQE; a fully-dirty set
+            # prunes nothing and is skipped.
+            ids_df = mismatched_buckets(fa, fb).persist()
+            n_ids = ids_df.count()
+            if n_ids <= _ISIN_LIMIT:
+                fine_ids = [r[_BUCKET] for r in ids_df.collect()]
+                ids_df.unpersist()
+                a_bad = _restrict(a_bad, fine_ids, fine_n)
+                b_bad = _restrict(b_bad, fine_ids, fine_n)
+            elif n_ids < fine_n:
+                bcast = n_ids <= _BROADCAST_KEYS_LIMIT
+                a_bad = _restrict_join(a_bad, ids_df, fine_n, bcast)
+                b_bad = _restrict_join(b_bad, ids_df, fine_n, bcast)
+                extra_handles.append(ids_df)
+            else:
+                ids_df.unpersist()
 
     # Phase 2 — the diff_sets decision, one shuffle over the surviving
     # NARROW rows: union both sides tagged with a sign, hash-partition by
@@ -314,14 +351,14 @@ def hash_diff(
         out = _narrow_emit(t1, cols1, out_names, "-", bad_keys).unionAll(
             _narrow_emit(t2, cols2, out_names, "+", bad_keys)
         )
-        out._ddspark_persisted = [a, b, bad_cached]
+        out._ddspark_persisted = [a, b, bad_cached, *extra_handles]
         return out
     out = emitted.select(SIGN_COL, *out_names)
     # Caller-managed cache lifecycle: the result is lazy, so the persisted
     # sides must outlive it. DiffResult.unpersist() (and the CLI) release
     # them once the diff is materialized; long-lived sessions doing many
     # diffs would otherwise accumulate cached wide tables.
-    out._ddspark_persisted = [a, b]
+    out._ddspark_persisted = [a, b, *extra_handles]
     return out
 
 

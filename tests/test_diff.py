@@ -293,3 +293,43 @@ def test_apply_diff_roundtrip_both_algorithms(spark, sf_dir):
         applied = apply_diff(a, d, ["o_orderkey"])
         assert applied.exceptAll(b).count() == 0
         assert b.exceptAll(applied).count() == 0
+
+
+def test_fine_level_large_id_set_stays_jvm_side(spark, monkeypatch):
+    """r12 sf10 finding: with a ~2% uniform diff rate the fine level's
+    mismatched-bucket set reaches millions of ids, and the old
+    collect() + createDataFrame ping-pong serialized them through py4j
+    twice (flagged SUPERLINEAR at 60M rows/side). Large sets now
+    broadcast-join the id FRAME JVM-side. Force every branch on a small
+    corpus by shrinking the thresholds and pin identical output:
+    literal-InSet path, broadcast-join path, plain-join path, and the
+    fully-dirty skip."""
+    from data_diff_spark.operators import hashdiff as H
+    from data_diff_spark.table import table_segment
+
+    a = spark.range(0, 4000).selectExpr("id", "cast(id * 7 as string) as data")
+    b = spark.range(0, 4000).selectExpr(
+        "id", "cast(id * 7 + cast(id % 50 = 3 as int) as string) as data")
+    t1, t2 = table_segment(a, ["id"]), table_segment(b, ["id"])
+    expect = _sorted_rows(hash_diff(t1, t2))  # default path (no fine level)
+    assert len(expect) == 2 * 80  # 80 keys differ, both sides emitted
+
+    monkeypatch.setattr(H, "_FINE_LEVEL_MIN_ROWS", 0)
+    for isin_limit, bkeys_limit in (
+        (8192, 2_000_000),  # small set: literal InSet probe
+        (1, 2_000_000),     # large set: broadcast the id frame
+        (1, 1),             # too big to broadcast: plain left-semi (AQE)
+    ):
+        monkeypatch.setattr(H, "_ISIN_LIMIT", isin_limit)
+        monkeypatch.setattr(H, "_BROADCAST_KEYS_LIMIT", bkeys_limit)
+        d = hash_diff(t1, t2)
+        assert _sorted_rows(d) == expect, (isin_limit, bkeys_limit)
+        for h in d._ddspark_persisted:
+            h.unpersist(True)
+    # fully-dirty fine set prunes nothing and is skipped: every row
+    # differs, so with tiny buckets every fine bucket mismatches
+    monkeypatch.setattr(H, "_ISIN_LIMIT", 1)
+    monkeypatch.setattr(H, "_AUTO_ROWS_PER_BUCKET", 1 << 40)
+    c = spark.range(0, 100).selectExpr("id", "cast(id + 1 as string) as data")
+    d2 = hash_diff(table_segment(a.limit(100), ["id"]), table_segment(c, ["id"]))
+    assert d2.count() == 200
