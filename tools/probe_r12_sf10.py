@@ -3,8 +3,11 @@
 The sf1 ratios (tools/PROBE_r11_sf1_scalers.json) cover one 10× step from
 the driver's sf0.1. This probe extends the characterization two more
 steps — factor 30 and factor 100 replicas built by tools/make_sf.py — for
-the top-8 most expensive families' PRODUCTION ARMS (the bench_arms.py
-definition: the single call a user makes, no oracle scopes). For each
+12 families' PRODUCTION ARMS (the bench_arms.py definition: the single
+call a user makes, no oracle scopes): the top-8 most expensive entries
+plus the flagship lineitem diffs (hashdiff at 60M rows/side, joindiff's
+full-outer SMJ) and the two scan-agg entries whose one-row outputs
+exposed the count()-drain fold. For each
 entry at each scale it records wall-clock (min of reps, warm), output
 rows, and the entry's NAMED growth metric (LSH candidate pairs, ANN
 candidates-per-query, IVF cell count, survivor counts), then judges each
@@ -50,6 +53,23 @@ SUPERLINEAR_TOL = 1.3  # time-ratio / data-ratio above this = SUPERLINEAR
 
 
 def _drain(df):
+    """ONE full execution of the plan, all columns materialized, no
+    driver transfer — the noop sink, exactly bench.py's instrument.
+    count() is NOT a drain: OptimizeOneRowPlan folds count() over a
+    one-row global aggregate to a literal (checksum/collect_stats read
+    0.16s flat at 60M rows before this fix), and column pruning lets it
+    skip output-column work everywhere else."""
+    df.write.format("noop").mode("overwrite").save()
+    for h in getattr(df, "_ddspark_persisted", []):
+        try:
+            h.unpersist(True)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def _rows(df):
+    """Row count for artifact metadata — separate from the timed drain
+    (running count() inside the timed region would re-execute the plan)."""
     n = df.count()
     for h in getattr(df, "_ddspark_persisted", []):
         try:
@@ -110,19 +130,6 @@ def _neardup_candidates(spark, DD, sf_dir):
             "n_docs": docs.count()}
 
 
-def _arm_asof_forced(W):
-    """q_asof_purchase with the window FORCED into the measured plan:
-    counting the raw result lets Catalyst drop the window operator
-    (cardinality-preserving, output columns unreferenced by count), so
-    the probe would time a scan. Filtering on the window-produced
-    purchase_ts keeps the shuffle + window in the counted plan; rows
-    become the matched-event count (the growth quantity anyway)."""
-    def arm(spark, sf_dir):
-        return W.q_asof_purchase(spark, sf_dir).filter(
-            F.col("purchase_ts").isNotNull())
-    return arm
-
-
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -171,11 +178,27 @@ def main() -> None:
          "ratio as a lower bound for those two stages only"),
         ("diff_stats_orders", W.q_diff_stats_orders, None,
          "constant output; two scans + one shuffle ∝ corpus"),
-        ("asof_purchase_all", _arm_asof_forced(W), None,
-         "matched rows ∝ events; ONE shuffle on user_id + window "
-         "(count() alone would let Catalyst prune the window operator — "
-         "cardinality-preserving, no window column referenced — and time "
-         "a bare scan; the filter below references the window result)"),
+        ("hashdiff_lineitem_dupkeys", W.q_hashdiff_lineitem, None,
+         "diff rows ∝ modified keys; flagship duplicate-PK multiset diff "
+         "at 60M rows/side, ~2% uniform diff rate = the reference-"
+         "documented hashdiff degradation regime (every coarse bucket "
+         "dirty). r12 fix: large mismatched fine-bucket sets stay "
+         "JVM-side (broadcast-join of the id frame) instead of a driver "
+         "collect+reupload"),
+        ("joindiff_lineitem_compound", W.q_joindiff_lineitem, None,
+         "one full-outer SMJ on the compound key — the reference's "
+         "joindiff cost model ('approximates JOIN operation') at 60M "
+         "rows/side"),
+        ("collect_stats_lineitem", W.q_collect_stats_lineitem, None,
+         "constant 1-row output; one scan-agg over lineitem (this entry "
+         "is WHY the drain is a noop write: count() folded the whole "
+         "plan to a literal via OptimizeOneRowPlan)"),
+        ("checksum_orders", W.q_checksum_orders, None,
+         "constant 1-row output; one normalize+md5 scan-agg over orders"),
+        ("asof_purchase_all", W.q_asof_purchase, None,
+         "output rows ∝ events; ONE shuffle on user_id + window (the "
+         "noop drain materializes the window columns, so the operator "
+         "cannot be pruned out of the measured plan)"),
     ]
 
     out = {"metric": "scale_probe_r12", "unit": "sec", "reps": reps,
@@ -195,12 +218,13 @@ def main() -> None:
                 out["scales"][tag]["embeddings_marker"] = json.load(f)
         for name, fn, growth_fn, term in ENTRIES:
             rec = out["entries"].setdefault(name, {"growth_term": term})
-            _drain(fn(spark, sf_dir))  # warmup (builds fixtures, JIT)
+            rows = _rows(fn(spark, sf_dir))  # metadata, also warms fixtures
+            _drain(fn(spark, sf_dir))  # warmup of the noop path (JIT)
             spark.catalog.clearCache()
             times = []
             for _ in range(reps):
                 t0 = time.monotonic()
-                rows = _drain(fn(spark, sf_dir))
+                _drain(fn(spark, sf_dir))
                 times.append(round(time.monotonic() - t0, 3))
                 spark.catalog.clearCache()
             rec[tag] = {"min": min(times), "times": times, "rows": rows}
