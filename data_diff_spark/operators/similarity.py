@@ -679,20 +679,104 @@ def ann_topk_lsh(
     )
     p = _prepared(df, id_col, vec_col)
     pq = _prepared(queries, id_col, vec_col)
-    pairs = (
+    withvecs = (
         cand_ids
         .join(p.select(F.col("id").alias("id_c"), F.col("qv").alias("qv_c"),
                        F.col("nrm").alias("nrm_c")), "id_c")
         .join(F.broadcast(pq.select(F.col("id").alias("id_q"),
                                     F.col("qv").alias("qv_q"),
                                     F.col("nrm").alias("nrm_q"))), "id_q")
-        .select(
+    )
+    if n_rows is not None and n_rows >= _PAIRS_TOPK_BLAS_MIN_ROWS:
+        # the exact re-rank is linear in candidate pairs and the SQL
+        # zip_with+aggregate fold is INTERPRETED O(dim) per pair — at the
+        # ~500k-pair regime a 50k corpus produces, the same fold measured
+        # ~10s in cosine_pairs_lsh's sf1.0 profile (its BLAS verify is
+        # this dispatch's precedent). Same bit-parity argument as
+        # _pairs_verify_blas / _cosine_topk_blas: quantized-integer dots
+        # are exact in float64 under the magnitude guard (int64
+        # fallback), norms/divisions are the identical IEEE doubles, and
+        # the top-k window stays in SQL — values and ordering
+        # bit-identical either way (parity pinned in
+        # tests/test_similarity.py). The threshold is CORPUS rows and
+        # sits above every driver-gate corpus (sf0.1: 2000): at gate
+        # scale the fold is NOT the cost (r12 cached-candidate probe:
+        # 0.7s SQL vs 1.1s BLAS at 146k pairs — mapInPandas batch
+        # overhead dominates small inputs), so the gates keep the SQL
+        # plan their DuckDB oracles replay.
+        pairs = _pairs_cosine_blas(withvecs)
+    else:
+        pairs = withvecs.select(
             "id_q", "id_c",
             (_qdot(F.col("qv_q"), F.col("qv_c")).cast("double")
              / (F.col("nrm_q") * F.col("nrm_c"))).alias("cosine"),
         )
-    )
     return _topk(pairs, k)
+
+
+# Corpus-rows threshold for ann_topk_lsh's BLAS re-rank dispatch. Deliberately
+# far above _COSINE_BLAS_MIN_ROWS: the candidate PAIR count (queries x
+# ~bands*(1+n_flip)*occupancy) is what the fold is linear in, and below a few
+# hundred thousand pairs the interpreted fold is cheaper than the Python
+# worker round-trip (measured at sf0.1: 0.7s SQL vs 1.1s BLAS at 146k pairs).
+_PAIRS_TOPK_BLAS_MIN_ROWS = 50_000
+
+
+def _pairs_cosine_blas(withvecs: DataFrame) -> DataFrame:
+    """(id_q, id_c, qv_q, qv_c, nrm_q, nrm_c) -> (id_q, id_c, cosine) via
+    row-wise numpy dots — the top-k sibling of _pairs_verify_blas. Unlike
+    the threshold verify (where zero-norm rows can never pass), a top-k
+    candidate list may be short, so zero-norm pairs are EMITTED with
+    cosine NULL, matching the non-ANSI SQL fold (x/0 -> NULL); _topk then
+    ranks them last (desc = NULLS LAST). Under Spark 4's ANSI default the
+    SQL fold would instead ABORT on such a pair (DIVIDE_BY_ZERO) — this
+    path keeps the deterministic NULL regardless of the session's ansi
+    flag, the normalize.py try_cast policy. Parity with the SQL fold is
+    pinned under non-ANSI in tests/test_similarity.py."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    idq_t = withvecs.schema["id_q"].dataType
+    idc_t = withvecs.schema["id_c"].dataType
+    schema = StructType([
+        StructField("id_q", idq_t), StructField("id_c", idc_t),
+        StructField("cosine", DoubleType()),
+    ])
+    narrow = withvecs.select("id_q", "id_c", "qv_q", "qv_c", "nrm_q", "nrm_c")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nq = pdf["nrm_q"].to_numpy(dtype=np.float64)
+            nc = pdf["nrm_c"].to_numpy(dtype=np.float64)
+            ok = (nq > 0) & (nc > 0)
+            cos = np.empty(len(pdf), dtype=object)
+            cos[~ok] = None
+            if ok.any():
+                sub = pdf[ok]
+                A = _stack_i64(sub["qv_q"])
+                B = _stack_i64(sub["qv_c"])
+                d = A.shape[1]
+                amax = int(np.abs(A).max()) if A.size else 0
+                bmax = int(np.abs(B).max()) if B.size else 0
+                if amax * bmax * d < (1 << 53):
+                    dots = (A.astype(np.float64) * B.astype(np.float64)).sum(axis=1)
+                elif amax * bmax * d < (1 << 62):
+                    dots = (A * B).sum(axis=1).astype(np.float64)
+                else:
+                    raise ValueError("ann_topk_lsh: dot magnitude exceeds int64")
+                cos[ok] = dots / (nq[ok] * nc[ok])
+            yield pd.DataFrame({
+                "id_q": pdf["id_q"].to_numpy(),
+                "id_c": pdf["id_c"].to_numpy(),
+                "cosine": cos,
+            })
+
+    return narrow.mapInPandas(gen, schema)
 
 
 # --- IVF (inverted-file) ANN ------------------------------------------------

@@ -1948,28 +1948,43 @@ def q_ann_topk_lsh(spark, sf_dir):
     from data_diff_spark.streaming.events_stream import table_rows
 
     base, qs = _emb_base(spark), _emb_queries(spark)
+    n = table_rows(spark, sf_dir, "embeddings")
+    # n_rows on the PINNED shape: bands/rows_per_band are both given, so
+    # the hint cannot change the bucket restriction — it only routes the
+    # exact re-rank fold to its BLAS parity path above the corpus-rows
+    # dispatch threshold (inert at every gate sf; values bit-identical
+    # either way — similarity._PAIRS_TOPK_BLAS_MIN_ROWS)
     pinned = SIM.ann_topk_lsh(base, qs, k=5, bands=8, rows_per_band=4,
-                              dim=EMB_DIM)
+                              dim=EMB_DIM, n_rows=n).persist()
     topk = pinned.select(
         F.lit("topk").alias("scope"),
         F.concat_ws(":", "id_q", "rank").alias("k"),
         F.col("id_c").cast("string").alias("v_str"),
         F.col("cosine").cast("double").alias("v_num"),
     )
-    n = table_rows(spark, sf_dir, "embeddings")
-    # persisted: the auto result now feeds BOTH the recall join and the
-    # full auto_topk value gate (r10 VERDICT Next #2 — the production
-    # auto shape, occupancy-ruled width + margin-guided multi-probe, is
-    # replayed row-by-row by a SELF-SIZING oracle whose rows_per_band
-    # comes from a scalar subquery: sf0.01 derives r=4, sf0.1 r=5)
+    # The three expensive subtrees — pinned shape, production auto shape,
+    # exact baseline — are independent pipelines: persist each and
+    # materialize them CONCURRENTLY (the _must_equal pattern, guide §2.6
+    # overlap), so the drain job only reads cache. Eager materialization
+    # of `auto` is also a correctness-of-measurement fix: it feeds BOTH
+    # the recall join and the auto_topk value gate (r10 VERDICT Next #2 —
+    # occupancy-ruled width + multi-probe, replayed row-by-row by a
+    # SELF-SIZING oracle: sf0.01 derives r=4, sf0.1 r=5), and a
+    # lazily-persisted subtree with two concurrent first readers in the
+    # one drain action gets its partitions raced/recomputed (the r12
+    # phase probe caught the drain paying the ~6s auto pipeline twice).
     auto = SIM.ann_topk_lsh(base, qs, k=5, dim=EMB_DIM, n_rows=n).persist()
+    exact = SIM.cosine_topk(base, qs, k=5, n_rows=n).persist()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(ex.map(lambda h: h.count(), (pinned, auto, exact)))
     autok = auto.select(
         F.lit("auto_topk").alias("scope"),
         F.concat_ws(":", "id_q", "rank").alias("k"),
         F.col("id_c").cast("string").alias("v_str"),
         F.col("cosine").cast("double").alias("v_num"),
     )
-    exact = SIM.cosine_topk(base, qs, k=5, n_rows=n)
     # one pass: exact LEFT JOIN auto marks hits, one aggregation yields
     # (nq, hits), and BOTH output rows explode from that single 1-row
     # frame — the exact-oracle subtree (the documented brute-force
@@ -1999,7 +2014,8 @@ def q_ann_topk_lsh(spark, sf_dir):
         F.lit(None).cast("string").alias("v_str"),
         F.col("s.v_num").alias("v_num"),
     )
-    return _track_persisted(topk.unionAll(autok).unionAll(rows2), [auto])
+    return _track_persisted(topk.unionAll(autok).unionAll(rows2),
+                            [pinned, auto, exact])
 
 
 def _ann_lsh_oracle(k=5, bands=8, rows_per_band=4, dim=EMB_DIM,

@@ -452,6 +452,52 @@ def test_band_codes_udf_path_matches_sql_path(spark, monkeypatch):
     assert via_sql == via_udf
 
 
+def test_ann_topk_lsh_blas_fold_matches_sql_fold(spark, monkeypatch):
+    """ann_topk_lsh's exact re-rank has two plans, one semantics: the
+    Arrow-batched row-wise dot (engaged when the n_rows hint clears
+    _COSINE_BLAS_MIN_ROWS) must emit bit-identical (id_q, id_c, rank,
+    cosine) rows to the interpreted SQL zip_with fold — including
+    zero-norm candidates (null embedding -> qv=[] -> cosine NULL,
+    ranked last by the shared _topk window). The SQL fold only defines
+    that NULL under non-ANSI (ANSI aborts with DIVIDE_BY_ZERO), so the
+    value comparison runs non-ANSI; the BLAS path must additionally
+    tolerate the null rows under the session's ANSI default."""
+    vecs = _uniform_vecs(spark, 400, dim=16)
+    # a null-embedding corpus row codes to all-zero sign bits, so it DOES
+    # surface as a candidate — with NULL cosine — in both paths
+    nulled = vecs.select(
+        (F.col("vec_id") + 990000).alias("vec_id"),
+        F.when(F.lit(False), F.col("embedding")).alias("embedding"),
+    ).limit(2)
+    corpus = vecs.unionAll(nulled)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+
+    def rows(n_rows):
+        out = SIM.ann_topk_lsh(corpus, queries, k=3, bands=4,
+                               rows_per_band=6, dim=16, n_rows=n_rows)
+        return sorted(
+            (r.id_q, r.id_c, r.rank, r.cosine) for r in out.collect()
+        )
+
+    # BLAS path under the session's ANSI default: no divide-by-zero abort
+    monkeypatch.setattr(SIM, "_PAIRS_TOPK_BLAS_MIN_ROWS", 1)
+    via_blas_ansi = rows(n_rows=402)
+    assert any(c is None for (_, _, _, c) in via_blas_ansi)
+
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        monkeypatch.setattr(SIM, "_PAIRS_TOPK_BLAS_MIN_ROWS", 10**9)
+        via_sql = rows(n_rows=402)
+        monkeypatch.setattr(SIM, "_PAIRS_TOPK_BLAS_MIN_ROWS", 1)
+        via_blas = rows(n_rows=402)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+    assert via_sql == via_blas
+    # the planted NULL-cosine candidates actually exercised the branch
+    assert any(c is None for (_, _, _, c) in via_sql)
+
+
 def test_auto_bands_rule():
     """Occupancy-bounded code width + miss-bounded band count, and the
     planted-duplicate guarantee: a pair AT the threshold misses with
