@@ -1684,7 +1684,6 @@ def q_ann_topk_ivf_all(spark, sf_dir):
     # hint only routes the exact re-rank/encode folds to their BLAS
     # parity paths above sf0.01 — values identical, oracle unaffected.
     n = table_rows(spark, sf_dir, "embeddings")
-    ivf = SIM.ivf_topk(base, qs, k=5, n_cells=16, n_rows=n)
     # scope='ivf_auto' (r10 VERDICT Next #2): the PRODUCTION auto shape —
     # n_cells derived from the corpus size (rows/1000, floor 16), the
     # default a user gets — gated against a SELF-SIZING oracle whose
@@ -1696,20 +1695,35 @@ def q_ann_topk_ivf_all(spark, sf_dir):
     # SQL) sized so sf0.01 derives 16 and sf0.1 derives 24 — two
     # genuinely different shapes through the same derivation.
     au_corpus = _emb_auto_corpus(base)
-    # materialized EAGERLY (the _must_equal lesson): the four arms union
-    # into ONE action, and a lazily-persisted subtree with two consumers
-    # (adc feeds both PQ scopes) or an expensive sibling (the auto arm's
-    # 12x corpus) gets its partitions raced/recomputed inside that action
-    auto = SIM.ivf_topk(
-        au_corpus,
-        au_corpus.filter((F.col("vec_id") % 20 == 0)
-                         & (F.col("vec_id") < _AUTO_REPLICA_STRIDE)),
-        k=5, n_rows=n * _AUTO_REPLICAS).persist()
-    adc = SIM.ivf_pq_topk(base, qs, k=_GATE_RERANK, n_cells=16, n_rows=n).persist()
-    from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        list(ex.map(lambda h: h.count(), (auto, adc)))
+    # The three arms each run their own training actions at construction
+    # (coarse Lloyd collects; the adc arm additionally the m subspace
+    # codebook trainings) — independent pipelines over different
+    # corpora/shapes, so they construct CONCURRENTLY (_parallel_arms,
+    # guide §2.6) instead of back-to-back. auto/adc are ALSO materialized
+    # EAGERLY inside their thunks (the _must_equal lesson): the four arms
+    # union into ONE action, and a lazily-persisted subtree with two
+    # consumers (adc feeds both PQ scopes) or an expensive sibling (the
+    # auto arm's 12x corpus) gets its partitions raced/recomputed inside
+    # that action.
+    def _b_auto():
+        a = SIM.ivf_topk(
+            au_corpus,
+            au_corpus.filter((F.col("vec_id") % 20 == 0)
+                             & (F.col("vec_id") < _AUTO_REPLICA_STRIDE)),
+            k=5, n_rows=n * _AUTO_REPLICAS).persist()
+        a.count()
+        return a
+
+    def _b_adc():
+        a = SIM.ivf_pq_topk(base, qs, k=_GATE_RERANK, n_cells=16,
+                            n_rows=n).persist()
+        a.count()
+        return a
+
+    ivf, auto, adc = _parallel_arms(
+        lambda: SIM.ivf_topk(base, qs, k=5, n_cells=16, n_rows=n),
+        _b_auto, _b_adc)
     # scope='ivf_pq' verifies BOTH routes to the same ADC top-5 (r11
     # VERDICT Next #4): the in-memory rank<=5 prefix of the k=20 ADC
     # ordering, and ivf_pq_topk_from_layout reading a PERSISTED codes-only
@@ -2961,13 +2975,24 @@ def q_clean_docs(spark, sf_dir):
     docs = spark.table("documents").select("doc_id", "text")
     corpus = spark.sql(DOCS2_SQL)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    model, total = train_ngram_lm(docs, n=CLEAN_LM_N)
-    cleaned, counts = clean_corpus(
-        corpus, min_tokens=10, min_quality=0.3,
-        near_dup_threshold=None, benchmark=bench, decontaminate_n=5,
-        redact=False, lm_model=(model, total),
-        max_perplexity=CLEAN_PPL_CEILING, lm_n=CLEAN_LM_N, audit=True,
-    )
+    # train_bpe is a driver-sequential loop of CLEAN_BPE_MERGES one-row
+    # collect jobs, fully independent of the LM/clean pipeline: run it on
+    # a side thread so its rounds back-fill task slots while the LM
+    # trains and clean_corpus's audit counts execute (guide §2.6 — the
+    # r12 phase split read this entry's construction at ~10s of purely
+    # sequential training/audit actions)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        fut_bpe = _ex.submit(train_bpe, docs, n_merges=CLEAN_BPE_MERGES)
+        model, total = train_ngram_lm(docs, n=CLEAN_LM_N)
+        cleaned, counts = clean_corpus(
+            corpus, min_tokens=10, min_quality=0.3,
+            near_dup_threshold=None, benchmark=bench, decontaminate_n=5,
+            redact=False, lm_model=(model, total),
+            max_perplexity=CLEAN_PPL_CEILING, lm_n=CLEAN_LM_N, audit=True,
+        )
+        merges = fut_bpe.result()
 
     def shaped(scope, k, v_str, v_num):
         return F.lit(scope).alias("scope"), k.cast("string").alias("k"), \
@@ -2982,7 +3007,6 @@ def q_clean_docs(spark, sf_dir):
         docs.filter(F.col("doc_id") % 20 == 0), model, total, n=CLEAN_LM_N
     ).select(*shaped("ppl", F.col("doc_id"), F.col("n_scored"),
                      F.round("logprob", 6)))
-    merges = train_bpe(docs, n_merges=CLEAN_BPE_MERGES)
     mrows = spark.createDataFrame(
         [(str(i + 1), f"{a} {b}") for i, (a, b) in enumerate(merges)],
         "k string, v string",
@@ -4235,9 +4259,18 @@ def q_export_roundtrip_checksums(spark, sf_dir):
         # (leftover extra shards would be silently unioned into the scan)
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-    write_arrow_shards(vals, a_dir, rows_per_shard=4096).count()
-    write_webdataset(vals, w_dir, key_col="o_orderkey", extensions=exts,
-                     rows_per_shard=4096).count()
+    # the two shard writes are independent jobs over the same canonical
+    # strings: submit them concurrently (guide §2.6) so the tar writer's
+    # tasks back-fill the Arrow writer's tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        fa = _ex.submit(
+            lambda: write_arrow_shards(vals, a_dir, rows_per_shard=4096).count())
+        fw = _ex.submit(
+            lambda: write_webdataset(vals, w_dir, key_col="o_orderkey",
+                                     extensions=exts, rows_per_shard=4096).count())
+        fa.result(), fw.result()
 
     def cks_agg(df):
         fp = F.concat_ws(
