@@ -596,10 +596,20 @@ def q_diff_stats_all(spark, sf_dir):
         F.lit(None).cast("double").alias("aux_a"),
         F.lit(None).cast("double").alias("aux_b"),
         F.lit(False).alias("flag"),
-    )
+    ).persist()
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_diff_spark.streaming.drift_stream import monitor_orders_bounded
 
-    b, s = monitor_orders_bounded(spark, sf_dir, DRIFT_COLS, baseline=mod)
+    # the bounded drift-monitor run is independent of the sign-diff arm:
+    # run it on a side thread while signs materializes (guide §2.6 —
+    # signs previously executed inside the drain, serialized after the
+    # whole streaming harness)
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        _fut = _ex.submit(monitor_orders_bounded, spark, sf_dir, DRIFT_COLS,
+                          mod)
+        signs.count()
+        b, s = _fut.result()
 
     def shape(df):
         return df.select(
@@ -615,7 +625,7 @@ def q_diff_stats_all(spark, sf_dir):
     # the shared mod cache) so the gate's caches release deterministically
     # between entries
     return _track_persisted(
-        signs.unionAll(drift.select(*signs.columns)), [mod], drift)
+        signs.unionAll(drift.select(*signs.columns)), [mod, signs], drift)
 
 
 def _drift_psi_col_oracle(c: str) -> str:
@@ -2526,7 +2536,12 @@ def q_events_rollup_all(spark, sf_dir):
 
     # the fold's frames are |event_type| rows of sketches — run the whole
     # harness (batch agg, per-batch union-merge joins, versioned commits)
-    # at the stream-sized partition count, not the session's wide default
+    # at the stream-sized partition count, not the session's wide default.
+    # Deliberately NOT overlapped with the rollup arm (r12): the stream
+    # overlap that paid on asof/diff_stats REGRESSED here (A/B 1.197,
+    # median 1.214) — this arm is ~1s of batch work against a
+    # driver-bound micro-batch loop whose planning the concurrent job
+    # starves; overlap only pays when the batch side is meaty.
     batch, final = _sized_stream_state(
         spark, lambda: ndv_rollup_batch_equivalent(spark, sf_dir),
         n=_event_stream_state_n(spark, sf_dir))
@@ -4148,16 +4163,28 @@ def q_asof_purchase_all(spark, sf_dir):
     tests/test_asof_stream.py) and _must_equal'd into the keyed arm, so
     any divergence in the as-of core (event -> matched purchase) is a
     loud hash mismatch."""
-    keyed = q_asof_purchase(spark, sf_dir).withColumn("scope", F.lit("keyed"))
+    keyed = q_asof_purchase(spark, sf_dir).withColumn(
+        "scope", F.lit("keyed")).persist()
+    raw_glob = q_asof_global(spark, sf_dir).persist()
+
+    from concurrent.futures import ThreadPoolExecutor
 
     from data_diff_spark.streaming.asof_stream import asof_stream_batch_equivalent
 
     # state partitions from the one bounded-stream sizing rule (the r7
     # two-point fit — 8 under 500k events else 32 — lived here, and its
-    # `spark.table("events").count()` cost a full action per run)
-    sfinal = _sized_stream_state(
-        spark, lambda: asof_stream_batch_equivalent(spark, sf_dir),
-        n=_event_stream_state_n(spark, sf_dir))
+    # `spark.table("events").count()` cost a full action per run).
+    # The bounded stream-stream run is independent of the batch window
+    # arms: run it on a side thread while the keyed window and the
+    # keyless global arm materialize (guide §2.6) — they previously
+    # executed serially after it, inside the gate counts and the drain.
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        _fut = _ex.submit(lambda: _sized_stream_state(
+            spark, lambda: asof_stream_batch_equivalent(spark, sf_dir),
+            n=_event_stream_state_n(spark, sf_dir)))
+        keyed.count()
+        raw_glob.count()
+        sfinal = _fut.result()
     ev = spark.table("events").select(
         "event_id", "user_id", "ts", "event_type", "value")
     skeyed = (
@@ -4172,14 +4199,13 @@ def q_asof_purchase_all(spark, sf_dir):
     )
     keyed = _must_equal(keyed, skeyed.select(*keyed.columns))
 
-    raw_glob = q_asof_global(spark, sf_dir)
     glob = (
         raw_glob
         .withColumn("value", F.lit(None).cast(dict(keyed.dtypes)["value"]))
         .withColumn("scope", F.lit("global"))
     )
     return _track_persisted(
-        keyed.unionAll(glob.select(*keyed.columns)), [], keyed, raw_glob)
+        keyed.unionAll(glob.select(*keyed.columns)), [raw_glob], keyed, raw_glob)
 
 
 ORACLE_ASOF_ALL = """
