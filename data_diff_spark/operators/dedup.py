@@ -210,6 +210,17 @@ def jaccard_pairs(
 # --- MinHash + LSH ----------------------------------------------------------
 
 
+# Corpus-rows dispatch to the Arrow segment-min fold. The k=128 SQL
+# aggregate runs INTERPRETED: HashAggregate declines whole-stage codegen
+# above spark.sql.codegen.maxFields (100) buffer fields, and the measured
+# cost is ~60ns per (row, permutation) — 2.0s for 260k exploded rows at
+# sf0.1 vs 1.1s for the numpy fold (same integer math, bit-parity pinned
+# in tests/test_text_dedup.py). Below the threshold the fixed Arrow cost
+# (repartition exchange + python workers) exceeds the win, so small
+# corpora — including every sf0.01 gate — keep the SQL plan.
+_MINHASH_ARROW_MIN_ROWS = 2048
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 128,
@@ -217,20 +228,71 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     _shingles: Optional[DataFrame] = None,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: explode distinct shingles to
     (id, h) once, then min over (a_i*h+b_i) mod P31 for all k permutations in
     ONE aggregation — the shuffle carries k longs per doc after map-side
-    combine, independent of document length."""
+    combine, independent of document length. Pass the action-free `n_rows`
+    hint (corpus docs) to route big corpora to the Arrow segment-min fold
+    (_MINHASH_ARROW_MIN_ROWS): that path shuffles the exploded (id, h) rows
+    by id instead and folds all k permutations vectorized per partition."""
     s = shingle_sets(df, n, text_col, id_col) if _shingles is None else _shingles
     ex = explode_nonnull(s, ["id"], F.col("shingles"), "sh").select(
         "id", (hash60(F.col("sh")) % P31).alias("h")
     )
+    coeffs = perm_coefficients(k)
+    if n_rows is not None and n_rows >= _MINHASH_ARROW_MIN_ROWS:
+        return _minhash_arrow(ex, coeffs)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"mh{i}")
-        for i, (a, b) in enumerate(perm_coefficients(k))
+        for i, (a, b) in enumerate(coeffs)
     ]
     return ex.groupBy("id").agg(*aggs)
+
+
+def _minhash_arrow(ex: DataFrame, coeffs: Sequence) -> DataFrame:
+    """(id, h) -> (id, mh0..mh{k-1}) via numpy: hash-repartition by id (every
+    id's rows land in one partition), then per partition sort each row block
+    by id, evaluate the (block x k) permutation matrix, and segment-min with
+    np.minimum.reduceat; block/batch partials merge in one pandas groupby.
+    Exactly the SQL aggregation's integer math — h < P31 and a < P31, so
+    a*h + b < 2^62 never overflows int64 — and min is order-independent, so
+    the result is partitioning-invariant."""
+    k = len(coeffs)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType())]
+        + [T.StructField(f"mh{i}", T.LongType()) for i in range(k)]
+    )
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)
+        B = np.array([b for _, b in coeffs], dtype=np.int64)
+        cols = [f"mh{i}" for i in range(k)]
+        step = max(1, (1 << 20) // k)  # ~8 MB permutation matrix per block
+        partials = []
+        for pdf in batches:
+            for lo in range(0, len(pdf), step):
+                blk = pdf.iloc[lo:lo + step]
+                idv = blk["id"].to_numpy()
+                hv = blk["h"].to_numpy(dtype=np.int64)
+                order = np.argsort(idv, kind="stable")
+                idv, hv = idv[order], hv[order]
+                vals = (hv[:, None] * A[None, :] + B[None, :]) % P31
+                bounds = np.flatnonzero(np.r_[True, idv[1:] != idv[:-1]])
+                p = pd.DataFrame(
+                    np.minimum.reduceat(vals, bounds, axis=0), columns=cols
+                )
+                p.insert(0, "id", idv[bounds])
+                partials.append(p)
+        if partials:
+            allp = pd.concat(partials, ignore_index=True)
+            yield allp.groupby("id", as_index=False, sort=False).min()
+
+    return ex.repartition(F.col("id")).mapInPandas(fold, schema)
 
 
 def _band_rows(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -281,13 +343,16 @@ def minhash_lsh_dedup(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs at scale: LSH candidates, then *exact* Jaccard
     verification of candidates only (false positives are filtered; false
     negatives bounded by the banding s-curve). Output identical in shape —
-    and, at sane thresholds, in content — to jaccard_pairs."""
+    and, at sane thresholds, in content — to jaccard_pairs. `n_rows` is the
+    action-free corpus-size hint for the signature fold dispatch."""
     s = shingle_sets(df, n, text_col, id_col).persist()
-    sig = minhash_signatures(df, k, n, text_col, id_col, _shingles=s)
+    sig = minhash_signatures(df, k, n, text_col, id_col, _shingles=s,
+                             n_rows=n_rows)
     cand = lsh_candidate_pairs(sig, bands, rows)
     sa = s.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = s.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -333,6 +398,7 @@ def lsh_index_write(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 32,
+    n_rows: Optional[int] = None,
 ) -> None:
     """Materialize the dedup index for a corpus: bands/ (id, band_idx,
     band_hash) BUCKETED by band_hash (external Spark bucketed table at
@@ -347,7 +413,8 @@ def lsh_index_write(
 
     spark = df.sparkSession
     s = shingle_sets(df, n, text_col, id_col)
-    sig = minhash_signatures(df, k, n, text_col, id_col, _shingles=s)
+    sig = minhash_signatures(df, k, n, text_col, id_col, _shingles=s,
+                             n_rows=n_rows)
     tbl = _bands_table_name(path)
     spark.sql(f"drop table if exists {tbl}")
     (
@@ -399,6 +466,7 @@ def minhash_lsh_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     append: bool = False,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs involving AT LEAST ONE new document, against a
     persisted index: the new docs' band rows probe (stored ∪ new) band
@@ -415,7 +483,8 @@ def minhash_lsh_incremental(
         p["threshold"], p["k"], p["bands"], p["rows"], p["n"]
     )
     s_new = shingle_sets(new_docs, n, text_col, id_col).persist()
-    sig = minhash_signatures(new_docs, k, n, text_col, id_col, _shingles=s_new)
+    sig = minhash_signatures(new_docs, k, n, text_col, id_col,
+                             _shingles=s_new, n_rows=n_rows)
     new_bands = _band_rows(sig, bands, rows).persist()
 
     # Probe new x stored and new x new SEPARATELY: a union of (bucketed

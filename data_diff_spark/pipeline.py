@@ -96,8 +96,11 @@ def clean_corpus(
 
     # 3. near-dup clustering: one survivor per LSH cluster
     if near_dup_threshold is not None:
+        # audit mode already counted the surviving docs — reuse it as the
+        # action-free corpus-size hint for the signature fold dispatch
         pairs = DD.minhash_lsh_dedup(
-            out, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+            out, threshold=near_dup_threshold, text_col=text_col,
+            id_col=id_col, n_rows=counts.get("exact_dedup"),
         )
         # dedup_resolve covers EVERY doc (assign_clusters gives singletons
         # their own cluster), so the survivor set is the whole keep-list;

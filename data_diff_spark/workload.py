@@ -1221,7 +1221,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     probability per true pair at J=0.8 is ~5e-8, so the brute-force oracle
     matches (verified: identical 25 pairs at sf0.01)."""
     load_views(spark, sf_dir)
-    return DD.minhash_lsh_dedup(spark.table("documents"), threshold=0.8)
+    from data_diff_spark.streaming.events_stream import table_rows
+
+    return DD.minhash_lsh_dedup(spark.table("documents"), threshold=0.8,
+                                n_rows=table_rows(spark, sf_dir, "documents"))
 
 
 def _jaccard_pairs_oracle(threshold: float = 0.8) -> str:
@@ -1288,8 +1291,11 @@ def q_dedup_clusters(spark, sf_dir):
     (min-label + pointer jumping, operators/dedup.py:components) -> every
     document tagged with its cluster id (own id for singletons)."""
     load_views(spark, sf_dir)
+    from data_diff_spark.streaming.events_stream import table_rows
+
     docs = spark.table("documents")
-    pairs = DD.minhash_lsh_dedup(docs, threshold=0.8)
+    pairs = DD.minhash_lsh_dedup(docs, threshold=0.8,
+                                 n_rows=table_rows(spark, sf_dir, "documents"))
     out = DD.assign_clusters(docs, pairs).select("doc_id", "cluster_id")
     # derived DataFrames do not inherit the _ddspark_persisted contract;
     # re-attach so the shingle cache is released with the result
@@ -1301,8 +1307,11 @@ def q_dedup_resolve(spark, sf_dir):
     near-dup cluster (highest quality_score, ties -> max doc_id), plus
     cluster size. Singleton docs survive trivially (n_members=1)."""
     load_views(spark, sf_dir)
+    from data_diff_spark.streaming.events_stream import table_rows
+
     docs = spark.table("documents")
-    pairs = DD.minhash_lsh_dedup(docs, threshold=0.8)
+    pairs = DD.minhash_lsh_dedup(docs, threshold=0.8,
+                                 n_rows=table_rows(spark, sf_dir, "documents"))
     return _track_persisted(DD.dedup_resolve(docs, pairs), [], pairs)
 
 
@@ -4081,10 +4090,13 @@ def q_lsh_incremental(spark, sf_dir):
     # build-once: the persisted index EXISTS in a real deployment — the
     # O(new) probe is the operator under test (index construction itself
     # is the minhash pipeline the 'pairs' scope already gates)
+    from data_diff_spark.streaming.events_stream import table_rows
+
+    n_docs = table_rows(spark, sf_dir, "documents")
     _built_once(path, f"{sf_dir}|mod={_LSH_INC_MOD}|t=0.8|lsh_index_write-defaults",
                 lambda: DD.lsh_index_write(
                     docs.filter(F.col("doc_id") % _LSH_INC_MOD != 0), path,
-                    threshold=0.8),
+                    threshold=0.8, n_rows=n_docs - n_docs // _LSH_INC_MOD),
                 sf_dir=sf_dir)
     return DD.minhash_lsh_incremental(
         docs.filter(F.col("doc_id") % _LSH_INC_MOD == 0), path)
@@ -4516,8 +4528,12 @@ def q_dedup_resolve_all(spark, sf_dir):
     connected components -> every doc tagged with (cluster_id, the cluster's
     kept canonical doc, cluster size, kept score)."""
     load_views(spark, sf_dir)
+    from data_diff_spark.streaming.events_stream import table_rows
+
     docs = spark.table("documents")
-    pairs = DD.minhash_lsh_dedup(docs, threshold=0.8).persist()
+    pairs = DD.minhash_lsh_dedup(docs, threshold=0.8,
+                                 n_rows=table_rows(spark, sf_dir, "documents")
+                                 ).persist()
     # one components() run feeds both the per-doc tags and the resolver
     # (dedup_resolve would otherwise recompute the assignment from pairs)
     assigned = DD.assign_clusters(docs, pairs).persist()

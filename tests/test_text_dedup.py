@@ -136,6 +136,30 @@ def test_minhash_lsh_matches_exact(docs):
     assert lsh == exact
 
 
+def test_minhash_arrow_fold_bit_parity(docs):
+    """The Arrow segment-min signature fold (dedup._minhash_arrow, engaged
+    by the n_rows dispatch) is the SAME integer math as the 128-expression
+    SQL aggregate — every (doc, permutation) cell must match bit-for-bit.
+    n_rows=10**9 forces the Arrow route on the small corpus; docs with no
+    shingles are absent from BOTH (explode_nonnull feeds both paths)."""
+    sql_rows = {r["id"]: tuple(r)[1:]
+                for r in DD.minhash_signatures(docs).collect()}
+    arrow_rows = {r["id"]: tuple(r)[1:]
+                  for r in DD.minhash_signatures(docs, n_rows=10**9).collect()}
+    assert sql_rows == arrow_rows
+    assert len(sql_rows) > 0
+
+
+def test_minhash_lsh_dedup_arrow_same_pairs(docs):
+    """End-to-end: the dispatched operator emits the identical pair set."""
+    base = sorted((r.id_a, r.id_b, round(r.jaccard, 12))
+                  for r in DD.minhash_lsh_dedup(docs, threshold=0.8).collect())
+    arrow = sorted((r.id_a, r.id_b, round(r.jaccard, 12))
+                   for r in DD.minhash_lsh_dedup(
+                       docs, threshold=0.8, n_rows=10**9).collect())
+    assert arrow == base
+
+
 def test_simhash_properties(spark):
     df = spark.createDataFrame(
         [
