@@ -253,12 +253,23 @@ def minhash_signatures(
 
 def _minhash_arrow(ex: DataFrame, coeffs: Sequence) -> DataFrame:
     """(id, h) -> (id, mh0..mh{k-1}) via numpy: hash-repartition by id (every
-    id's rows land in one partition), then per partition sort each row block
-    by id, evaluate the (block x k) permutation matrix, and segment-min with
-    np.minimum.reduceat; block/batch partials merge in one pandas groupby.
+    id's rows land in one partition), then per Arrow batch sort each ~8 MB
+    row block by id, evaluate the (block x k) permutation matrix, and
+    segment-min with np.minimum.reduceat; the batch's block partials fold
+    into a running per-partition accumulator with one pandas groupby-min
+    per batch. The accumulator never exceeds the partition's distinct ids
+    (x129 longs), and at most one batch's partials are alive besides it —
+    the 100 TB memory bound. Two alternative shapes were measured
+    interleaved same-session at sf1 AND sf10 and rejected: a JVM
+    sortWithinPartitions feeding a streamed carry (kills the per-batch
+    Arrow/compute overlap: 2.0->3.4s at sf1, 14.9->15.1s sf10 min) and a
+    whole-partition numpy sort (same overlap loss: 2.65/15.1 vs this
+    shape's 2.1/16.3-vs-14.9-noise); the accumulator merge itself is free
+    at sf1 and within noise at sf10 (tools/PROBE_minhash_scale.json).
     Exactly the SQL aggregation's integer math — h < P31 and a < P31, so
-    a*h + b < 2^62 never overflows int64 — and min is order-independent, so
-    the result is partitioning-invariant."""
+    a*h + b < 2^62 never overflows int64 — and min is
+    order/partitioning-invariant, so block/batch boundaries cannot change
+    the result."""
     k = len(coeffs)
     schema = T.StructType(
         [T.StructField("id", T.LongType())]
@@ -273,8 +284,9 @@ def _minhash_arrow(ex: DataFrame, coeffs: Sequence) -> DataFrame:
         B = np.array([b for _, b in coeffs], dtype=np.int64)
         cols = [f"mh{i}" for i in range(k)]
         step = max(1, (1 << 20) // k)  # ~8 MB permutation matrix per block
-        partials = []
+        acc = None
         for pdf in batches:
+            partials = [] if acc is None else [acc]
             for lo in range(0, len(pdf), step):
                 blk = pdf.iloc[lo:lo + step]
                 idv = blk["id"].to_numpy()
@@ -288,9 +300,11 @@ def _minhash_arrow(ex: DataFrame, coeffs: Sequence) -> DataFrame:
                 )
                 p.insert(0, "id", idv[bounds])
                 partials.append(p)
-        if partials:
-            allp = pd.concat(partials, ignore_index=True)
-            yield allp.groupby("id", as_index=False, sort=False).min()
+            if partials:
+                acc = pd.concat(partials, ignore_index=True).groupby(
+                    "id", as_index=False, sort=False).min()
+        if acc is not None:
+            yield acc
 
     return ex.repartition(F.col("id")).mapInPandas(fold, schema)
 

@@ -150,6 +150,30 @@ def test_minhash_arrow_fold_bit_parity(docs):
     assert len(sql_rows) > 0
 
 
+def test_minhash_arrow_fold_multibatch_accumulator(spark, docs):
+    """The per-batch accumulator in dedup._minhash_arrow must merge id
+    groups that SPAN Arrow batch boundaries (an id's exploded rows land in
+    one partition but split across sequential batches). Force many tiny
+    batches so the cross-batch carry path actually runs, and require
+    bit-parity with the SQL aggregate."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")  # exploded frame >> 7 rows/doc -> many batches
+    try:
+        sql_rows = {r["id"]: tuple(r)[1:]
+                    for r in DD.minhash_signatures(docs).collect()}
+        arrow_rows = {r["id"]: tuple(r)[1:]
+                      for r in DD.minhash_signatures(
+                          docs, n_rows=10**9).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert sql_rows == arrow_rows
+    assert len(sql_rows) > 0
+
+
 def test_minhash_lsh_dedup_arrow_same_pairs(docs):
     """End-to-end: the dispatched operator emits the identical pair set."""
     base = sorted((r.id_a, r.id_b, round(r.jaccard, 12))
