@@ -246,7 +246,7 @@ def _built_once(root: str, recipe: str, build, sf_dir: str = None) -> None:
         f.write(recipe)
 
 
-def _must_equal(primary: DataFrame, *others: DataFrame) -> DataFrame:
+def _must_equal(primary: DataFrame, *others: DataFrame, checkpoint: bool = True) -> DataFrame:
     # Each variant is persisted AND eagerly materialized (count) before the
     # union references it: the output plan scans `p` from 3 branches and each
     # `a` from 2, and Spark's cache offers no cross-task lock — concurrent
@@ -271,10 +271,23 @@ def _must_equal(primary: DataFrame, *others: DataFrame) -> DataFrame:
     # outputs), values identical, and a lost block at cluster scale just
     # re-fails into re-running the entry — the guide §5 localCheckpoint
     # trade, taken only for verification duplicates, never the primary.
+    # checkpoint=False keeps verification arms on persist instead: for
+    # entries whose arm trees are TINY (token_vocab's largest analyzed
+    # tree is 36 lines) the re-analysis saving is nil while the
+    # localCheckpoint block materialization costs a fixed ~0.3s/arm —
+    # measured as token_vocab's 1.12x regression in AB_r12close; the
+    # per-call-site choice is the r12 report's deferred item #4.
     p = primary.persist()
     arms = [p]
+    handles = [p]
     for o in others:
-        arms.append(o.select(*p.columns).localCheckpoint(eager=False))
+        aligned = o.select(*p.columns)
+        if checkpoint:
+            arms.append(aligned.localCheckpoint(eager=False))
+        else:
+            h = aligned.persist()
+            arms.append(h)
+            handles.append(h)
     if len(arms) == 1:
         p.count()
     else:
@@ -286,7 +299,7 @@ def _must_equal(primary: DataFrame, *others: DataFrame) -> DataFrame:
     out = p
     for a in arms[1:]:
         out = out.unionAll(p.exceptAll(a)).unionAll(a.exceptAll(p))
-    return _track_persisted(out, [p], primary, *others)
+    return _track_persisted(out, handles, primary, *others)
 
 
 def _parallel_arms(*thunks):
@@ -620,6 +633,8 @@ def q_diff_stats_all(spark, sf_dir):
             F.col("drifted").alias("flag"), "batch_id",
         )
 
+    # checkpoint stays ON here: the persist variant was A/B'd and read
+    # 1.04 min / 1.06 median (AB_r12_tinyarm_persist.json)
     drift = _must_equal(shape(b), shape(s))
     # derived selects drop the _ddspark_persisted attr — re-attach (plus
     # the shared mod cache) so the gate's caches release deterministically
@@ -2554,7 +2569,8 @@ def q_events_rollup_all(spark, sf_dir):
     batch, final = _sized_stream_state(
         spark, lambda: ndv_rollup_batch_equivalent(spark, sf_dir),
         n=_event_stream_state_n(spark, sf_dir))
-    core = _must_equal(batch, final)
+    # checkpoint=False: the ndv arms are 2-line analyzed trees
+    core = _must_equal(batch, final, checkpoint=False)
     exact = spark.table("events").groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_ndv"))
     ndv = core.join(exact, "event_type").select(
@@ -3276,7 +3292,12 @@ def q_token_vocab_all(spark, sf_dir):
         .groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     )
     salted = top100(n_salted.join(df_salted, "token"))
-    return _must_equal(plain, salted.select("token", "n", "doc_freq"))
+    # checkpoint=False: this entry's arm trees are tiny (≤36 analyzed
+    # lines), so lineage truncation buys nothing while the localCheckpoint
+    # block write cost ~0.3s — the one accepted regression in
+    # AB_r12close_vs_1b002c8 (1.12x), recovered here (r12 deferred #4).
+    return _must_equal(plain, salted.select("token", "n", "doc_freq"),
+                       checkpoint=False)
 
 
 ORACLE_TOKEN_VOCAB_SKEWED = f"""
@@ -4051,6 +4072,8 @@ where edit_dist*100 <= 20*max_len
 def q_events_hourly_all(spark, sf_dir):
     """Batch hourly rollup AND its streaming formulation (AvailableNow, run
     to completion) verified equal under one gate entry."""
+    # checkpoint stays ON here: the persist variant was A/B'd and read
+    # 1.034 min / 1.073 median at repeats=6 (AB_r12_tinyarm_persist2.json)
     return _must_equal(
         q_events_hourly(spark, sf_dir),
         q_events_hourly_stream(spark, sf_dir),
@@ -4144,6 +4167,10 @@ def q_range_join_all(spark, sf_dir):
     return _must_equal(
         q_range_join_attribution(spark, sf_dir),
         q_range_join_stream(spark, sf_dir),
+        # checkpoint=False: 0.985 min / 0.952 median at repeats=6
+        # (AB_r12_tinyarm_persist2.json) — the stream arm reads a
+        # materialized sink, a tiny analyzed tree
+        checkpoint=False,
     )
 
 
@@ -4209,6 +4236,8 @@ def q_asof_purchase_all(spark, sf_dir):
         )
         .withColumn("scope", F.lit("keyed"))
     )
+    # checkpoint stays ON here: the persist variant was A/B'd and
+    # REGRESSED 1.129 min / 1.124 median (AB_r12_tinyarm_persist.json)
     keyed = _must_equal(keyed, skeyed.select(*keyed.columns))
 
     glob = (
