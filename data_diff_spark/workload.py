@@ -4514,6 +4514,15 @@ def q_multimodal_decode_all(spark, sf_dir):
     (RMS/zero-crossings), the REAL WebP container round-trip, the REAL
     GIF/BMP pair, and the REAL hierarchical-JPEG pyramid — each an
     Arrow-batched mapInPandas pipeline."""
+    # Overlap tried and REVERTED on measurement (r12): persisting the six
+    # codec legs and materializing them concurrently (_must_equal pattern)
+    # read 1.075 min / 1.091 median vs this shape in an interleaved A/B
+    # (AB_r12_multimodal_overlap.json) — under bench conditions the one
+    # drain action already runs the independent leg stages concurrently
+    # (AQE submits ready stages together), so the persist+count pass is
+    # pure overhead. The per-leg split lives in
+    # tools/probe_multimodal_legs.py: hottest leg is hierjpeg at ~1.1s of
+    # genuine encode+decode compute.
     out = q_multimodal_features(spark, sf_dir)
     out = out.join(q_image_decode_features(spark, sf_dir), "doc_id")
     out = out.join(q_audio_decode_features(spark, sf_dir), "doc_id")
