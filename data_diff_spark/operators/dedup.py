@@ -212,12 +212,18 @@ def jaccard_pairs(
 
 # Corpus-rows dispatch to the Arrow segment-min fold. The k=128 SQL
 # aggregate runs INTERPRETED: HashAggregate declines whole-stage codegen
-# above spark.sql.codegen.maxFields (100) buffer fields, and the measured
-# cost is ~60ns per (row, permutation) — 2.0s for 260k exploded rows at
-# sf0.1 vs 1.1s for the numpy fold (same integer math, bit-parity pinned
-# in tests/test_text_dedup.py). Below the threshold the fixed Arrow cost
-# (repartition exchange + python workers) exceeds the win, so small
-# corpora — including every sf0.01 gate — keep the SQL plan.
+# above spark.sql.codegen.maxFields (100) buffer fields, and under the
+# bench harness's C1-only JIT the measured cost is ~60ns per
+# (row, permutation) — 2.0s for 260k exploded rows at sf0.1 vs 1.1s for
+# the numpy fold (same integer math, bit-parity pinned in
+# tests/test_text_dedup.py). JIT caveat (tools/PROBE_minhash_jit.json):
+# under FULL tiered compilation C2 compiles the interpreted evaluators
+# and the two paths are within noise at sf1/sf10 — the fold's win is
+# concentrated under C1 (exactly the bench/driver instrument); on a
+# long-lived cluster the dispatch is cost-neutral. Below the threshold
+# the fixed Arrow cost (repartition exchange + python workers) exceeds
+# the win, so small corpora — including every sf0.01 gate — keep the
+# SQL plan.
 _MINHASH_ARROW_MIN_ROWS = 2048
 
 
