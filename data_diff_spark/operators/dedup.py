@@ -221,7 +221,7 @@ def jaccard_pairs(
 # and the two paths are within noise at sf1/sf10 — the fold's win is
 # concentrated under C1 (exactly the bench/driver instrument); on a
 # long-lived cluster the dispatch is cost-neutral. Below the threshold
-# the fixed Arrow cost (repartition exchange + python workers) exceeds
+# the fixed Arrow cost (python worker spin-up + Arrow conversion) exceeds
 # the win, so small corpora — including every sf0.01 gate — keep the
 # SQL plan.
 _MINHASH_ARROW_MIN_ROWS = 2048
@@ -241,8 +241,9 @@ def minhash_signatures(
     ONE aggregation — the shuffle carries k longs per doc after map-side
     combine, independent of document length. Pass the action-free `n_rows`
     hint (corpus docs) to route big corpora to the Arrow segment-min fold
-    (_MINHASH_ARROW_MIN_ROWS): that path shuffles the exploded (id, h) rows
-    by id instead and folds all k permutations vectorized per partition."""
+    (_MINHASH_ARROW_MIN_ROWS): that path folds all k permutations
+    vectorized per INPUT partition, then min-merges the partials (same
+    map-side-combine shuffle bound as the SQL aggregate)."""
     s = shingle_sets(df, n, text_col, id_col) if _shingles is None else _shingles
     ex = explode_nonnull(s, ["id"], F.col("shingles"), "sh").select(
         "id", (hash60(F.col("sh")) % P31).alias("h")
@@ -258,27 +259,34 @@ def minhash_signatures(
 
 
 def _minhash_arrow(ex: DataFrame, coeffs: Sequence) -> DataFrame:
-    """(id, h) -> (id, mh0..mh{k-1}) via numpy: hash-repartition by id (every
-    id's rows land in one partition), then per Arrow batch sort each ~8 MB
-    row block by id, evaluate the (block x k) permutation matrix, and
-    segment-min with np.minimum.reduceat; the batch's block partials fold
-    into a running per-partition accumulator with one pandas groupby-min
-    per batch. The accumulator never exceeds the partition's distinct ids
-    (x129 longs), and at most one batch's partials are alive besides it —
-    the 100 TB memory bound. Two alternative shapes were measured
-    interleaved same-session at sf1 AND sf10 and rejected: a JVM
-    sortWithinPartitions feeding a streamed carry (kills the per-batch
-    Arrow/compute overlap: 2.0->3.4s at sf1, 14.9->15.1s sf10 min) and a
-    whole-partition numpy sort (same overlap loss: 2.65/15.1 vs this
-    shape's 2.1/16.3-vs-14.9-noise); the accumulator merge itself is free
-    at sf1 and within noise at sf10 (tools/PROBE_minhash_scale.json).
+    """(id, h) -> (id, mh0..mh{k-1}) via numpy, with map-side combine: the
+    segment-min fold runs per INPUT partition (no repartition — explode
+    keeps a doc's shingle rows in its source partition), so each partition
+    emits one k-long partial signature per local id; a k-column min
+    aggregate then merges partials, shuffling <= k+1 longs per
+    (partition, id) — the same combine property as the SQL path,
+    independent of document length (r12 verdict: the previous
+    repartition(id)-first shape shuffled every exploded (id, h) row).
+    The merge aggregate is the interpreted 128-field HashAggregate the
+    dispatch exists to avoid, but its input is partial rows (~one per
+    doc), not exploded shingle rows — the vectorized numpy fold has
+    already absorbed the per-(row, permutation) work.
+
+    Per Arrow batch: sort each ~8 MB row block by id, evaluate the
+    (block x k) permutation matrix, segment-min with np.minimum.reduceat;
+    block partials fold into a running per-partition accumulator with one
+    pandas groupby-min per batch. The accumulator never exceeds the
+    partition's distinct ids (x k+1 longs), and at most one batch's
+    partials are alive besides it — the 100 TB memory bound.
     Exactly the SQL aggregation's integer math — h < P31 and a < P31, so
     a*h + b < 2^62 never overflows int64 — and min is
-    order/partitioning-invariant, so block/batch boundaries cannot change
-    the result."""
+    order/partitioning-invariant, so block/batch/partition boundaries
+    cannot change the result. The id column keeps the caller's id type
+    (the fold is dtype-agnostic: argsort/reduceat/groupby all take object
+    arrays), matching the SQL groupBy path."""
     k = len(coeffs)
     schema = T.StructType(
-        [T.StructField("id", T.LongType())]
+        [T.StructField("id", ex.schema["id"].dataType)]
         + [T.StructField(f"mh{i}", T.LongType()) for i in range(k)]
     )
 
@@ -312,7 +320,10 @@ def _minhash_arrow(ex: DataFrame, coeffs: Sequence) -> DataFrame:
         if acc is not None:
             yield acc
 
-    return ex.repartition(F.col("id")).mapInPandas(fold, schema)
+    partials = ex.mapInPandas(fold, schema)
+    return partials.groupBy("id").agg(
+        *[F.min(F.col(f"mh{i}")).alias(f"mh{i}") for i in range(k)]
+    )
 
 
 def _band_rows(signatures: DataFrame, bands: int, rows: int) -> DataFrame:

@@ -246,60 +246,55 @@ def _built_once(root: str, recipe: str, build, sf_dir: str = None) -> None:
         f.write(recipe)
 
 
-def _must_equal(primary: DataFrame, *others: DataFrame, checkpoint: bool = True) -> DataFrame:
-    # Each variant is persisted AND eagerly materialized (count) before the
-    # union references it: the output plan scans `p` from 3 branches and each
-    # `a` from 2, and Spark's cache offers no cross-task lock — concurrent
-    # first readers in one action each recompute an uncached partition, so a
-    # lazily-persisted 7s variant pipeline could run up to 3x inside the
-    # gate. Materializing up front runs each pipeline exactly once; the
-    # union job then only reads cache.
+def _must_equal(primary: DataFrame, *others: DataFrame) -> DataFrame:
+    # Arm-equality gate: when every verification arm is multiset-identical
+    # to the primary the output is exactly the primary's rows; ANY
+    # divergence adds rows, breaking the driver's row-count + hash check.
+    # A silent subset cannot pass: an arm missing rows still raises
+    # |n_p - n_a| above zero for those rows, and spurious arm rows appear
+    # with n_p = 0.
     #
-    # The counts are submitted CONCURRENTLY (one thread per variant): Spark
-    # accepts jobs from multiple driver threads, so gate wall-clock is
-    # max(variant), not sum(variant) — with FIFO scheduling the later jobs
-    # fill task slots the earlier ones leave idle at stage barriers.
-    # The primary is persisted (its logical tree stays visible in the
-    # entry plan — PLANS.md and the plan pins document the production
-    # arm); each VERIFICATION arm is localCheckpoint'd instead: its tree
-    # appears twice in the output union (both exceptAll legs), and
-    # Catalyst re-analyzes the full logical tree of a persisted subtree
-    # on EVERY downstream action — measured at sf0.1 (merge3 shapes):
-    # union+exceptAll drain over fully-cached arms 4.9s with persist vs
-    # 0.8s with truncated lineage; a bare projection of a cached
-    # classification 2.7s vs 0.03s. The blocks are bounded (gate-arm
-    # outputs), values identical, and a lost block at cluster scale just
-    # re-fails into re-running the entry — the guide §5 localCheckpoint
-    # trade, taken only for verification duplicates, never the primary.
-    # checkpoint=False keeps verification arms on persist instead: for
-    # entries whose arm trees are TINY (token_vocab's largest analyzed
-    # tree is 36 lines) the re-analysis saving is nil while the
-    # localCheckpoint block materialization costs a fixed ~0.3s/arm —
-    # measured as token_vocab's 1.12x regression in AB_r12close; the
-    # per-call-site choice is the r12 report's deferred item #4.
-    p = primary.persist()
-    arms = [p]
-    handles = [p]
-    for o in others:
-        aligned = o.select(*p.columns)
-        if checkpoint:
-            arms.append(aligned.localCheckpoint(eager=False))
-        else:
-            h = aligned.persist()
-            arms.append(h)
-            handles.append(h)
-    if len(arms) == 1:
-        p.count()
-    else:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=len(arms)) as ex:
-            # list() propagates the first exception, like the serial loop did
-            list(ex.map(lambda h: h.count(), arms))
-    out = p
-    for a in arms[1:]:
-        out = out.unionAll(p.exceptAll(a)).unionAll(a.exceptAll(p))
-    return _track_persisted(out, handles, primary, *others)
+    # Shape (r13, replacing the per-arm exceptAll pair): ONE sign-tagged
+    # aggregate — union the primary and every arm with an arm tag,
+    # hash-partition once on the full row tuple, and re-emit each distinct
+    # row n_p + sum_i |n_p - n_a_i| times. That is the identical multiset
+    # to the old p ∪ p.exceptAll(a_i) ∪ a_i.exceptAll(p) output
+    # (exceptAll itself rewrites to exactly this union+count+replicate
+    # machinery per LEG — RewriteExceptAll — so this runs Spark's own
+    # plan once per GATE instead of twice per ARM): one Exchange per gate
+    # instead of two per arm, and the primary's pipeline is scanned once
+    # instead of 1 + 2·arms times.
+    #
+    # Because every subtree now appears exactly ONCE in the output plan,
+    # the r12 persist/localCheckpoint/concurrent-count scaffolding is
+    # gone entirely: nothing is multi-referenced, so there is no cache
+    # race to pre-empt, no lineage re-analyzed twice, no checkpoint block
+    # write, and no per-arm count job — the drain's single job schedules
+    # the independent arm stages concurrently by itself (guide §2.6).
+    # Callers that want an arm materialized DURING another construct-time
+    # phase (e.g. overlapping a driver-bound stream harness) persist and
+    # count that arm themselves before passing it in.
+    if not others:
+        return primary
+    cols = primary.columns
+    tag = "__dd_gate_arm__"
+    u = primary.withColumn(tag, F.lit(0))
+    for i, o in enumerate(others, start=1):
+        u = u.unionAll(o.select(*cols).withColumn(tag, F.lit(i)))
+    n_of = [F.count(F.when(F.col(tag) == i, True)).alias(f"__dd_n{i}__")
+            for i in range(len(others) + 1)]
+    g = u.groupBy(*cols).agg(*n_of)
+    emit = F.col("__dd_n0__")
+    for i in range(1, len(others) + 1):
+        emit = emit + F.abs(F.col("__dd_n0__") - F.col(f"__dd_n{i}__"))
+    # array_repeat+explode replicates each row `emit` times (Spark's own
+    # ReplicateRows equivalent); emit >= 1 for every grouped row, and an
+    # explode of an empty array drops the row, so no filter is needed.
+    out = (
+        g.withColumn(tag, F.explode(F.array_repeat(F.lit(1), emit.cast("int"))))
+        .select(*cols)
+    )
+    return _track_persisted(out, [], primary, *others)
 
 
 def _parallel_arms(*thunks):
@@ -340,6 +335,24 @@ def _track_persisted(out: DataFrame, handles, *inputs) -> DataFrame:
         all_handles += list(getattr(src, "_ddspark_persisted", []))
     out._ddspark_persisted = all_handles
     return out
+
+
+class _CkptRelease:
+    """Release handle for a localCheckpoint'd DataFrame, shaped like a
+    persisted handle (`.unpersist(blocking)`) so it rides the same
+    `_ddspark_persisted` / `_PENDING_RELEASE` contract. A checkpointed
+    Dataset's plan is a LogicalRDD over the persisted internal-row RDD;
+    DataFrame.unpersist() would only consult the CacheManager (a no-op
+    here) — freeing the MEMORY_AND_DISK blocks requires unpersisting that
+    RDD itself. Without this, checkpoint blocks survive until JVM GC +
+    ContextCleaner, i.e. effectively for the whole 50-entry bench session
+    (r12 ADVICE: unbounded accumulation at large sf)."""
+
+    def __init__(self, df: DataFrame):
+        self._jrdd = df._jdf.queryExecution().analyzed().rdd()
+
+    def unpersist(self, blocking: bool = False):
+        self._jrdd.unpersist(blocking)
 
 
 # --- deterministic "modified" tables for diff queries ----------------------
@@ -617,7 +630,11 @@ def q_diff_stats_all(spark, sf_dir):
     # the bounded drift-monitor run is independent of the sign-diff arm:
     # run it on a side thread while signs materializes (guide §2.6 —
     # signs previously executed inside the drain, serialized after the
-    # whole streaming harness)
+    # whole streaming harness). mod is materialized FIRST: the signs
+    # count and the monitor's batch score are otherwise concurrent first
+    # readers of the lazily-persisted mod, which race and recompute
+    # partitions (r12 ADVICE).
+    mod.count()
     with ThreadPoolExecutor(max_workers=1) as _ex:
         _fut = _ex.submit(monitor_orders_bounded, spark, sf_dir, DRIFT_COLS,
                           mod)
@@ -633,8 +650,6 @@ def q_diff_stats_all(spark, sf_dir):
             F.col("drifted").alias("flag"), "batch_id",
         )
 
-    # checkpoint stays ON here: the persist variant was A/B'd and read
-    # 1.04 min / 1.06 median (AB_r12_tinyarm_persist.json)
     drift = _must_equal(shape(b), shape(s))
     # derived selects drop the _ddspark_persisted attr — re-attach (plus
     # the shared mod cache) so the gate's caches release deterministically
@@ -2569,8 +2584,7 @@ def q_events_rollup_all(spark, sf_dir):
     batch, final = _sized_stream_state(
         spark, lambda: ndv_rollup_batch_equivalent(spark, sf_dir),
         n=_event_stream_state_n(spark, sf_dir))
-    # checkpoint=False: the ndv arms are 2-line analyzed trees
-    core = _must_equal(batch, final, checkpoint=False)
+    core = _must_equal(batch, final)
     exact = spark.table("events").groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_ndv"))
     ndv = core.join(exact, "event_type").select(
@@ -3292,12 +3306,7 @@ def q_token_vocab_all(spark, sf_dir):
         .groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     )
     salted = top100(n_salted.join(df_salted, "token"))
-    # checkpoint=False: this entry's arm trees are tiny (≤36 analyzed
-    # lines), so lineage truncation buys nothing while the localCheckpoint
-    # block write cost ~0.3s — the one accepted regression in
-    # AB_r12close_vs_1b002c8 (1.12x), recovered here (r12 deferred #4).
-    return _must_equal(plain, salted.select("token", "n", "doc_freq"),
-                       checkpoint=False)
+    return _must_equal(plain, salted.select("token", "n", "doc_freq"))
 
 
 ORACLE_TOKEN_VOCAB_SKEWED = f"""
@@ -3728,10 +3737,13 @@ def q_merge3_orders(spark, sf_dir):
     # winner join, and Catalyst re-analyzes a persisted subtree's full
     # logical tree on every downstream action — the lineage-truncated
     # form took this entry's cached-side projections from 2.7s to 0.03s
-    # (same trade as _must_equal's verification arms: bounded blocks,
-    # values identical, failure = re-run the entry). Lazy: the first
-    # consumer's job materializes the blocks once (RDD block locks).
-    d = diff3(base, ours, theirs).localCheckpoint(eager=False)
+    # (bounded blocks, values identical, failure = re-run the entry).
+    # EAGER since r13: the lazy gate means the entry's single drain job
+    # reads d from two branches (d3 scope + merge3's winner join) — lazy
+    # blocks would race concurrent first readers and recompute the
+    # classification join; eager materialization runs it exactly once,
+    # overlapped with the snapshot entry's other arms (_parallel_arms).
+    d = diff3(base, ours, theirs).localCheckpoint()
     d3 = d.select(
         F.lit("diff3").alias("scope"), "o_orderkey",
         F.col("merge_status").alias("v_str"),
@@ -3775,22 +3787,35 @@ def q_merge3_orders(spark, sf_dir):
         V.commit(ours.df.select(*ORDERS_COLS).filter(sub), root),
         V.commit(theirs.df.select(*ORDERS_COLS).filter(sub), root),
     ), sf_dir=sf_dir)
-    # mv is a verification duplicate: truncate its lineage like
-    # _must_equal's arms (the versioned-reconstruction tree otherwise
-    # re-analyzes in both exceptAll legs)
-    mv = m3_proj(merge_versions(spark, root, 1, 2, 3,
-                                prefer="ours")).localCheckpoint(eager=False)
-    p = m3.persist()
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        list(ex.map(lambda h: h.count(), (p, mv)))
-    # _must_equal's shape, specialized to the verified slice: symmetric
-    # difference over the 1/3 key slice only (both sides cached), so the
-    # exceptAll pair shuffles 50k-row frames, not 150k
-    psub = p.filter(sub)
-    m3 = p.unionAll(psub.exceptAll(mv)).unionAll(mv.exceptAll(psub))
-    return _track_persisted(d3.unionByName(m3), [p])
+    # _must_equal's r13 single-aggregate shape, specialized to the verified
+    # slice: slice membership (o_orderkey % 3 = 0) is computable from the
+    # grouped row itself, so ONE sign-tagged aggregate over m3 ∪ mv emits
+    # each row n_p + |n_p·[slice] − n_mv| times — the identical multiset to
+    # the old p ∪ psub.exceptAll(mv) ∪ mv.exceptAll(psub) (non-slice
+    # primary rows pass through n_p times with [slice] = 0 and n_mv = 0;
+    # a spurious non-slice mv row still surfaces, with n_p possibly > 0,
+    # as n_p + n_mv copies — exactly the old mv.exceptAll(psub) leg). m3
+    # and mv each appear ONCE in the plan, so neither needs persist /
+    # localCheckpoint / an eager count, and the old exceptAll pair's two
+    # aggregations collapse into one Exchange.
+    mv = m3_proj(merge_versions(spark, root, 1, 2, 3, prefer="ours"))
+    tag = "__dd_gate_arm__"
+    cols = m3.columns
+    u = m3.withColumn(tag, F.lit(0)).unionAll(
+        mv.select(*cols).withColumn(tag, F.lit(1)))
+    g = u.groupBy(*cols).agg(
+        F.count(F.when(F.col(tag) == 0, True)).alias("__dd_n0__"),
+        F.count(F.when(F.col(tag) == 1, True)).alias("__dd_n1__"),
+    )
+    emit = F.col("__dd_n0__") + F.abs(
+        F.col("__dd_n0__") * sub.cast("long") - F.col("__dd_n1__"))
+    m3 = (
+        g.withColumn(tag, F.explode(F.array_repeat(F.lit(1), emit.cast("int"))))
+        .select(*cols)
+    )
+    # d's checkpoint blocks are freed between entries via the persisted-
+    # handle contract (see _CkptRelease) instead of waiting for GC
+    return _track_persisted(d3.unionByName(m3), [_CkptRelease(d)])
 
 
 def q_ivm_orders(spark, sf_dir):
@@ -4072,8 +4097,6 @@ where edit_dist*100 <= 20*max_len
 def q_events_hourly_all(spark, sf_dir):
     """Batch hourly rollup AND its streaming formulation (AvailableNow, run
     to completion) verified equal under one gate entry."""
-    # checkpoint stays ON here: the persist variant was A/B'd and read
-    # 1.034 min / 1.073 median at repeats=6 (AB_r12_tinyarm_persist2.json)
     return _must_equal(
         q_events_hourly(spark, sf_dir),
         q_events_hourly_stream(spark, sf_dir),
@@ -4134,21 +4157,17 @@ def q_neardup_pairs_all(spark, sf_dir):
     load_views(spark, sf_dir)
     a = q_ngram_jaccard_pairs(spark, sf_dir)
     b = q_dedup_minhash_lsh(spark, sf_dir)
-    inc_raw = q_lsh_incremental(spark, sf_dir).persist()
-    # the incremental probe is independent of the pairs gate: materialize
-    # it concurrently with _must_equal's arm counts (guide §2.6) so the
-    # drain job only reads cache — it previously computed inside the
-    # drain, serialized after the construction-time counts
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(inc_raw.count)
-        pairs = _must_equal(a, b)
-        fut.result()
+    # every subtree here — both gate arms and the incremental probe —
+    # appears exactly once in the output plan (r13 single-aggregate gate),
+    # so nothing needs persist or an eager count: the drain's one job
+    # schedules the three independent pipelines' stages concurrently
+    # (guide §2.6) with zero extra actions.
+    pairs = _must_equal(a, b)
+    inc_raw = q_lsh_incremental(spark, sf_dir)
     p = pairs.select(F.lit("pairs").alias("scope"), "id_a", "id_b", "jaccard")
     inc = inc_raw.select(
         F.lit("incremental").alias("scope"), "id_a", "id_b", "jaccard")
-    return _track_persisted(p.unionAll(inc), [inc_raw], pairs, inc_raw)
+    return _track_persisted(p.unionAll(inc), [], pairs, inc_raw)
 
 
 def _neardup_pairs_all_oracle() -> str:
@@ -4167,10 +4186,6 @@ def q_range_join_all(spark, sf_dir):
     return _must_equal(
         q_range_join_attribution(spark, sf_dir),
         q_range_join_stream(spark, sf_dir),
-        # checkpoint=False: 0.985 min / 0.952 median at repeats=6
-        # (AB_r12_tinyarm_persist2.json) — the stream arm reads a
-        # materialized sink, a tiny analyzed tree
-        checkpoint=False,
     )
 
 
@@ -4236,8 +4251,6 @@ def q_asof_purchase_all(spark, sf_dir):
         )
         .withColumn("scope", F.lit("keyed"))
     )
-    # checkpoint stays ON here: the persist variant was A/B'd and
-    # REGRESSED 1.129 min / 1.124 median (AB_r12_tinyarm_persist.json)
     keyed = _must_equal(keyed, skeyed.select(*keyed.columns))
 
     glob = (

@@ -134,33 +134,32 @@ def test_ivf_no_distance_reeval_and_single_cell_join(spark, sf_dir):
     plan = plan_of(WORKLOAD["ann_topk_ivf"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan
     small = table_rows(spark, sf_dir, "embeddings") < _COSINE_BLAS_MIN_ROWS
-    # small corpus (SQL arms): ivf probed-queries + ADC lut (the lut
-    # subtree prints twice — the persisted adc frame feeds both the
-    # ivf_pq prefix and the rr candidate set, and the formatted plan
-    # expands the shared subtree in each consumer; it executes once via
-    # the cache) + rr's candidate-id set + rr's query vectors = 5
-    # broadcast NODES. The r12 persisted-layout gate arm
-    # (ivf_pq_topk_from_layout) still runs its own probed-query join
-    # side + ADC lut broadcasts, but as a _must_equal VERIFICATION arm
-    # its lineage is truncated (localCheckpoint) before the union, so
-    # those nodes execute during construction and no longer print in the
-    # entry plan — the layout route itself stays value-pinned by
-    # tests/test_similarity.py (layout == direct ivf_pq_topk) and the
-    # oracle scope. Above the BLAS threshold the ivf arm and
-    # rr's pair fold switch to cogrouped applyInPandas, dropping their
-    # query-side broadcasts: 5 - 2 = 3.
-    want = 5 if small else 3
+    # small corpus (SQL arms): ivf probed-queries + ADC lut x2 (the
+    # persisted adc frame feeds both the ivf_pq prefix and the rr
+    # candidate set, and the formatted plan expands the shared subtree in
+    # each consumer; it executes once via the cache) + rr's candidate-id
+    # set + the layout verification arm's two build sides (its cached
+    # ADC/query frame and its parquet-scanned layout side) = 6 broadcast
+    # NODES. Since r13 the gate is a single lazy sign-tagged aggregate —
+    # no localCheckpoint lineage truncation — so the layout arm's subtree
+    # prints inline in the entry plan (r12 counted 5 with that arm's
+    # broadcasts hidden behind a checkpoint). Above the BLAS threshold
+    # the ivf arm and rr's pair fold switch to cogrouped applyInPandas,
+    # dropping their query-side broadcasts: 6 - 2 = 4 (derived, as the
+    # old 3 was: the suite fixture sits below the threshold).
+    want = 6 if small else 4
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == want
     # a distinct over the CANDIDATE pair stream would add HashAggregates
-    # keyed on pre-rank pair ids. The only aggregates allowed are the 4
-    # from the r12 layout gate's _must_equal symmetric difference: Spark
-    # rewrites exceptAll as a flag-count aggregate over the FULL result
-    # tuple (partial+final x 2 legs), so every allowed node's key list
-    # contains the post-topk `rank` column — a candidate-stream distinct
-    # (keys without rank) or any new aggregate breaks the count.
+    # keyed on pre-rank pair ids. The only aggregates allowed are the 2
+    # from the layout gate's r13 sign-tagged compare: ONE count aggregate
+    # over the FULL result tuple (partial+final), so every allowed node's
+    # key list contains the post-topk `rank` column — a candidate-stream
+    # distinct (keys without rank) or any new aggregate breaks the count.
+    # (The old exceptAll pair compiled to 4 such nodes — the halving IS
+    # the r13 gate optimization.)
     aggs = re.findall(r"\(\d+\) HashAggregate[^\n]*\n[^\n]*\n(Keys [^\n]*)",
                       plan)
-    assert len(aggs) == 4 and all("rank" in k for k in aggs), aggs
+    assert len(aggs) == 2 and all("rank" in k for k in aggs), aggs
 
 
 def test_decontaminate_single_corpus_scan(spark, sf_dir):

@@ -455,7 +455,9 @@ def test_band_codes_udf_path_matches_sql_path(spark, monkeypatch):
 def test_ann_topk_lsh_blas_fold_matches_sql_fold(spark, monkeypatch):
     """ann_topk_lsh's exact re-rank has two plans, one semantics: the
     Arrow-batched row-wise dot (engaged when the n_rows hint clears
-    _COSINE_BLAS_MIN_ROWS) must emit bit-identical (id_q, id_c, rank,
+    _PAIRS_TOPK_BLAS_MIN_ROWS — NOT _COSINE_BLAS_MIN_ROWS, which gates
+    the dense-matmul cosine_topk path ~50x higher by design) must emit
+    bit-identical (id_q, id_c, rank,
     cosine) rows to the interpreted SQL zip_with fold — including
     zero-norm candidates (null embedding -> qv=[] -> cosine NULL,
     ranked last by the shared _topk window). The SQL fold only defines

@@ -174,6 +174,43 @@ def test_minhash_arrow_fold_multibatch_accumulator(spark, docs):
     assert len(sql_rows) > 0
 
 
+def test_minhash_arrow_fold_string_ids(spark):
+    """minhash_signatures is generic over id_col: a corpus with STRING doc
+    ids plus an n_rows hint >= _MINHASH_ARROW_MIN_ROWS takes the Arrow
+    route, which must preserve the caller's id type (it used to hard-code
+    LongType and fail at Arrow conversion) and stay bit-par with SQL."""
+    df = spark.createDataFrame(
+        [Row(doc_id=f"doc-{i:03d}", text=f"alpha beta gamma delta token{i % 7} "
+                                          f"epsilon zeta eta theta word{i % 5}")
+         for i in range(40)]
+    )
+    sql_rows = {r["id"]: tuple(r)[1:]
+                for r in DD.minhash_signatures(df).collect()}
+    arrow_rows = {r["id"]: tuple(r)[1:]
+                  for r in DD.minhash_signatures(df, n_rows=10**9).collect()}
+    assert sql_rows == arrow_rows
+    assert len(sql_rows) == 40
+    assert all(isinstance(k, str) for k in arrow_rows)
+
+
+def test_minhash_arrow_partial_fold_no_repartition(docs):
+    """The Arrow fold's map-side-combine shape: the partial fold runs on
+    the INPUT partitioning (no repartition/Exchange between the scan and
+    MapInPandas), and the only shuffle is the k-column min merge of
+    per-partition partials. A repartition-before-fold regression would
+    reintroduce a document-length-dependent shuffle."""
+    plan = DD.minhash_signatures(
+        docs, n_rows=10**9)._jdf.queryExecution().executedPlan().toString()
+    map_pos = plan.find("MapInPandas")
+    assert map_pos != -1, plan
+    # exactly one shuffle, and it sits ABOVE the fold (the partial-merge
+    # aggregate), never between the scan and the MapInPandas
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange" not in plan[map_pos:], (
+        "Exchange below MapInPandas — partial fold is no longer map-side:\n"
+        + plan)
+
+
 def test_minhash_lsh_dedup_arrow_same_pairs(docs):
     """End-to-end: the dispatched operator emits the identical pair set."""
     base = sorted((r.id_a, r.id_b, round(r.jaccard, 12))
