@@ -1092,6 +1092,56 @@ def simhash_pairs(
 # --- sorted-neighborhood near-dup pairs (SNM) -------------------------------
 
 
+# Skew guard for the sorted-neighborhood bucketing: a census prefix whose
+# row count exceeds this is re-censused at a longer prefix (order-
+# preserving subdivision of its key range), up to SNM_MAX_REFINE extra
+# levels of SNM_REFINE_STEP chars each. The cap is an absolute constant,
+# not a fraction of the corpus: a <=4096-row window partition is cheap on
+# any executor, while "fraction" rules would leave hot buckets growing
+# linearly with corpus size. At the driver-gate SFs every bucket sits far
+# under the cap, so the refined path compiles to the identical
+# single-broadcast-join plan (pinned by the oracle and tests).
+SNM_MAX_BUCKET_ROWS = 4096
+SNM_REFINE_STEP = 2
+SNM_MAX_REFINE = 3
+
+
+def _snm_census(keyed: DataFrame, prefix_len: int, window: int) -> list:
+    """(prefix, count) census of `keyed._k`, refined until no prefix holds
+    more than max(SNM_MAX_BUCKET_ROWS, window + 1) rows or the refinement
+    budget is spent. Returned prefixes have MIXED lengths but partition
+    the key space (a split parent is replaced by its children — including
+    the bare parent string itself when keys end at the parent length), and
+    lexicographic order of the prefixes equals key-range order, which the
+    driver bucket fold relies on. Keys identical beyond the deepest
+    refined length stay one bucket — undocumented residual skew only for
+    corpora of near-identical openings longer than
+    prefix_len + SNM_MAX_REFINE*SNM_REFINE_STEP chars."""
+    cap = max(SNM_MAX_BUCKET_ROWS, window + 1)
+    rows = keyed.groupBy(
+        F.substring("_k", 1, prefix_len).alias("_pfx")).count().collect()
+    census = [(r["_pfx"], r["count"]) for r in rows]
+    cur_len = prefix_len
+    for _ in range(SNM_MAX_REFINE):
+        # splittable = over cap AND as long as its census level: a shorter
+        # entry means every key in it EQUALS the prefix (substring returned
+        # the whole key), so a longer prefix cannot subdivide it
+        hot = [p for p, c in census if c > cap and len(p) == cur_len]
+        if not hot:
+            break
+        cur_len += SNM_REFINE_STEP
+        # one census job over the hot slice only; its result is bounded by
+        # (hot prefixes) x (observed extensions), the same driver-safety
+        # argument as the base census
+        sub = keyed.filter(
+            F.substring("_k", 1, cur_len - SNM_REFINE_STEP).isin(hot)
+        ).groupBy(F.substring("_k", 1, cur_len).alias("_pfx")).count().collect()
+        census = [(p, c) for p, c in census if p not in hot]
+        census += [(r["_pfx"], r["count"]) for r in sub]
+    census.sort(key=lambda pc: pc[0])
+    return census
+
+
 def snm_pairs(
     df: DataFrame,
     sort_col: str = "text",
@@ -1119,7 +1169,13 @@ def snm_pairs(
       2. a bounded bucket census (one row per distinct prefix — at most
          alphabet^prefix_len rows, driver-safe the same way IVF bounds
          its training sample) merges adjacent under-full buckets so every
-         bucket holds MORE than `window` rows;
+         bucket holds MORE than `window` rows; prefixes holding more than
+         SNM_MAX_BUCKET_ROWS are REFINED with longer prefixes first
+         (order-preserving: extending a shared prefix subdivides its key
+         range) — real corpora open with Zipf-distributed phrases, and an
+         unrefined hot prefix is one giant window partition, the classic
+         skew straggler (measured: the sf1 replica corpus puts 10% of all
+         rows in ONE 2-char bucket, 29x the median);
       3. each bucket's last `window` rows are replicated into the next
          bucket ("carry" rows), so every record sees its full successor
          window inside exactly one bucket partition — per-bucket
@@ -1148,11 +1204,9 @@ def snm_pairs(
         F.col(id_col).alias("id"),
         F.col(sort_col).alias("_k"),
         F.col(compare_col or sort_col).alias("_c"),
-    ).filter(F.col("_k").isNotNull()).withColumn(
-        "_pfx", F.substring("_k", 1, prefix_len)
-    )
+    ).filter(F.col("_k").isNotNull())
 
-    census = keyed.groupBy("_pfx").count().orderBy("_pfx").collect()
+    census = _snm_census(keyed, prefix_len, window)
     if not census:
         # the empty frame's id columns must match the non-empty path's
         # types (whatever id_col is — long, string, ...), not a hardcoded
@@ -1170,22 +1224,37 @@ def snm_pairs(
     # driver fold over the (bounded) prefix list: a bucket absorbs the next
     # prefix until it holds > window rows, so carries never need to hop twice
     buckets: list = []  # (prefixes, rowcount)
-    for r in census:
+    for pfx, cnt in census:
         if buckets and buckets[-1][1] <= window:
             ps, n = buckets[-1]
-            buckets[-1] = (ps + [r["_pfx"]], n + r["count"])
+            buckets[-1] = (ps + [pfx], n + cnt)
         else:
-            buckets.append(([r["_pfx"]], r["count"]))
+            buckets.append(([pfx], cnt))
     if len(buckets) > 1 and buckets[-1][1] <= window:
         ps_last, n_last = buckets.pop()
         ps, n = buckets[-1]
         buckets[-1] = (ps + ps_last, n + n_last)
     n_buckets = len(buckets)
-    bmap = spark.createDataFrame(
-        [(p, i) for i, (ps, _) in enumerate(buckets) for p in ps],
-        "_pfx string, _b int",
-    )
-    keyed = keyed.join(F.broadcast(bmap), "_pfx").select("_b", "id", "_k", "_c")
+    # longest-prefix-wins bucket mapping: the refined census partitions the
+    # key space (a split parent is fully replaced by its children), so each
+    # row matches EXACTLY ONE census prefix; one chained broadcast left
+    # join per distinct prefix length (<= 1 + SNM_MAX_REFINE of them) keeps
+    # this a single corpus scan. With no refinement (every gate sf) this
+    # degenerates to the r12 plan: one broadcast join on the base prefix.
+    by_len: dict = {}
+    for i, (ps, _) in enumerate(buckets):
+        for p in ps:
+            by_len.setdefault(len(p), []).append((p, i))
+    bcol = None
+    for L in sorted(by_len, reverse=True):
+        bmap = spark.createDataFrame(by_len[L], f"_bp{L} string, _b{L} int")
+        keyed = keyed.join(
+            F.broadcast(bmap),
+            F.substring("_k", 1, L) == F.col(f"_bp{L}"), "left",
+        ).drop(f"_bp{L}")
+        c = F.col(f"_b{L}")
+        bcol = c if bcol is None else F.coalesce(bcol, c)
+    keyed = keyed.withColumn("_b", bcol).select("_b", "id", "_k", "_c")
 
     wdesc = Window.partitionBy("_b").orderBy(F.desc("_k"), F.desc("id"))
     carries = (
@@ -1268,13 +1337,24 @@ def snm_pairs_multi(
     set. Union-of-windows coverage is pinned against the naive
     sort-and-scan oracle in tests/test_spans.py.
     """
-    out = None
-    for sc in sort_cols:
-        p = snm_pairs(
+    if not sort_cols:
+        raise ValueError("snm_pairs_multi needs at least one sort column")
+    # each pass's construction runs its own census action(s) (collect);
+    # the passes are independent pipelines, so build them in concurrent
+    # driver threads — construct wall-clock is max(pass), not sum(pass)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(sc):
+        return snm_pairs(
             df, sort_col=sc, id_col=id_col, window=window,
             max_edit_pct=max_edit_pct, prefix_len=prefix_len,
             compare_col=compare_col,
         )
+
+    with ThreadPoolExecutor(max_workers=len(sort_cols)) as ex:
+        passes = list(ex.map(build, sort_cols))
+    out = None
+    for p in passes:
         canon = p.select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
@@ -1282,6 +1362,4 @@ def snm_pairs_multi(
             "max_len",
         )
         out = canon if out is None else out.unionByName(canon)
-    if out is None:
-        raise ValueError("snm_pairs_multi needs at least one sort column")
     return out.distinct()

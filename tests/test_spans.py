@@ -238,6 +238,81 @@ select * from p where edit_dist*100 <= 20*max_len
         assert got == want
 
 
+class TestSnmBucketRefinement:
+    """r13 skew guard: census prefixes holding more than SNM_MAX_BUCKET_ROWS
+    rows are subdivided with longer prefixes (order-preserving), so one hot
+    opening phrase cannot become a single giant window partition. Values
+    must be invariant: refined and unrefined plans emit the identical pair
+    set (the refinement only changes bucket granularity; the carry design
+    already proves cross-boundary pairs)."""
+
+    def _hot_corpus(self, spark, n=60):
+        # all docs share the 2-char prefix "aa" but split cleanly at 4
+        # chars into 4 groups; neighbors inside a group are near-dups
+        rows = []
+        for g in range(4):
+            for i in range(n // 4):
+                rows.append((g * 100 + i,
+                             f"aa{chr(99 + g)}{chr(99 + g)} shared body "
+                             f"text number {i:02d}"))
+        return _docs(spark, rows)
+
+    def test_refined_pairs_match_unrefined(self, spark, monkeypatch):
+        import data_diff_spark.operators.dedup as DD
+
+        docs = self._hot_corpus(spark)
+        base = sorted(tuple(r) for r in snm_pairs(
+            docs, window=3, max_edit_pct=20).collect())
+        monkeypatch.setattr(DD, "SNM_MAX_BUCKET_ROWS", 8)
+        refined = sorted(tuple(r) for r in snm_pairs(
+            docs, window=3, max_edit_pct=20).collect())
+        assert refined == base
+        assert len(refined) > 0
+
+    def test_census_refines_hot_prefix(self, spark, monkeypatch):
+        import data_diff_spark.operators.dedup as DD
+        from data_diff_spark.operators.dedup import _snm_census
+        from pyspark.sql import functions as F
+
+        docs = self._hot_corpus(spark)
+        keyed = docs.select("doc_id", F.col("text").alias("_k"))
+        monkeypatch.setattr(DD, "SNM_MAX_BUCKET_ROWS", 8)
+        census = _snm_census(keyed, 2, 3)
+        # the hot "aa" prefix must be gone, replaced by longer children,
+        # and the census must stay sorted (= key-range order) and sum to n
+        assert all(p != "aa" for p, _ in census)
+        assert any(len(p) > 2 for p, _ in census)
+        assert [p for p, _ in census] == sorted(p for p, _ in census)
+        assert sum(c for _, c in census) == docs.count()
+
+    def test_unsplittable_identical_keys_terminate(self, spark, monkeypatch):
+        """Keys identical through every refinement level must not loop or
+        lose rows — they stay one (over-cap) bucket, documented residual."""
+        import data_diff_spark.operators.dedup as DD
+
+        rows = [(i, "aa same exact opening forever shared tail") for i in range(12)]
+        rows += [(100 + i, f"zz unique {i} far away text") for i in range(3)]
+        docs = _docs(spark, rows)
+        monkeypatch.setattr(DD, "SNM_MAX_BUCKET_ROWS", 4)
+        got = {(r.id_a, r.id_b) for r in snm_pairs(
+            docs, window=2, max_edit_pct=20).collect()}
+        # identical docs: every successor within the window matches
+        want = {(i, j) for i in range(12) for j in (i + 1, i + 2) if j < 12}
+        assert want <= got
+
+    def test_refined_matches_naive_oracle(self, spark, monkeypatch):
+        import data_diff_spark.operators.dedup as DD
+
+        docs = self._hot_corpus(spark)
+        rows = [(r.doc_id, r.text, r.text) for r in docs.collect()]
+        want = _naive_snm(rows, lambda r: r[1], window=3, max_edit_pct=20)
+        monkeypatch.setattr(DD, "SNM_MAX_BUCKET_ROWS", 8)
+        got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.edit_dist,
+                r.max_len)
+               for r in snm_pairs(docs, window=3, max_edit_pct=20).collect()}
+        assert got == want
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
