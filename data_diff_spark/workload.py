@@ -2425,16 +2425,25 @@ def q_collect_stats_all(spark, sf_dir):
             "s_suppkey",
         ),
     ]
-    val = V.validate(li, rules).select(
+    # validate() and profile() each run their report jobs eagerly
+    # (collects over the cached li) — independent pipelines, previously
+    # serial at construct (r13 probe: 1.5s + 1.3s back-to-back after the
+    # 0.4s li materialization). Build them concurrently (guide §2.6):
+    # construct is max(validate, profile), not their sum. li is already
+    # materialized, so the concurrent readers only hit cache.
+    raw_val, prof = _parallel_arms(
+        lambda: V.validate(li, rules),
+        lambda: V.profile(
+            li.select("l_quantity", "l_returnflag", "l_linenumber",
+                      "l_shipdate"),
+            exact=True, numeric_stats=False,  # replayable core only
+        ),
+    )
+    val = raw_val.select(
         F.lit("validate").alias("scope"),
         F.col("rule").alias("k"),
         F.col("passed").cast("string").alias("v_str"),
         F.col("n_failed").cast("double").alias("v_num"),
-    )
-
-    prof = V.profile(
-        li.select("l_quantity", "l_returnflag", "l_linenumber", "l_shipdate"),
-        exact=True, numeric_stats=False,  # gate emits the replayable core
     )
     pr = prof.select(
         "column",
