@@ -201,14 +201,15 @@ def test_minhash_arrow_partial_fold_no_repartition(docs):
     reintroduce a document-length-dependent shuffle."""
     plan = DD.minhash_signatures(
         docs, n_rows=10**9)._jdf.queryExecution().executedPlan().toString()
-    map_pos = plan.find("MapInPandas")
-    assert map_pos != -1, plan
-    # exactly one shuffle, and it sits ABOVE the fold (the partial-merge
-    # aggregate), never between the scan and the MapInPandas
+    # two folds (merge above the shuffle, partial below it), exactly one
+    # shuffle, and NOTHING between the scan and the partial fold — a
+    # repartition-before-partial regression would reintroduce a
+    # document-length-dependent shuffle
+    assert plan.count("MapInPandas") == 2, plan
     assert plan.count("Exchange") == 1, plan
-    assert "Exchange" not in plan[map_pos:], (
-        "Exchange below MapInPandas — partial fold is no longer map-side:\n"
-        + plan)
+    deepest = plan.rfind("MapInPandas")
+    assert "Exchange" not in plan[deepest:], (
+        "Exchange below the partial fold — no longer map-side:\n" + plan)
 
 
 def test_minhash_lsh_dedup_arrow_same_pairs(docs):
