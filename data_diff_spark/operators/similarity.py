@@ -699,11 +699,11 @@ def ann_topk_lsh(
         # the top-k window stays in SQL — values and ordering
         # bit-identical either way (parity pinned in
         # tests/test_similarity.py). The threshold is CORPUS rows and
-        # sits above every driver-gate corpus (sf0.1: 2000): at gate
-        # scale the fold is NOT the cost (r12 cached-candidate probe:
-        # 0.7s SQL vs 1.1s BLAS at 146k pairs — mapInPandas batch
-        # overhead dominates small inputs), so the gates keep the SQL
-        # plan their DuckDB oracles replay.
+        # sits above the SMALL gate corpora (sf0.001/sf0.01) where the
+        # Python worker round-trip dominates; from sf0.1 up the
+        # interpreted fold IS the arm's cost (r13 in-plan measurement at
+        # the threshold comment below) and the parity-pinned BLAS path
+        # runs.
         pairs = _pairs_cosine_blas(withvecs)
     else:
         pairs = withvecs.select(
@@ -714,12 +714,19 @@ def ann_topk_lsh(
     return _topk(pairs, k)
 
 
-# Corpus-rows threshold for ann_topk_lsh's BLAS re-rank dispatch. Deliberately
-# far above _COSINE_BLAS_MIN_ROWS: the candidate PAIR count (queries x
-# ~bands*(1+n_flip)*occupancy) is what the fold is linear in, and below a few
-# hundred thousand pairs the interpreted fold is cheaper than the Python
-# worker round-trip (measured at sf0.1: 0.7s SQL vs 1.1s BLAS at 146k pairs).
-_PAIRS_TOPK_BLAS_MIN_ROWS = 50_000
+# Corpus-rows threshold for ann_topk_lsh's BLAS re-rank dispatch. The
+# candidate PAIR count (queries x ~bands*(1+n_flip)*occupancy) is what the
+# fold is linear in; r13 re-measured the crossover IN-PLAN (same session,
+# alternating reps, full pipeline — the r12 "0.7s SQL vs 1.1s BLAS"
+# reading timed the fold over a cached candidate frame and understated
+# the interpreted zip_with's in-plan cost): at a 2000-row corpus /
+# 146k pairs the SQL fold reads 5.5-5.8s warm vs 3.2-3.4s BLAS (the
+# whole-stage around the higher-order fold never compiles — HOF lambdas
+# are always interpreted). Below ~1.5k corpus rows (the sf0.01 gate:
+# 200) the Python worker round-trip dominates the tiny pair count, so
+# small gates keep the SQL plan their DuckDB oracles replay verbatim;
+# values are bit-identical either way (parity pinned incl. NULL-cosine).
+_PAIRS_TOPK_BLAS_MIN_ROWS = 1_500
 
 
 def _pairs_cosine_blas(withvecs: DataFrame) -> DataFrame:

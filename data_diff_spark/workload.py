@@ -2064,8 +2064,9 @@ def q_ann_topk_lsh(spark, sf_dir):
     # n_rows on the PINNED shape: bands/rows_per_band are both given, so
     # the hint cannot change the bucket restriction — it only routes the
     # exact re-rank fold to its BLAS parity path above the corpus-rows
-    # dispatch threshold (inert at every gate sf; values bit-identical
-    # either way — similarity._PAIRS_TOPK_BLAS_MIN_ROWS)
+    # dispatch threshold (sf0.001/sf0.01 gates stay on the SQL fold;
+    # sf0.1 dispatches — values bit-identical either way, parity pinned:
+    # similarity._PAIRS_TOPK_BLAS_MIN_ROWS)
     pinned = SIM.ann_topk_lsh(base, qs, k=5, bands=8, rows_per_band=4,
                               dim=EMB_DIM, n_rows=n).persist()
     topk = pinned.select(
