@@ -1326,9 +1326,14 @@ def _book_lit(book: List[List[int]]) -> Column:
 # defaults; the 200k-row growth probe measured the SQL path at ~100s) to a
 # pandas UDF running _argmin_cells per subspace (exact chunked BLAS, the
 # _assign_cells design). Both paths are exact int64 argmin with
-# first-occurrence ties — bit-identical, pinned in pytest. The driver gate
-# passes no row hint and stays on the SQL path its oracle replays.
-_PQ_ENCODE_BLAS_MIN_ROWS = 50_000
+# first-occurrence ties — bit-identical, pinned in pytest. r13 re-measured
+# the crossover in-plan on the full ann_topk_ivf entry (alternating warm
+# reps, one session): 8.7-8.9s at the old 50k threshold vs 6.9-7.4s
+# dispatched at the sf0.1 corpus (2000 rows) — the interpreted argmin is
+# the cost well below 50k rows. 1.5k keeps every small-sf gate
+# (sf0.001/sf0.01, <=550 rows) on the SQL plan its oracle replays, where
+# the Python worker round-trip would dominate anyway.
+_PQ_ENCODE_BLAS_MIN_ROWS = 1_500
 
 
 def pq_encode(
