@@ -675,18 +675,9 @@ def ann_topk_lsh(
         .join(F.broadcast(qr), ["band_idx", "code"])
         .filter(F.col("id") != F.col("id_q"))
         .select("id_q", F.col("id").alias("id_c"))
-        .distinct()
     )
     p = _prepared(df, id_col, vec_col)
     pq = _prepared(queries, id_col, vec_col)
-    withvecs = (
-        cand_ids
-        .join(p.select(F.col("id").alias("id_c"), F.col("qv").alias("qv_c"),
-                       F.col("nrm").alias("nrm_c")), "id_c")
-        .join(F.broadcast(pq.select(F.col("id").alias("id_q"),
-                                    F.col("qv").alias("qv_q"),
-                                    F.col("nrm").alias("nrm_q"))), "id_q")
-    )
     if n_rows is not None and n_rows >= _PAIRS_TOPK_BLAS_MIN_ROWS:
         # the exact re-rank is linear in candidate pairs and the SQL
         # zip_with+aggregate fold is INTERPRETED O(dim) per pair — at the
@@ -704,9 +695,35 @@ def ann_topk_lsh(
         # interpreted fold IS the arm's cost (r13 in-plan measurement at
         # the threshold comment below) and the parity-pinned BLAS path
         # runs.
-        pairs = _pairs_cosine_blas(withvecs)
+        if _check_query_cap(pq, dim, "ann_topk_lsh"):
+            # candidate-GROUPED re-rank (guide §2.3 "shuffle keys and
+            # metadata instead of payloads", §4.1 "pass only the columns
+            # the function needs"): the per-pair shape shipped BOTH
+            # 64-long vectors across the Arrow boundary once per
+            # candidate pair (~16x the corpus bytes at the sf0.1
+            # multi-probe fan-out) after re-attaching them through two
+            # joins. Grouping the candidate ids by corpus row first
+            # (one exchange — exactly what the per-pair distinct cost)
+            # sends each corpus vector across the boundary ONCE per
+            # distinct candidate, with the query matrix riding a driver
+            # broadcast the operator's own F.broadcast(qr) already
+            # presumes fits. Scale-safe at any corpus size: nothing here
+            # collects or broadcasts the corpus. Values bit-identical
+            # (same guard, same IEEE ops; parity pinned).
+            grouped = (
+                cand_ids.groupBy("id_c")
+                .agg(F.collect_set("id_q").alias("_qids"))
+                .join(p.select(F.col("id").alias("id_c"), "qv", "nrm"),
+                      "id_c")
+            )
+            pairs = _pairs_cosine_blas_grouped(grouped, pq)
+        else:
+            # query side exceeds the broadcast caps: keep the per-pair
+            # vector-attachment shape (no driver collect of the query
+            # matrix); same values
+            pairs = _pairs_cosine_blas(_attach_pair_vecs(cand_ids, p, pq))
     else:
-        pairs = withvecs.select(
+        pairs = _attach_pair_vecs(cand_ids, p, pq).select(
             "id_q", "id_c",
             (_qdot(F.col("qv_q"), F.col("qv_c")).cast("double")
              / (F.col("nrm_q") * F.col("nrm_c"))).alias("cosine"),
@@ -780,6 +797,106 @@ def _pairs_cosine_blas(withvecs: DataFrame) -> DataFrame:
             yield pd.DataFrame({
                 "id_q": pdf["id_q"].to_numpy(),
                 "id_c": pdf["id_c"].to_numpy(),
+                "cosine": cos,
+            })
+
+    return narrow.mapInPandas(gen, schema)
+
+
+def _attach_pair_vecs(cand_ids: DataFrame, p: DataFrame,
+                      pq: DataFrame) -> DataFrame:
+    """(id_q, id_c) candidate stream (may contain per-band duplicate
+    collisions) -> deduped pairs with both vectors re-attached — the
+    per-pair shape the SQL fold and the pair-wise BLAS verify consume."""
+    return (
+        cand_ids.distinct()
+        .join(p.select(F.col("id").alias("id_c"), F.col("qv").alias("qv_c"),
+                       F.col("nrm").alias("nrm_c")), "id_c")
+        .join(F.broadcast(pq.select(F.col("id").alias("id_q"),
+                                    F.col("qv").alias("qv_q"),
+                                    F.col("nrm").alias("nrm_q"))), "id_q")
+    )
+
+
+def _pairs_cosine_blas_grouped(grouped: DataFrame, pq: DataFrame) -> DataFrame:
+    """(id_c, _qids array, qv, nrm) -> (id_q, id_c, cosine): the
+    candidate-grouped sibling of _pairs_cosine_blas. Each corpus vector
+    crosses the Arrow boundary once per DISTINCT candidate row (not once
+    per pair); the query matrix is collected under the ANN_MAX_QUERY_*
+    caps and broadcast, exactly like _cosine_topk_blas. Dots are the same
+    guarded float64 matmul (all partial sums exact integers < 2^53, so
+    any summation order is bit-identical; int64 fallback to 2^62), norms
+    and divisions the identical IEEE doubles, and zero-norm rows on
+    EITHER side emit cosine NULL — matching the non-ANSI SQL fold and
+    _pairs_cosine_blas (parity pinned in tests/test_similarity.py)."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    idq_t = pq.schema["id"].dataType
+    idc_t = grouped.schema["id_c"].dataType
+    schema = StructType([
+        StructField("id_q", idq_t), StructField("id_c", idc_t),
+        StructField("cosine", DoubleType()),
+    ])
+    qrows = _capped_query_rows(
+        pq.select(F.col("id").alias("id_q"), F.col("qv").alias("qv_q"),
+                  F.col("nrm").alias("nrm_q")), "ann_topk_lsh")
+    ids_q = [r["id_q"] for r in qrows]
+    nrm_q = np.array([r["nrm_q"] for r in qrows], dtype=np.float64)
+    # zero-norm queries have qv=[] (ragged) — stack a zero row in their
+    # place; their dots are never used (cosine forced NULL below)
+    dim = max((len(r["qv_q"]) for r in qrows), default=1) or 1
+    Q = np.zeros((len(qrows), dim), dtype=np.int64)
+    for i, r in enumerate(qrows):
+        if r["nrm_q"] > 0:
+            Q[i, :] = np.asarray(r["qv_q"], dtype=np.int64)
+    qmax = int(np.abs(Q).max()) if Q.size else 0
+    sc_ = grouped.sparkSession.sparkContext
+    bc = sc_.broadcast((Q.astype(np.float64).T, Q.T, ids_q, nrm_q, qmax))
+    narrow = grouped.select("id_c", "_qids", "qv", "nrm")
+
+    def gen(batches):
+        import pandas as pd
+
+        QTf, QTi, idsq, nq, qm = bc.value
+        idx = {q: j for j, q in enumerate(idsq)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nrm_c = pdf["nrm"].to_numpy(dtype=np.float64)
+            qlists = [[idx[q] for q in lst] for lst in pdf["_qids"]]
+            counts = np.array([len(l) for l in qlists], dtype=np.int64)
+            total = int(counts.sum())
+            if not total:
+                continue
+            rows = np.repeat(np.arange(len(pdf)), counts)
+            cols = np.fromiter((j for l in qlists for j in l),
+                               dtype=np.int64, count=total)
+            ok = nrm_c > 0
+            cos = np.empty(total, dtype=object)
+            if ok.any():
+                sub = pdf[ok]
+                X = _stack_i64(sub["qv"])
+                d = X.shape[1]
+                xmax = int(np.abs(X).max()) if X.size else 0
+                if xmax * qm * d < (1 << 53):
+                    dots = X.astype(np.float64) @ QTf
+                elif xmax * qm * d < (1 << 62):
+                    dots = (X @ QTi).astype(np.float64)
+                else:
+                    raise ValueError(
+                        "ann_topk_lsh: dot magnitude exceeds int64")
+                # map full-frame row index -> compacted dots row
+                remap = np.cumsum(ok) - 1
+                pair_ok = ok[rows] & (nq[cols] > 0)
+                vals = (dots[remap[rows[pair_ok]], cols[pair_ok]]
+                        / (nrm_c[rows[pair_ok]] * nq[cols[pair_ok]]))
+                cos[pair_ok] = vals
+            ids_c_col = pdf["id_c"].to_numpy()
+            yield pd.DataFrame({
+                "id_q": np.asarray(idsq, dtype=object)[cols],
+                "id_c": ids_c_col[rows],
                 "cosine": cos,
             })
 
