@@ -4181,15 +4181,22 @@ def q_neardup_pairs_all(spark, sf_dir):
     incremental composition as its own oracle scope (r11 — previously
     pinned only in tests/test_text_dedup.py)."""
     load_views(spark, sf_dir)
-    a = q_ngram_jaccard_pairs(spark, sf_dir)
-    b = q_dedup_minhash_lsh(spark, sf_dir)
     # every subtree here — both gate arms and the incremental probe —
     # appears exactly once in the output plan (r13 single-aggregate gate),
     # so nothing needs persist or an eager count: the drain's one job
     # schedules the three independent pipelines' stages concurrently
-    # (guide §2.6) with zero extra actions.
+    # (guide §2.6) with zero extra actions. CONSTRUCTION itself is not
+    # free, though: building the three plans costs ~1.1s + 0.9s + 2.2s of
+    # driver-side analysis/py4j/catalog work (the incremental arm reads
+    # the bucketed-index catalog entry) measured warm at sf0.1 — serial
+    # by default, so the independent constructions run in concurrent
+    # driver threads (guide §7.3: plan-building is real wall-clock).
+    a, b, inc_raw = _parallel_arms(
+        lambda: q_ngram_jaccard_pairs(spark, sf_dir),
+        lambda: q_dedup_minhash_lsh(spark, sf_dir),
+        lambda: q_lsh_incremental(spark, sf_dir),
+    )
     pairs = _must_equal(a, b)
-    inc_raw = q_lsh_incremental(spark, sf_dir)
     p = pairs.select(F.lit("pairs").alias("scope"), "id_a", "id_b", "jaccard")
     inc = inc_raw.select(
         F.lit("incremental").alias("scope"), "id_a", "id_b", "jaccard")
@@ -4208,11 +4215,16 @@ where id_a % {_LSH_INC_MOD} = 0 or id_b % {_LSH_INC_MOD} = 0
 
 def q_range_join_all(spark, sf_dir):
     """Batch bucketed-bin interval join AND the watermarked stream-stream
-    variant, verified equal under one gate entry."""
-    return _must_equal(
-        q_range_join_attribution(spark, sf_dir),
-        q_range_join_stream(spark, sf_dir),
+    variant, verified equal under one gate entry. The stream arm runs its
+    bounded harness to completion eagerly (driver-bound micro-batch
+    machinery) — build the batch arm's plan concurrently instead of after
+    it (guide §2.6)."""
+    load_views(spark, sf_dir)
+    batch, stream = _parallel_arms(
+        lambda: q_range_join_attribution(spark, sf_dir),
+        lambda: q_range_join_stream(spark, sf_dir),
     )
+    return _must_equal(batch, stream)
 
 
 def q_hashdiff_orders_all(spark, sf_dir):
@@ -4807,17 +4819,24 @@ def q_docs_sampling(spark, sf_dir):
     oracle's global-sort cumsum), and the WARC/html_to_text ingestion
     round trip (r11 — hosted here because the (scope, doc_id, tag)
     shape fits extraction output; see q_warc_extract)."""
-    s = q_docs_split_assign(spark, sf_dir).select(
-        F.lit("split").alias("scope"), "doc_id", F.col("split").alias("tag")
+    load_views(spark, sf_dir)
+    # the five sub-constructions are independent, and two are not free:
+    # the WARC arm writes its fixture files (a job) and the budget arm
+    # runs its histogram threshold search — build them in concurrent
+    # driver threads (guide §2.6/§7.3; measured 1.8s serial at sf0.1)
+    s, t, m, b, w = _parallel_arms(
+        lambda: q_docs_split_assign(spark, sf_dir).select(
+            F.lit("split").alias("scope"), "doc_id",
+            F.col("split").alias("tag")),
+        lambda: q_docs_stratified_sample(spark, sf_dir).select(
+            F.lit("stratified").alias("scope"), "doc_id",
+            F.col("lang").alias("tag")),
+        lambda: q_mix_corpora(spark, sf_dir).select(
+            F.lit("mix").alias("scope"), "doc_id",
+            F.col("mix_source").alias("tag")),
+        lambda: q_docs_token_budget(spark, sf_dir),
+        lambda: q_warc_extract(spark, sf_dir),
     )
-    t = q_docs_stratified_sample(spark, sf_dir).select(
-        F.lit("stratified").alias("scope"), "doc_id", F.col("lang").alias("tag")
-    )
-    m = q_mix_corpora(spark, sf_dir).select(
-        F.lit("mix").alias("scope"), "doc_id", F.col("mix_source").alias("tag")
-    )
-    b = q_docs_token_budget(spark, sf_dir)
-    w = q_warc_extract(spark, sf_dir)
     return _track_persisted(
         s.unionAll(t).unionAll(m).unionAll(b).unionAll(w.select(*s.columns)),
         [], b)
