@@ -169,33 +169,51 @@ def monitor_orders_bounded(spark, sf_dir: str, columns, baseline=None):
     baseline = baseline.select(*cols)
     mon = DriftMonitor(baseline, columns=cols)
 
-    batch_rows = mon.score(spark.table("orders").select(*cols), batch_id=0)
-    batch_df = spark.createDataFrame(batch_rows, mon.REPORT_SCHEMA)
+    def _batch_side():
+        rows = mon.score(spark.table("orders").select(*cols), batch_id=0)
+        return spark.createDataFrame(rows, mon.REPORT_SCHEMA)
 
-    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(_as_stream_dir(sf_dir, "orders"))
-        .select(*cols)
-    )
-    scratch = tempfile.mkdtemp(prefix="drift_gate_")
-    ckpt = os.path.join(scratch, "ckpt")
-    sink_dir = os.path.join(scratch, "report")
-    try:
-        q = mon.sink(stream, ckpt, sink_dir, trigger_once=True)
-        q.awaitTermination()
-        q.stop()
-        if not os.path.isdir(sink_dir):
-            # the sink writes only non-empty batches; no report dir means
-            # the bounded source produced NO data — a harness bug (e.g.
-            # the r7 directory-symlink stream defect), never a valid score
-            raise RuntimeError(
-                "drift gate: streaming sink wrote no batches — the "
-                "bounded orders stream was empty")
-        # the report is |columns| rows — bounded driver collect by design
-        stream_df = spark.createDataFrame(
-            spark.read.schema(mon.REPORT_SCHEMA).parquet(sink_dir).collect(),
-            mon.REPORT_SCHEMA)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+    def _stream_side():
+        schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(_as_stream_dir(sf_dir, "orders"))
+            .select(*cols)
+        )
+        scratch = tempfile.mkdtemp(prefix="drift_gate_")
+        ckpt = os.path.join(scratch, "ckpt")
+        sink_dir = os.path.join(scratch, "report")
+        try:
+            q = mon.sink(stream, ckpt, sink_dir, trigger_once=True)
+            q.awaitTermination()
+            q.stop()
+            if not os.path.isdir(sink_dir):
+                # the sink writes only non-empty batches; no report dir
+                # means the bounded source produced NO data — a harness
+                # bug (e.g. the r7 directory-symlink stream defect),
+                # never a valid score
+                raise RuntimeError(
+                    "drift gate: streaming sink wrote no batches — the "
+                    "bounded orders stream was empty")
+            # the report is |columns| rows — bounded driver collect by
+            # design
+            return spark.createDataFrame(
+                spark.read.schema(mon.REPORT_SCHEMA)
+                .parquet(sink_dir).collect(),
+                mon.REPORT_SCHEMA)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    # once the monitor's baseline profile exists, the one-batch score and
+    # the bounded stream harness are independent read-only consumers of
+    # it (the harness is driver-bound micro-batch machinery; the batch
+    # score is one aggregation job) — run them concurrently (guide §2.6)
+    # instead of back-to-back. Both score() calls read mon._base only in
+    # driver-side Python after their own aggregations return.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fb = ex.submit(_batch_side)
+        fs = ex.submit(_stream_side)
+        batch_df, stream_df = fb.result(), fs.result()
     return batch_df, stream_df
