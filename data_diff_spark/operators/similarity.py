@@ -906,11 +906,25 @@ def _pairs_cosine_blas_grouped(grouped: DataFrame, pq: DataFrame) -> DataFrame:
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 
+def _train_sample(corpus_prepared: DataFrame, train_cap: int):
+    """The bounded md5-ordered training sample both trainers draw: ONE
+    TakeOrdered collect, shareable — train_ivf_centroids and
+    train_pq_codebooks previously each ran the identical scan+sort+
+    collect job back-to-back in every IVF-PQ pipeline."""
+    return (
+        corpus_prepared.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(train_cap)
+        .select("qv")
+        .collect()
+    )
+
+
 def train_ivf_centroids(
     corpus_prepared: DataFrame,
     n_cells: int = 16,
     n_iter: int = 2,
     train_cap: int = 2048,
+    _sample=None,
 ) -> List[List[int]]:
     """Deterministic integer Lloyd quantizer over a bounded sample.
 
@@ -929,12 +943,8 @@ def train_ivf_centroids(
     """
     import numpy as np
 
-    rows = (
-        corpus_prepared.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-        .limit(train_cap)
-        .select("qv")
-        .collect()
-    )
+    rows = (_train_sample(corpus_prepared, train_cap)
+            if _sample is None else _sample)
     # qv=[] rows (null embeddings) are excluded AFTER the bounded collect:
     # filtering in SQL would push a size(qv) predicate through the
     # projection (re-running quantize per corpus row), and the DuckDB
@@ -1393,6 +1403,7 @@ def train_pq_codebooks(
     k_codes: int = 16,
     n_iter: int = 2,
     train_cap: int = 2048,
+    _sample=None,
 ) -> List[List[List[int]]]:
     """Per-subspace deterministic integer Lloyd codebooks for product
     quantization: the quantized vector is split into `m` contiguous
@@ -1403,12 +1414,8 @@ def train_pq_codebooks(
     codebook bit-identically. Returns books[m][k_codes][dim/m]."""
     import numpy as np
 
-    rows = (
-        corpus_prepared.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-        .limit(train_cap)
-        .select("qv")
-        .collect()
-    )
+    rows = (_train_sample(corpus_prepared, train_cap)
+            if _sample is None else _sample)
     # empty qv rows excluded post-collect — see train_ivf_centroids
     X = np.array([r["qv"] for r in rows if r["qv"]], dtype=np.int64)
     d = X.shape[1]
@@ -1655,8 +1662,12 @@ def ivf_pq_topk(
     raw-vector pass (R=500 reads 0.025% of a 200k corpus per query)."""
     c = _prepared(df, id_col, vec_col)
     n_cells, train_cap, n_rows = _resolve_ivf_cells(df, n_cells, n_rows, train_cap)
-    centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
-    books = train_pq_codebooks(c, m, k_codes, n_iter, train_cap)
+    # both trainers draw the identical bounded sample — collect it once
+    sample = _train_sample(c, train_cap)
+    centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap,
+                                    _sample=sample)
+    books = train_pq_codebooks(c, m, k_codes, n_iter, train_cap,
+                               _sample=sample)
     n_cells = len(centroids)
 
     assigned = _assign_cells(c, centroids)
@@ -1748,8 +1759,11 @@ def write_ivf_pq_layout(
 
     c = _prepared(df, id_col, vec_col)
     n_cells, train_cap, n_rows = _resolve_ivf_cells(df, n_cells, n_rows, train_cap)
-    centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap)
-    books = train_pq_codebooks(c, m, k_codes, n_iter, train_cap)
+    sample = _train_sample(c, train_cap)
+    centroids = train_ivf_centroids(c, n_cells, n_iter, train_cap,
+                                    _sample=sample)
+    books = train_pq_codebooks(c, m, k_codes, n_iter, train_cap,
+                               _sample=sample)
     assigned = _assign_cells(c, centroids)
     encoded = pq_encode(assigned, books, n_rows=n_rows).select("id", "cell", "codes", "rnrm")
     encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
