@@ -4267,10 +4267,6 @@ def q_asof_purchase_all(spark, sf_dir):
     tests/test_asof_stream.py) and _must_equal'd into the keyed arm, so
     any divergence in the as-of core (event -> matched purchase) is a
     loud hash mismatch."""
-    keyed = q_asof_purchase(spark, sf_dir).withColumn(
-        "scope", F.lit("keyed")).persist()
-    raw_glob = q_asof_global(spark, sf_dir).persist()
-
     from concurrent.futures import ThreadPoolExecutor
 
     from data_diff_spark.streaming.asof_stream import asof_stream_batch_equivalent
@@ -4280,12 +4276,17 @@ def q_asof_purchase_all(spark, sf_dir):
     # `spark.table("events").count()` cost a full action per run).
     # The bounded stream-stream run is independent of the batch window
     # arms: run it on a side thread while the keyed window and the
-    # keyless global arm materialize (guide §2.6) — they previously
-    # executed serially after it, inside the gate counts and the drain.
+    # keyless global arm CONSTRUCT and materialize (guide §2.6) — the
+    # r13b timeline probe read ~1.5s of keyed/glob plan building running
+    # BEFORE the harness thread even started; the future now launches
+    # first, so plan construction also hides under the harness.
     with ThreadPoolExecutor(max_workers=1) as _ex:
         _fut = _ex.submit(lambda: _sized_stream_state(
             spark, lambda: asof_stream_batch_equivalent(spark, sf_dir),
             n=_event_stream_state_n(spark, sf_dir)))
+        keyed = q_asof_purchase(spark, sf_dir).withColumn(
+            "scope", F.lit("keyed")).persist()
+        raw_glob = q_asof_global(spark, sf_dir).persist()
         keyed.count()
         raw_glob.count()
         sfinal = _fut.result()
