@@ -611,33 +611,36 @@ def q_diff_stats_all(spark, sf_dir):
     fixed cost to exactly that plus the metastore sink)."""
     load_views(spark, sf_dir)
     mod = spark.sql(MODIFIED_ORDERS_SQL).persist()
-    t1 = table_segment(spark.table("orders"), ["o_orderkey"],
-                       extra_columns=ORDERS_COLS[1:])
-    t2 = table_segment(mod, ["o_orderkey"], extra_columns=ORDERS_COLS[1:])
-    signs_src = jd.join_diff(t1, t2).groupBy("sign").agg(
-        F.count(F.lit(1)).alias("n"))
-    signs = signs_src.select(
-        F.lit("signs").alias("scope"), F.col("sign").alias("k"),
-        F.lit("count").alias("metric"), F.col("n").cast("double").alias("value"),
-        F.lit(None).cast("double").alias("aux_a"),
-        F.lit(None).cast("double").alias("aux_b"),
-        F.lit(False).alias("flag"),
-    ).persist()
     from concurrent.futures import ThreadPoolExecutor
 
     from data_diff_spark.streaming.drift_stream import monitor_orders_bounded
 
     # the bounded drift-monitor run is independent of the sign-diff arm:
-    # run it on a side thread while signs materializes (guide §2.6 —
-    # signs previously executed inside the drain, serialized after the
-    # whole streaming harness). mod is materialized FIRST: the signs
-    # count and the monitor's batch score are otherwise concurrent first
-    # readers of the lazily-persisted mod, which race and recompute
-    # partitions (r12 ADVICE).
+    # run it on a side thread while signs CONSTRUCTS and materializes
+    # (guide §2.6 — signs previously executed inside the drain,
+    # serialized after the whole streaming harness; since r13b the sign
+    # arm's plan building also hides under the monitor, the asof
+    # reorder). mod is materialized FIRST: the signs count and the
+    # monitor's batch score are otherwise concurrent first readers of
+    # the lazily-persisted mod, which race and recompute partitions
+    # (r12 ADVICE).
     mod.count()
     with ThreadPoolExecutor(max_workers=1) as _ex:
         _fut = _ex.submit(monitor_orders_bounded, spark, sf_dir, DRIFT_COLS,
                           mod)
+        t1 = table_segment(spark.table("orders"), ["o_orderkey"],
+                           extra_columns=ORDERS_COLS[1:])
+        t2 = table_segment(mod, ["o_orderkey"], extra_columns=ORDERS_COLS[1:])
+        signs_src = jd.join_diff(t1, t2).groupBy("sign").agg(
+            F.count(F.lit(1)).alias("n"))
+        signs = signs_src.select(
+            F.lit("signs").alias("scope"), F.col("sign").alias("k"),
+            F.lit("count").alias("metric"),
+            F.col("n").cast("double").alias("value"),
+            F.lit(None).cast("double").alias("aux_a"),
+            F.lit(None).cast("double").alias("aux_b"),
+            F.lit(False).alias("flag"),
+        ).persist()
         signs.count()
         b, s = _fut.result()
 
@@ -4134,22 +4137,30 @@ where edit_dist*100 <= 20*max_len
 
 def q_events_hourly_all(spark, sf_dir):
     """Batch hourly rollup AND its streaming formulation (AvailableNow, run
-    to completion) verified equal under one gate entry."""
-    return _must_equal(
-        q_events_hourly(spark, sf_dir),
-        q_events_hourly_stream(spark, sf_dir),
+    to completion) verified equal under one gate entry. The stream arm's
+    bounded harness runs eagerly at construction — build the batch plan
+    concurrently with it (guide §2.6)."""
+    load_views(spark, sf_dir)
+    batch, stream = _parallel_arms(
+        lambda: q_events_hourly(spark, sf_dir),
+        lambda: q_events_hourly_stream(spark, sf_dir),
     )
+    return _must_equal(batch, stream)
 
 
 def q_events_sessionize_all(spark, sf_dir):
     """Three independent sessionization formulations — lag-window batch,
     native session_window, stateful streaming (applyInPandasWithState) —
-    verified equal under one gate entry."""
-    return _must_equal(
-        q_events_sessionize(spark, sf_dir),
-        q_events_session_window(spark, sf_dir),
-        q_events_sessionize_stream(spark, sf_dir),
+    verified equal under one gate entry. The stream arm's bounded harness
+    runs eagerly at construction — build the two batch plans concurrently
+    with it (guide §2.6)."""
+    load_views(spark, sf_dir)
+    lag, sw, stream = _parallel_arms(
+        lambda: q_events_sessionize(spark, sf_dir),
+        lambda: q_events_session_window(spark, sf_dir),
+        lambda: q_events_sessionize_stream(spark, sf_dir),
     )
+    return _must_equal(lag, sw, stream)
 
 
 _LSH_INC_MOD = 11  # doc_id % 11 == 0 is the "new ingest batch" slice
