@@ -309,35 +309,44 @@ def hash_diff(
     # Phase 2 — the diff_sets decision, one shuffle over the surviving
     # NARROW rows: union both sides tagged with a sign, hash-partition by
     # PK, and compare each PK's per-side (count, checksum-sum) multiset
-    # digest with window aggregates (hashdiff_tables.py:30-84 semantics).
-    from pyspark.sql import Window
-
+    # digest (hashdiff_tables.py:30-84 semantics). Grouping is on the
+    # NORMALIZED key strings carried from _annotated — the same canonical
+    # form the digests hash — not the raw renamed key values, whose
+    # types/trimming may differ across sides.
     u = a_bad.withColumn(SIGN_COL, F.lit("-")).unionAll(
         b_bad.withColumn(SIGN_COL, F.lit("+"))
     )
-    # Windows partition on the NORMALIZED key strings carried from
-    # _annotated — the same canonical form the digests hash — not the raw
-    # renamed key values, whose types/trimming may differ across sides.
-    w = Window.partitionBy(*[_knorm(i) for i in range(nkeys)])
     is_a = (F.col(SIGN_COL) == "-").cast("long")
-    ca = F.sum(is_a).over(w)
-    cb = F.sum(1 - is_a).over(w)
-    sa = F.sum(F.when(F.col(SIGN_COL) == "-", F.col(_CKS))).over(w)
-    sb = F.sum(F.when(F.col(SIGN_COL) == "+", F.col(_CKS))).over(w)
+    knorm_names = [_knorm(i) for i in range(nkeys)]
 
-    multiset_differs = (ca != cb) | ~sa.eqNullSafe(sb)
-    if emit_equal_duplicates:
-        pk_differs = (ca != 1) | (cb != 1) | multiset_differs
-    else:
-        pk_differs = multiset_differs
+    def _pk_differs(ca, cb, sa, sb):
+        multiset = (ca != cb) | ~sa.eqNullSafe(sb)
+        if emit_equal_duplicates:
+            return (ca != 1) | (cb != 1) | multiset
+        return multiset
 
-    emitted = u.withColumn("__emit__", pk_differs).filter(F.col("__emit__"))
     if persist == "narrow":
         # the narrow frames carry no raw columns: decide PKs here, then
         # re-read each side pruned to those keys (all rows of a differing
-        # PK match the semi-join, preserving multiset emission)
-        knorm_names = [_knorm(i) for i in range(nkeys)]
-        bad_cached = emitted.select(*knorm_names).distinct().persist()
+        # PK match the semi-join, preserving multiset emission). Only the
+        # KEY SET is consumed downstream, so the per-key digests come
+        # from one hash AGGREGATION (map-side partial agg, no sort)
+        # instead of the wide path's window-over-union + distinct — one
+        # Exchange of partial aggregates replaces the window's full-row
+        # exchange + sort + a second distinct exchange (r13b: the window
+        # count job read 1.8-3.5s at sf0.1 for ~30k rows; at scale the
+        # partial agg also shuffles per-key digests, never rows). The
+        # per-key decision expression is identical.
+        g = u.groupBy(*knorm_names).agg(
+            F.sum(is_a).alias("__ca__"),
+            F.sum(1 - is_a).alias("__cb__"),
+            F.sum(F.when(F.col(SIGN_COL) == "-", F.col(_CKS))).alias("__sa__"),
+            F.sum(F.when(F.col(SIGN_COL) == "+", F.col(_CKS))).alias("__sb__"),
+        )
+        bad_cached = g.filter(_pk_differs(
+            F.col("__ca__"), F.col("__cb__"), F.col("__sa__"),
+            F.col("__sb__"),
+        )).select(*knorm_names).persist()
         # The differing-key set is proportional to the DIFF count, not the
         # table: broadcast it so the pruned re-read is scan+broadcast-semi,
         # never a full shuffle of both sides (unbroadcast, the semi join
@@ -353,6 +362,21 @@ def hash_diff(
         )
         out._ddspark_persisted = [a, b, bad_cached, *extra_handles]
         return out
+    # wide path: the full rows ride the frames, so emission is per ROW —
+    # the window form computes the per-key digests alongside each row in
+    # one pass (an aggregation would need a join back to the rows)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*knorm_names)
+    emitted = u.withColumn(
+        "__emit__",
+        _pk_differs(
+            F.sum(is_a).over(w),
+            F.sum(1 - is_a).over(w),
+            F.sum(F.when(F.col(SIGN_COL) == "-", F.col(_CKS))).over(w),
+            F.sum(F.when(F.col(SIGN_COL) == "+", F.col(_CKS))).over(w),
+        ),
+    ).filter(F.col("__emit__"))
     out = emitted.select(SIGN_COL, *out_names)
     # Caller-managed cache lifecycle: the result is lazy, so the persisted
     # sides must outlive it. DiffResult.unpersist() (and the CLI) release

@@ -228,6 +228,14 @@ def test_hashdiff_narrow_persist_equals_wide(spark, sf_dir):
     assert sorted(map(key, wide.collect())) == sorted(map(key, narrow.collect()))
     with pytest.raises(ValueError, match="persist"):
         hash_diff(t1, t2, persist="bogus")
+    # r13: the narrow path's phase-2 key decision is a hash AGGREGATION
+    # (map-side partial agg, no sort), never the wide path's
+    # window-over-union — pin the plan shape so it cannot silently
+    # regress to the window form
+    narrow_plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in narrow_plan
+    wide_plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in wide_plan
 
 
 def test_stats_dict(spark):
