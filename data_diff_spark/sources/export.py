@@ -47,6 +47,15 @@ def _shard_writer(out_dir: str, rows_per_shard: int, write_fn, prefix: str = "sh
     shards, write each via write_fn(pdf, tmp_path), emit manifest rows.
     `prefix` qualifies shard names (streaming sinks pass a batch-id
     prefix so a replayed micro-batch rewrites its own files)."""
+    return _multi_shard_writer([(out_dir, write_fn)], rows_per_shard, prefix)
+
+
+def _multi_shard_writer(targets, rows_per_shard: int, prefix: str = "shard"):
+    """Like _shard_writer, but each buffered shard is written to EVERY
+    (out_dir, write_fn) target — one pass over the input produces all
+    formats, instead of one scan (and one recomputation of the input
+    pipeline) per format. Shard slicing and names are identical to the
+    single-target writer, so per-format output bytes are unchanged."""
     import pandas as pd
     from pyspark import TaskContext
 
@@ -64,16 +73,20 @@ def _shard_writer(out_dir: str, rows_per_shard: int, write_fn, prefix: str = "sh
         def flush():
             nonlocal seq, buf, buffered
             if not buffered:
-                return None
+                return []
             pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
             name = f"{prefix}-{pid:05d}-{seq:04d}"
-            final = os.path.join(out_dir, name + write_fn.ext)
-            tmp = f"{final}.{attempt}.tmp"
-            write_fn(pdf, tmp)
-            os.replace(tmp, final)
+            rows = []
+            for out_dir, write_fn in targets:
+                final = os.path.join(out_dir, name + write_fn.ext)
+                tmp = f"{final}.{attempt}.tmp"
+                write_fn(pdf, tmp)
+                os.replace(tmp, final)
+                rows.append({"path": final, "rows": len(pdf),
+                             "bytes": os.path.getsize(final)})
             seq += 1
             buf, buffered = [], 0
-            return {"path": final, "rows": len(pdf), "bytes": os.path.getsize(final)}
+            return rows
 
         manifest = []
         for pdf in batches:
@@ -84,23 +97,14 @@ def _shard_writer(out_dir: str, rows_per_shard: int, write_fn, prefix: str = "sh
                 buffered += take
                 start += take
                 if buffered >= rows_per_shard:
-                    manifest.append(flush())
-        last = flush()
-        if last:
-            manifest.append(last)
+                    manifest.extend(flush())
+        manifest.extend(flush())
         yield pd.DataFrame(manifest or [], columns=["path", "rows", "bytes"])
 
     return gen
 
 
-def write_arrow_shards(
-    df: DataFrame, path: str, rows_per_shard: int = 100_000,
-    shard_prefix: str = "shard",
-) -> DataFrame:
-    """Arrow IPC (Feather v2) shard files; returns the manifest
-    DataFrame — materializing it performs the export."""
-    os.makedirs(path, exist_ok=True)
-
+def _arrow_write_fn():
     def write(pdf, p):
         import pyarrow as pa
         import pyarrow.ipc as ipc
@@ -110,8 +114,19 @@ def write_arrow_shards(
             w.write_table(table)
 
     write.ext = ".arrow"
+    return write
+
+
+def write_arrow_shards(
+    df: DataFrame, path: str, rows_per_shard: int = 100_000,
+    shard_prefix: str = "shard",
+) -> DataFrame:
+    """Arrow IPC (Feather v2) shard files; returns the manifest
+    DataFrame — materializing it performs the export."""
+    os.makedirs(path, exist_ok=True)
     return df.mapInPandas(
-        _shard_writer(path, rows_per_shard, write, shard_prefix), MANIFEST_SCHEMA
+        _shard_writer(path, rows_per_shard, _arrow_write_fn(), shard_prefix),
+        MANIFEST_SCHEMA,
     )
 
 
@@ -129,6 +144,14 @@ def write_webdataset(
     it performs the export. Keys must be unique per row (they are the
     sample identity inside the tar)."""
     os.makedirs(path, exist_ok=True)
+    return df.mapInPandas(
+        _shard_writer(path, rows_per_shard,
+                      _webdataset_write_fn(key_col, extensions), shard_prefix),
+        MANIFEST_SCHEMA,
+    )
+
+
+def _webdataset_write_fn(key_col: str, extensions: Dict[str, str]):
     exts = dict(extensions)
 
     def write(pdf, p):
@@ -154,8 +177,31 @@ def write_webdataset(
                     tar.addfile(info, io.BytesIO(data))
 
     write.ext = ".tar"
+    return write
+
+
+def write_arrow_and_webdataset(
+    df: DataFrame,
+    arrow_path: str,
+    wds_path: str,
+    key_col: str,
+    extensions: Dict[str, str],
+    rows_per_shard: int = 10_000,
+    shard_prefix: str = "shard",
+) -> DataFrame:
+    """BOTH shard formats in ONE pass over `df`: each buffered shard is
+    written as an Arrow IPC file and a WebDataset tar (identical slicing
+    and bytes to the two single-format writers at the same
+    rows_per_shard). One scan — and one evaluation of the input pipeline
+    — instead of one per format. Returns the combined manifest."""
+    for p in (arrow_path, wds_path):
+        os.makedirs(p, exist_ok=True)
     return df.mapInPandas(
-        _shard_writer(path, rows_per_shard, write, shard_prefix), MANIFEST_SCHEMA
+        _multi_shard_writer(
+            [(arrow_path, _arrow_write_fn()),
+             (wds_path, _webdataset_write_fn(key_col, extensions))],
+            rows_per_shard, shard_prefix),
+        MANIFEST_SCHEMA,
     )
 
 

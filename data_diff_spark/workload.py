@@ -4380,8 +4380,6 @@ def q_export_roundtrip_checksums(spark, sf_dir):
     from data_diff_spark.sources.export import (
         read_arrow_shards,
         read_webdataset,
-        write_arrow_shards,
-        write_webdataset,
     )
 
     load_views(spark, sf_dir)
@@ -4401,18 +4399,15 @@ def q_export_roundtrip_checksums(spark, sf_dir):
         # (leftover extra shards would be silently unioned into the scan)
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-    # the two shard writes are independent jobs over the same canonical
-    # strings: submit them concurrently (guide §2.6) so the tar writer's
-    # tasks back-fill the Arrow writer's tail
-    from concurrent.futures import ThreadPoolExecutor
+    # ONE pass writes both shard formats (r13b): the two concurrent
+    # writer jobs each re-evaluated the full normalization pipeline over
+    # the slice; the fused writer scans it once and emits identical
+    # per-format bytes (same slicing, same names)
+    from data_diff_spark.sources.export import write_arrow_and_webdataset
 
-    with ThreadPoolExecutor(max_workers=2) as _ex:
-        fa = _ex.submit(
-            lambda: write_arrow_shards(vals, a_dir, rows_per_shard=4096).count())
-        fw = _ex.submit(
-            lambda: write_webdataset(vals, w_dir, key_col="o_orderkey",
-                                     extensions=exts, rows_per_shard=4096).count())
-        fa.result(), fw.result()
+    write_arrow_and_webdataset(
+        vals, a_dir, w_dir, key_col="o_orderkey", extensions=exts,
+        rows_per_shard=4096).count()
 
     def cks_agg(df):
         fp = F.concat_ws(

@@ -170,3 +170,40 @@ def test_webdataset_dotted_keys_roundtrip(spark, tmp_path):
     a = sorted((r.key, r.text, bytes(r.img)) for r in back.collect())
     b = sorted((r.key, r.text, bytes(r.img)) for r in df.collect())
     assert a == b
+
+
+def test_fused_export_matches_single_writers(spark, tmp_path):
+    """write_arrow_and_webdataset (one pass, both formats) must produce
+    byte-identical shard files to the two single-format writers at the
+    same rows_per_shard — the r13 fused gate write depends on it."""
+    import glob
+    import os
+
+    from data_diff_spark.sources.export import (
+        write_arrow_and_webdataset,
+        write_arrow_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", float(i)) for i in range(57)],
+        "id long, text string, score double",
+    ).repartition(3, "id")
+    exts = {"text": "txt", "score": "score"}
+    sa, sw = str(tmp_path / "sa"), str(tmp_path / "sw")
+    fa, fw = str(tmp_path / "fa"), str(tmp_path / "fw")
+    write_arrow_shards(df, sa, rows_per_shard=10).collect()
+    write_webdataset(df, sw, key_col="id", extensions=exts,
+                     rows_per_shard=10).collect()
+    mani = write_arrow_and_webdataset(df, fa, fw, key_col="id",
+                                      extensions=exts,
+                                      rows_per_shard=10).collect()
+    # manifest covers every file of both formats
+    assert sorted(r.path for r in mani) == sorted(
+        glob.glob(os.path.join(fa, "*.arrow")) + glob.glob(os.path.join(fw, "*.tar")))
+
+    def bytes_by_name(d):
+        return {os.path.basename(p): open(p, "rb").read()
+                for p in glob.glob(os.path.join(d, "*"))}
+
+    assert bytes_by_name(fa) == bytes_by_name(sa)
+    assert bytes_by_name(fw) == bytes_by_name(sw)
